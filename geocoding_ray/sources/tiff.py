@@ -1,0 +1,197 @@
+"""Minimal from-scratch TIFF writer + parser with an EXIF GPS IFD.
+
+The input table per BASELINE.json input_hint carries images as opaque
+``bytes``; EXIF-derived lat/lon lives *inside* the payload and is parsed
+by the extract stage (SURVEY.md §3.1).  No PIL in the sandbox, so this
+implements just enough of TIFF 6.0 + EXIF GPS:
+
+* little-endian header ``II*\\0``
+* one IFD: width/length/bits/compression(none)/photometric(RGB)/
+  strip offset+bytecount/samples-per-pixel/rows-per-strip + GPSInfo
+  pointer (tag 34853)
+* GPS IFD: GPSLatitudeRef/GPSLatitude/GPSLongitudeRef/GPSLongitude as
+  ASCII + RATIONAL[3] (deg, min, sec)
+
+Coordinates are stored **exactly** as (e7_value, 10^7) in the degrees
+rational with zero minutes/seconds, so decode returns bit-identical
+float64 when the source lat/lon is an integer multiple of 1e-7 — this
+gives the per-row invariant (input_hint) an exact oracle.
+
+Pixels: one uncompressed RGB strip, row-major h×w×3 — PSNR vs the
+generator is trivially infinite (lossless).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TAG_WIDTH = 256
+_TAG_LENGTH = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_BYTES = 279
+_TAG_GPS_IFD = 34853
+
+_GPS_LAT_REF = 1
+_GPS_LAT = 2
+_GPS_LON_REF = 3
+_GPS_LON = 4
+
+_TYPE_ASCII = 2
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_RATIONAL = 5
+
+E7 = 10_000_000
+
+
+def _entry(tag: int, typ: int, count: int, value_or_offset: int) -> bytes:
+    return struct.pack("<HHII", tag, typ, count, value_or_offset)
+
+
+def _entry_shorts(tag: int, values: list[int]) -> bytes:
+    if len(values) == 1:
+        return struct.pack("<HHIHH", tag, _TYPE_SHORT, 1, values[0], 0)
+    raise ValueError("inline shorts only")
+
+
+def encode_tiff(pixels: np.ndarray, lat_e7: int, lon_e7: int) -> bytes:
+    """Encode an RGB image (uint8 [h, w, 3]) with GPS lat/lon given as
+    integer 1e-7 degrees (exact)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    strip = pixels.astype(np.uint8).tobytes()
+
+    # Layout: header(8) | IFD0 | bits_extra(6) | GPS IFD | rationals | strip
+    n0 = 10  # entries in IFD0
+    ifd0_off = 8
+    ifd0_size = 2 + n0 * 12 + 4
+    bits_off = ifd0_off + ifd0_size
+    gps_off = bits_off + 6
+    n_gps = 4
+    gps_size = 2 + n_gps * 12 + 4
+    lat_ref = b"N\x00" if lat_e7 >= 0 else b"S\x00"
+    lon_ref = b"E\x00" if lon_e7 >= 0 else b"W\x00"
+    rat_off = gps_off + gps_size
+    # two RATIONAL[3] blobs, 24 bytes each
+    lat_rat_off = rat_off
+    lon_rat_off = rat_off + 24
+    strip_off = lon_rat_off + 24
+
+    def rational3(e7: int) -> bytes:
+        return struct.pack("<IIIIII", abs(e7), E7, 0, 1, 0, 1)
+
+    ifd0 = struct.pack("<H", n0)
+    ifd0 += _entry(_TAG_WIDTH, _TYPE_LONG, 1, w)
+    ifd0 += _entry(_TAG_LENGTH, _TYPE_LONG, 1, h)
+    ifd0 += _entry(_TAG_BITS, _TYPE_SHORT, 3, bits_off)
+    ifd0 += _entry_shorts(_TAG_COMPRESSION, [1])
+    ifd0 += _entry_shorts(_TAG_PHOTOMETRIC, [2])
+    ifd0 += _entry(_TAG_STRIP_OFFSETS, _TYPE_LONG, 1, strip_off)
+    ifd0 += _entry_shorts(_TAG_SAMPLES, [3])
+    ifd0 += _entry(_TAG_ROWS_PER_STRIP, _TYPE_LONG, 1, h)
+    ifd0 += _entry(_TAG_STRIP_BYTES, _TYPE_LONG, 1, len(strip))
+    ifd0 += _entry(_TAG_GPS_IFD, _TYPE_LONG, 1, gps_off)
+    ifd0 += struct.pack("<I", 0)  # next IFD
+
+    gps = struct.pack("<H", n_gps)
+    gps += struct.pack("<HHI2sxx", _GPS_LAT_REF, _TYPE_ASCII, 2, lat_ref)
+    gps += _entry(_GPS_LAT, _TYPE_RATIONAL, 3, lat_rat_off)
+    gps += struct.pack("<HHI2sxx", _GPS_LON_REF, _TYPE_ASCII, 2, lon_ref)
+    gps += _entry(_GPS_LON, _TYPE_RATIONAL, 3, lon_rat_off)
+    gps += struct.pack("<I", 0)
+
+    return b"".join(
+        [
+            b"II*\x00",
+            struct.pack("<I", ifd0_off),
+            ifd0,
+            struct.pack("<HHH", 8, 8, 8),
+            gps,
+            rational3(lat_e7),
+            rational3(lon_e7),
+            strip,
+        ]
+    )
+
+
+def _read_ifd(buf: bytes, off: int) -> dict[int, tuple[int, int, int]]:
+    """tag -> (type, count, value_or_offset)."""
+    (n,) = struct.unpack_from("<H", buf, off)
+    out = {}
+    p = off + 2
+    for _ in range(n):
+        tag, typ, count, vo = struct.unpack_from("<HHII", buf, p)
+        out[tag] = (typ, count, vo)
+        p += 12
+    return out
+
+
+def _read_rational3_degrees(buf: bytes, off: int) -> float:
+    d_n, d_d, m_n, m_d, s_n, s_d = struct.unpack_from("<IIIIII", buf, off)
+    deg = d_n / d_d if d_d else 0.0
+    mins = m_n / m_d if m_d else 0.0
+    secs = s_n / s_d if s_d else 0.0
+    return deg + mins / 60.0 + secs / 3600.0
+
+
+def parse_gps(buf: bytes) -> tuple[float, float] | None:
+    """Parse (lon, lat) from the GPS IFD; None when absent.
+
+    Output is lon-lat order per the reference's API boundary invariant
+    (lib.rs:13-16)."""
+    if buf[:4] != b"II*\x00":
+        return None
+    (ifd0_off,) = struct.unpack_from("<I", buf, 4)
+    ifd0 = _read_ifd(buf, ifd0_off)
+    if _TAG_GPS_IFD not in ifd0:
+        return None
+    gps = _read_ifd(buf, ifd0[_TAG_GPS_IFD][2])
+    if _GPS_LAT not in gps or _GPS_LON not in gps:
+        return None
+    lat = _read_rational3_degrees(buf, gps[_GPS_LAT][2])
+    lon = _read_rational3_degrees(buf, gps[_GPS_LON][2])
+    # refs are inline ASCII (count 2 fits the 4 value bytes): the low byte
+    # of the little-endian value word is the ref character.
+    lat_sign = -1.0 if (gps[_GPS_LAT_REF][2] & 0xFF) == ord("S") else 1.0
+    lon_sign = -1.0 if (gps[_GPS_LON_REF][2] & 0xFF) == ord("W") else 1.0
+    return lon * lon_sign, lat * lat_sign
+
+
+def parse_pixels(buf: bytes) -> np.ndarray:
+    """Decode the RGB strip back to uint8 [h, w, 3]."""
+    (ifd0_off,) = struct.unpack_from("<I", buf, 4)
+    ifd0 = _read_ifd(buf, ifd0_off)
+    w = ifd0[_TAG_WIDTH][2]
+    h = ifd0[_TAG_LENGTH][2]
+    off = ifd0[_TAG_STRIP_OFFSETS][2]
+    nbytes = ifd0[_TAG_STRIP_BYTES][2]
+    arr = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=off)
+    return arr.reshape(h, w, 3).copy()
+
+
+def parse_gps_batch(bufs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vector wrapper: list/array of bytes -> (lon, lat, ok) float64/bool.
+
+    The per-image parse is a handful of struct.unpack_from calls (no pixel
+    touch) — cheap relative to batch overheads; pixels are never read here
+    so the hot reverse pipeline does not decode imagery.
+    """
+    n = len(bufs)
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    ok = np.zeros(n, dtype=bool)
+    for i, b in enumerate(bufs):
+        try:
+            r = parse_gps(b)
+        except (struct.error, IndexError, KeyError):
+            r = None
+        if r is not None:
+            lon[i], lat[i] = r
+            ok[i] = True
+    return lon, lat, ok

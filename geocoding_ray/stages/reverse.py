@@ -1,0 +1,265 @@
+"""Reverse geocoding: broadcast spatial join (SURVEY.md O1/O3/O9/O12).
+
+Design (SURVEY.md §2.5): the admin-polygon table is the *small* side —
+built once on the driver into an immutable :class:`AdminIndex`
+(packed rings + STR R-tree + component arrays), put into the Ray object
+store with ``ray.put``, and fetched by every :class:`ReverseJoiner`
+actor in ``__init__`` (once per actor, the engine analogue of the
+reference's once-per-instance client build, opencage.rs:118-123).
+Points never shuffle; the index never re-ships per batch.
+
+Semantics reproduced:
+
+* deepest (most specific) admin polygon wins; ties -> smaller area, then
+  lower admin_id — a total order, so output is deterministic under any
+  batch split (SURVEY.md §7 hard part 3);
+* PIP miss -> kNN fallback to nearest place centroid within
+  ``tolerance_m`` (GeoAdmin identify ``tolerance=50``,
+  geoadmin.rs:273-291), tie-break (distance, place_id);
+* still nothing -> null formatted (GeoAdmin ``Ok(None)``,
+  geoadmin.rs:295-304); with ``strict_nonempty`` the row is flagged in an
+  ``error`` column instead of panicking the task (OpenCage/OSM index
+  ``results[0]`` and would panic, opencage.rs:370-372).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import ReverseConfig
+from ..functions.formatters import geoadmin_reverse_label, opencage_formatted, osm_display_name
+from ..sources.schemas import COMPONENT_FIELDS, COMPONENT_LANG_FIELDS
+from ..state import cells
+from ..state.distance import haversine_m
+from ..state.geometry import PackedRings
+from ..state.rtree import STRtree
+
+_KNN_CELL_LEVEL = 10  # ~39 km lon cells at equator; disk radius 1 covers ~39 km reach
+
+
+class AdminIndex:
+    """Immutable reverse-join build side: polygons + places.
+
+    Built driver-side from the admin_boundaries and gazetteer Arrow
+    tables; pickles compactly (numpy arrays + python lists of strings).
+    """
+
+    def __init__(self, admin_tbl: pa.Table, gazetteer_tbl: Optional[pa.Table] = None):
+        self.admin_id = admin_tbl.column("admin_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        self.level_rank = admin_tbl.column("level_rank").to_numpy(zero_copy_only=False).astype(np.int32)
+        self.area = admin_tbl.column("area").to_numpy(zero_copy_only=False)
+        self.formatted = np.array(admin_tbl.column("formatted").to_pylist(), dtype=object)
+        self.name = admin_tbl.column("name").to_pylist()
+        self.components = {
+            f: np.array(admin_tbl.column(f).to_pylist(), dtype=object)
+            for f in COMPONENT_FIELDS + COMPONENT_LANG_FIELDS
+        }
+        # Pre-rendered per-provider strings (byte-stable, SURVEY.md §7 hard
+        # part 2): osm display_name over the component hierarchy.
+        self.osm_formatted = np.array(
+            [
+                osm_display_name({f: self.components[f][a] for f in COMPONENT_FIELDS})
+                for a in range(len(self.admin_id))
+            ],
+            dtype=object,
+        )
+        self.rings = PackedRings.from_arrow(admin_tbl.column("rings"))
+        self.tree = STRtree(self.rings.bbox)
+
+        # kNN side: place centroids bucketed by cell for ring expansion
+        if gazetteer_tbl is not None:
+            self.place_id = gazetteer_tbl.column("place_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            self.place_lon = gazetteer_tbl.column("lon").to_numpy(zero_copy_only=False)
+            self.place_lat = gazetteer_tbl.column("lat").to_numpy(zero_copy_only=False)
+            self.place_label = np.array(gazetteer_tbl.column("label").to_pylist(), dtype=object)
+            strname = gazetteer_tbl.column("strname_deinr").to_pylist()
+            dplz4 = gazetteer_tbl.column("dplz4").to_pylist()
+            dplzname = gazetteer_tbl.column("dplzname").to_pylist()
+            self.place_geoadmin_label = np.array(
+                [geoadmin_reverse_label(s, z, zn) for s, z, zn in zip(strname, dplz4, dplzname)],
+                dtype=object,
+            )
+            pcell = cells.encode(self.place_lon, self.place_lat, _KNN_CELL_LEVEL)
+            order = np.argsort(pcell, kind="stable")
+            self._pcell_sorted = pcell[order]
+            self._porder = order
+        else:
+            self.place_id = np.zeros(0, dtype=np.uint64)
+            self.place_lon = np.zeros(0)
+            self.place_lat = np.zeros(0)
+            self.place_label = np.zeros(0, dtype=object)
+            self.place_geoadmin_label = np.zeros(0, dtype=object)
+            self._pcell_sorted = np.zeros(0, dtype=np.uint64)
+            self._porder = np.zeros(0, dtype=np.int64)
+
+    # ---- point-in-polygon with deepest-wins selection -------------------
+
+    def locate(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Per point: index of the winning polygon, or -1.
+
+        Winner = max level_rank, then min area, then min admin_id.
+        """
+        n = len(lon)
+        win = np.full(n, -1, dtype=np.int64)
+        if n == 0 or self.rings.n_polys == 0:
+            return win
+        p_idx, a_idx = self.tree.query_points(lon, lat)
+        if len(p_idx) == 0:
+            return win
+        # verify candidates with exact PIP, grouped by polygon for
+        # vectorized ring tests
+        hit_p: list[np.ndarray] = []
+        hit_a: list[np.ndarray] = []
+        order = np.argsort(a_idx, kind="stable")
+        a_sorted = a_idx[order]
+        p_sorted = p_idx[order]
+        bounds = np.searchsorted(a_sorted, np.unique(a_sorted), side="left")
+        uniq = np.unique(a_sorted)
+        bounds = np.append(bounds, len(a_sorted))
+        for k, poly in enumerate(uniq):
+            pts = p_sorted[bounds[k] : bounds[k + 1]]
+            inside = self.rings.contains(int(poly), lon[pts], lat[pts])
+            if inside.any():
+                hit_p.append(pts[inside])
+                hit_a.append(np.full(int(inside.sum()), poly, dtype=np.int64))
+        if not hit_p:
+            return win
+        hp = np.concatenate(hit_p)
+        ha = np.concatenate(hit_a)
+        # total order: (-level_rank, area, admin_id) ascending per point
+        key_rank = -self.level_rank[ha].astype(np.int64)
+        key_area = self.area[ha]
+        key_id = self.admin_id[ha].astype(np.int64)
+        sel = np.lexsort((key_id, key_area, key_rank, hp))
+        hp_s = hp[sel]
+        ha_s = ha[sel]
+        first = np.ones(len(hp_s), dtype=bool)
+        first[1:] = hp_s[1:] != hp_s[:-1]
+        win[hp_s[first]] = ha_s[first]
+        return win
+
+    # ---- kNN fallback ----------------------------------------------------
+
+    def nearest_place(self, lon: np.ndarray, lat: np.ndarray, tolerance_m: float) -> tuple[np.ndarray, np.ndarray]:
+        """Per point: (place array index or -1, distance m).
+
+        Cell-ring candidate gathering (disk radius 1 at level 10) then
+        exact haversine; deterministic tie-break (distance, place_id) via
+        stable argmin over places sorted by id at build time.
+        """
+        n = len(lon)
+        out_idx = np.full(n, -1, dtype=np.int64)
+        out_d = np.full(n, np.inf)
+        if n == 0 or len(self.place_id) == 0:
+            return out_idx, out_d
+        qcell = cells.encode(lon, lat, _KNN_CELL_LEVEL)
+        disks = cells.neighbors_disk(qcell, radius=1)  # (n, 9)
+        for i in range(n):
+            cands: list[np.ndarray] = []
+            for c in np.unique(disks[i]):
+                lo = np.searchsorted(self._pcell_sorted, c, side="left")
+                hi = np.searchsorted(self._pcell_sorted, c, side="right")
+                if hi > lo:
+                    cands.append(self._porder[lo:hi])
+            if not cands:
+                continue
+            cand = np.concatenate(cands)
+            d = haversine_m(lon[i], lat[i], self.place_lon[cand], self.place_lat[cand])
+            # tie-break by place_id: sort candidates by (d, place_id)
+            sel = np.lexsort((self.place_id[cand], d))
+            best = cand[sel[0]]
+            bd = d[sel[0]]
+            if bd <= tolerance_m:
+                out_idx[i] = best
+                out_d[i] = bd
+        return out_idx, out_d
+
+
+class ReverseJoiner:
+    """Actor-pool ``map_batches`` stage: (lon, lat) -> reverse result.
+
+    ``__init__`` fetches the broadcast AdminIndex once per actor;
+    ``__call__`` is pure per-batch compute (no driver round-trips).
+    """
+
+    def __init__(self, index_ref, config: ReverseConfig = ReverseConfig()):
+        import ray
+
+        self.index: AdminIndex = ray.get(index_ref) if not isinstance(index_ref, AdminIndex) else index_ref
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        idx = self.index
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        n = len(lon)
+        valid = ~(np.isnan(lon) | np.isnan(lat))
+
+        win = np.full(n, -1, dtype=np.int64)
+        if valid.any():
+            win[valid] = idx.locate(lon[valid], lat[valid])
+
+        knn_idx = np.full(n, -1, dtype=np.int64)
+        knn_d = np.full(n, np.inf)
+        if cfg.knn_fallback:
+            need = valid & (win < 0)
+            if need.any():
+                ki, kd = idx.nearest_place(lon[need], lat[need], cfg.tolerance_m)
+                knn_idx[need] = ki
+                knn_d[need] = kd
+
+        formatted = np.full(n, None, dtype=object)
+        admin_ids = np.zeros(n, dtype=np.uint64)
+        confidence = np.zeros(n, dtype=np.int8)
+        match_kind = np.full(n, "miss", dtype=object)
+        comp_out = {f: np.full(n, None, dtype=object) for f in COMPONENT_FIELDS}
+
+        pip_rows = np.nonzero(win >= 0)[0]
+        if len(pip_rows):
+            a = win[pip_rows]
+            admin_ids[pip_rows] = idx.admin_id[a]
+            match_kind[pip_rows] = "pip"
+            confidence[pip_rows] = 9
+            for f in COMPONENT_FIELDS:
+                comp_out[f][pip_rows] = idx.components[f][a]
+            if cfg.provider == "openstreetmap":
+                formatted[pip_rows] = idx.osm_formatted[a]
+            elif cfg.language:
+                # language re-render is per-row (rare path; the language demo)
+                for i, ai in zip(pip_rows, a):
+                    comps = {f: idx.components[f][ai] for f in COMPONENT_FIELDS}
+                    comps.update(
+                        {f.replace("_fr", ":fr"): idx.components[f][ai] for f in COMPONENT_LANG_FIELDS}
+                    )
+                    formatted[i] = opencage_formatted(comps, language=cfg.language)
+            else:
+                formatted[pip_rows] = idx.formatted[a]
+
+        knn_rows = np.nonzero((win < 0) & (knn_idx >= 0))[0]
+        if len(knn_rows):
+            p = knn_idx[knn_rows]
+            match_kind[knn_rows] = "knn"
+            confidence[knn_rows] = 5
+            if cfg.provider == "geoadmin":
+                formatted[knn_rows] = idx.place_geoadmin_label[p]
+            else:
+                formatted[knn_rows] = idx.place_label[p]
+
+        keep = [c for c in ("image_id", "caption", "phash", "cell_id") if c in batch.column_names]
+        out = batch.select(keep)
+        out = out.append_column("lon", batch.column("lon"))
+        out = out.append_column("lat", batch.column("lat"))
+        out = out.append_column("admin_id", pa.array(admin_ids, type=pa.uint64()))
+        out = out.append_column("formatted", pa.array(formatted.tolist(), type=pa.string()))
+        out = out.append_column("confidence", pa.array(confidence, type=pa.int8()))
+        out = out.append_column("match_kind", pa.array(match_kind.tolist(), type=pa.string()))
+        for f in COMPONENT_FIELDS:
+            out = out.append_column(f, pa.array(comp_out[f].tolist(), type=pa.string()))
+        if cfg.strict_nonempty:
+            err = [None if f_ is not None else "empty result" for f_ in formatted.tolist()]
+            out = out.append_column("error", pa.array(err, type=pa.string()))
+        return out

@@ -1,0 +1,190 @@
+"""Property tests for the from-scratch geometry kernels (SURVEY.md §5.2.4)."""
+
+import numpy as np
+import pytest
+
+from geocoding_ray.state import cells, crs, distance, geometry, rtree
+
+
+class TestCells:
+    def test_roundtrip_levels(self):
+        rng = np.random.RandomState(0)
+        lon = rng.uniform(-180, 180, 2000)
+        lat = rng.uniform(-90, 90, 2000)
+        for lev in (0, 3, 8, 15, 29):
+            c = cells.encode(lon, lat, lev)
+            l2, _, _ = cells.decode_xy(c)
+            assert np.all(l2 == lev)
+            clon, clat = cells.decode_center(c)
+            assert np.all(np.abs(clon - lon) <= 360.0 / 2**lev)
+            assert np.all(np.abs(clat - lat) <= 180.0 / 2**lev)
+
+    def test_parent_consistency(self):
+        rng = np.random.RandomState(1)
+        lon = rng.uniform(-180, 180, 500)
+        lat = rng.uniform(-90, 90, 500)
+        c12 = cells.encode(lon, lat, 12)
+        assert np.all(cells.parent(c12, 4) == cells.encode(lon, lat, 8))
+
+    def test_cell_bounds_contain_point(self):
+        rng = np.random.RandomState(2)
+        lon = rng.uniform(-180, 180, 500)
+        lat = rng.uniform(-90, 90, 500)
+        c = cells.encode(lon, lat, 10)
+        minx, miny, maxx, maxy = cells.cell_bounds(c)
+        assert np.all((lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy))
+
+    def test_neighbors_disk(self):
+        c = cells.encode(np.array([10.0]), np.array([20.0]), 8)
+        nb = cells.neighbors_disk(c, 1)
+        assert nb.shape == (1, 9)
+        assert len(np.unique(nb)) == 9
+        assert c[0] in nb[0]
+
+    def test_cover_bbox(self):
+        cov = cells.cover_bbox(-10, -10, 10, 10, 6)
+        minx, miny, maxx, maxy = cells.cell_bounds(cov)
+        # covering cells must intersect the bbox
+        assert np.all((maxx >= -10) & (minx <= 10) & (maxy >= -10) & (miny <= 10))
+
+    def test_quadkey_render(self):
+        qk = cells.render_quadkey(cells.encode(np.array([0.1]), np.array([0.1]), 7))
+        assert len(qk[0]) == 7
+        # quadkey prefix property: parent's key is a prefix
+        pk = cells.render_quadkey(cells.parent(cells.encode(np.array([0.1]), np.array([0.1]), 7)))
+        assert qk[0].startswith(pk[0])
+
+    def test_determinism(self):
+        lon = np.array([1.23456, -77.5])
+        lat = np.array([45.0, -12.0])
+        assert np.array_equal(cells.encode(lon, lat, 9), cells.encode(lon, lat, 9))
+
+
+class TestPIP:
+    def test_pip_vs_bruteforce_random_polygons(self):
+        rng = np.random.RandomState(3)
+        for trial in range(5):
+            # random star-shaped polygon around a center (no self-intersection)
+            nv = rng.randint(5, 30)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+            rad = rng.uniform(0.5, 2.0, nv)
+            cx, cy = rng.uniform(-50, 50, 2)
+            ring = [[cx + r * np.cos(a), cy + r * np.sin(a)] for a, r in zip(ang, rad)]
+            ring.append(ring[0])
+            pr = geometry.PackedRings.from_pylist([[ring]])
+            px = rng.uniform(cx - 3, cx + 3, 400)
+            py = rng.uniform(cy - 3, cy + 3, 400)
+            got = pr.contains(0, px, py)
+            exp = _brute_pip(np.array(ring), px, py)
+            assert np.array_equal(got, exp)
+
+    def test_hole_flips_parity(self):
+        outer = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+        hole = [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]
+        pr = geometry.PackedRings.from_pylist([[outer, hole]])
+        assert pr.contains(0, np.array([2.0]), np.array([2.0]))[0]
+        assert not pr.contains(0, np.array([5.0]), np.array([5.0]))[0]
+
+    def test_arrow_roundtrip(self):
+        import pyarrow as pa
+
+        polys = [[[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]]]
+        col = pa.array(polys, type=pa.list_(pa.list_(pa.list_(pa.float64()))))
+        pr = geometry.PackedRings.from_arrow(col)
+        assert pr.n_polys == 1
+        assert pr.contains(0, np.array([1.0]), np.array([1.0]))[0]
+
+
+def _brute_pip(ring, px, py):
+    out = np.zeros(len(px), dtype=bool)
+    n = len(ring) - 1
+    for i in range(len(px)):
+        c = False
+        for j in range(n):
+            x1, y1 = ring[j]
+            x2, y2 = ring[j + 1]
+            if (y1 > py[i]) != (y2 > py[i]):
+                xint = x1 + (py[i] - y1) / (y2 - y1) * (x2 - x1)
+                if px[i] < xint:
+                    c = not c
+        out[i] = c
+    return out
+
+
+class TestRtree:
+    def test_query_points_vs_bruteforce(self):
+        rng = np.random.RandomState(4)
+        rects = np.column_stack(
+            [rng.uniform(0, 100, 500), rng.uniform(0, 100, 500), np.zeros(500), np.zeros(500)]
+        )
+        rects[:, 2] = rects[:, 0] + rng.uniform(0, 8, 500)
+        rects[:, 3] = rects[:, 1] + rng.uniform(0, 8, 500)
+        t = rtree.STRtree(rects)
+        qx = rng.uniform(0, 100, 300)
+        qy = rng.uniform(0, 100, 300)
+        p, i = t.query_points(qx, qy)
+        brute = {
+            (a, b)
+            for a in range(300)
+            for b in range(500)
+            if rects[b, 0] <= qx[a] <= rects[b, 2] and rects[b, 1] <= qy[a] <= rects[b, 3]
+        }
+        assert set(zip(p.tolist(), i.tolist())) == brute
+
+    def test_empty_and_single(self):
+        t = rtree.STRtree(np.zeros((0, 4)))
+        p, i = t.query_points(np.array([1.0]), np.array([1.0]))
+        assert len(p) == 0
+        t1 = rtree.STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
+        p, i = t1.query_points(np.array([0.5, 2.0]), np.array([0.5, 2.0]))
+        assert p.tolist() == [0] and i.tolist() == [0]
+
+    def test_result_deterministic_order(self):
+        rng = np.random.RandomState(5)
+        rects = np.tile(np.array([[0.0, 0.0, 10.0, 10.0]]), (20, 1))
+        t = rtree.STRtree(rects)
+        p, i = t.query_points(np.array([5.0]), np.array([5.0]))
+        assert i.tolist() == sorted(i.tolist())
+        assert len(i) == 20
+
+
+class TestDistance:
+    def test_haversine_known(self):
+        # 1 degree of latitude ~ 111.195 km on the sphere
+        assert abs(distance.haversine_m(0, 0, 0, 1) - 111195) < 200
+
+    def test_knn_vs_bruteforce(self):
+        rng = np.random.RandomState(6)
+        qlon = rng.uniform(-10, 10, 50)
+        qlat = rng.uniform(-10, 10, 50)
+        plon = rng.uniform(-10, 10, 200)
+        plat = rng.uniform(-10, 10, 200)
+        idx, d = distance.knn_brute(qlon, qlat, plon, plat, k=3)
+        full = distance.haversine_m(qlon[:, None], qlat[:, None], plon[None, :], plat[None, :])
+        exp = np.argsort(full, axis=1, kind="stable")[:, :3]
+        assert np.array_equal(idx, exp)
+
+
+class TestCRS:
+    def test_wgs84_to_lv03_golden(self):
+        # Reference test expects LV95 (2600968.75, 1197427.0) for the
+        # Seftigenstrasse point (geoadmin.rs:517-536); the polynomial is
+        # approximate -> within 2 m.
+        e, n = crs.wgs84_to_lv03(7.451352119445801, 46.92793655395508)
+        e95, n95 = crs.lv03_to_lv95(e, n)
+        assert abs(float(e95) - 2600968.75) < 2.0
+        assert abs(float(n95) - 1197427.0) < 2.0
+
+    def test_bern_origin(self):
+        # Bern old observatory is the LV03 projection center (600000, 200000)
+        e, n = crs.wgs84_to_lv03(7.438632, 46.951083)
+        assert abs(float(e) - 600000) < 150
+        assert abs(float(n) - 200000) < 150
+
+    def test_project_points_axis_convention(self):
+        e, n = crs.project_points(np.array([7.451352119445801]), np.array([46.92793655395508]), "2056")
+        assert e[0] > 2_000_000 and n[0] > 1_000_000
+        lon, lat = crs.project_points(np.array([7.0]), np.array([46.0]), "4326")
+        assert lon[0] == 7.0 and lat[0] == 46.0
+        with pytest.raises(ValueError):
+            crs.project_points(np.array([0.0]), np.array([0.0]), "9999")
