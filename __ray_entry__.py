@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library code these callables use) calls
+``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship reverse-geocode pipeline over sf0.001.
+* ``queries()`` — one entry per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data extensions).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query (same column names; order-insensitive compare).
 """
 
 from __future__ import annotations
@@ -18,27 +16,57 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from geocoding_ray.pipelines import oracle_queries as oq
+from geocoding_ray.pipelines import text_queries as tq
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthetic EXIF-bearing
+    points through the real broadcast PIP reverse join."""
+    return oq.q_reverse_pip("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- geocoding core (SURVEY.md §2.1) ---
+        "reverse_pip": oq.q_reverse_pip,          # O1/O3/O9: point -> deepest admin polygon
+        "reverse_knn": oq.q_reverse_knn,          # O12: tolerance kNN fallback
+        "forward_nation": oq.q_forward_nation,    # O2/O5/O7: text -> gazetteer match
+        "forward_bbox": oq.q_forward_bbox,        # O6/O8: bbox-restricted forward
+        "forward_topk": oq.q_forward_topk,        # O11: grouped top-k / limit / forward_full explode
+        "wgs84_to_lv03": oq.q_lv03,               # S1: CRS polynomial
+        "exif_roundtrip": oq.q_exif_roundtrip,    # input-contract: GPS-in-payload extract
+        "image_stats": oq.q_image_stats,          # multimodal decode stage (real TIFF)
+        # --- training-data ops ---
+        "dedup_exact": tq.q_dedup_exact,
+        "token_count": tq.q_token_count,
+        "quality_score": tq.q_quality,
+        "lang_id": tq.q_lang_id,
+        "fingerprint": tq.q_fingerprint,
+        "ann_topk": tq.q_ann_topk,
+        "embed_dup": tq.q_embed_dup,
+        # --- rows-only (not SQL-expressible) ---
+        "minhash_pairs": tq.q_minhash_pairs,
+        "simhash": tq.q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "reverse_pip": oq.SQL_REVERSE_PIP,
+        "reverse_knn": oq.SQL_REVERSE_KNN,
+        "forward_nation": oq.SQL_FORWARD_NATION,
+        "forward_bbox": oq.SQL_FORWARD_BBOX,
+        "forward_topk": oq.SQL_FORWARD_TOPK,
+        "wgs84_to_lv03": oq.SQL_LV03,
+        "exif_roundtrip": oq.SQL_EXIF_ROUNDTRIP,
+        "image_stats": oq.SQL_IMAGE_STATS,
+        "dedup_exact": tq.SQL_DEDUP_EXACT,
+        "token_count": tq.SQL_TOKEN_COUNT,
+        "quality_score": tq.SQL_QUALITY,
+        "lang_id": tq.SQL_LANG_ID,
+        "fingerprint": tq.SQL_FINGERPRINT,
+        "ann_topk": tq.SQL_ANN_TOPK,
+        "embed_dup": tq.SQL_EMBED_DUP,
+        # minhash_pairs / simhash: rows-only by design
+    }

@@ -1,0 +1,577 @@
+"""Driver-contract queries: each pipeline paired with an ANSI-SQL oracle.
+
+Inputs are the driver's TPC-H-ish tables (TESTDATA.md).  Geocoding
+queries synthesize their points / gazetteers *deterministically from
+those tables with pure-integer arithmetic*, so the DuckDB oracle can
+reproduce them bit-exactly (int ops, then one float64 expression in the
+same evaluation order).  The Ray side always runs the REAL engine stages
+(ReverseJoiner PIP join, ForwardJoiner, TIFF encode/decode, text
+kernels) — the SQL recomputes the expected answer independently.
+
+Float-equality rules used throughout (SURVEY.md §7 hard part 2):
+
+* coordinates derive from ``(int_expr) / const`` — one IEEE division;
+* the LV03 polynomial uses explicit left-associated multiplies, no
+  ``pow()`` (state/crs.py);
+* similarity ranks round to 6 decimals before ordering, ties broken by
+  integer ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import ForwardConfig, ReverseConfig
+from ..sources.schemas import ADMIN_SCHEMA, COMPONENT_FIELDS, COMPONENT_LANG_FIELDS, GAZETTEER_SCHEMA
+from ..state import crs
+
+# ---------------------------------------------------------------------------
+# Shared synthetic-world constants (mirrored literally in the SQL)
+# ---------------------------------------------------------------------------
+
+# Rectangular admin world for the oracle-gated reverse query.  The engine
+# runs its real polygon machinery on these (rect rings through the STR
+# tree + ray-crossing PIP); the oracle expresses containment as range
+# predicates.  (admin_id, name, level, level_rank, minx, miny, maxx, maxy)
+RECT_WORLD = [
+    (1, "Aland", "country", 1, -180.0, -90.0, -60.0, 0.0),
+    (2, "Aland State 1", "state", 2, -170.0, -80.0, -100.0, -10.0),
+    (3, "Aland City 1", "city", 4, -160.0, -70.0, -120.0, -30.0),
+    (4, "Bland", "country", 1, -60.0, -90.0, 60.0, 20.0),
+    (5, "Bland State 1", "state", 2, -50.0, -80.0, 40.0, 10.0),
+    (6, "Bland City 1", "city", 4, -40.0, -60.0, 20.0, 0.0),
+    (7, "Cland", "country", 1, 60.0, 0.0, 180.0, 90.0),
+    (8, "Cland State 1", "state", 2, 70.0, 10.0, 170.0, 80.0),
+    (9, "Cland City 1", "city", 4, 80.0, 20.0, 160.0, 70.0),
+    (10, "Cland Suburb 1", "suburb", 5, 90.0, 30.0, 150.0, 60.0),
+]
+
+# kNN place set for the oracle-gated reverse_knn query.
+KNN_PLACES = [(p, -95.0 + ((p * 37) % 1000) / 100.0, -45.0 + ((p * 53) % 1000) / 100.0) for p in range(1, 21)]
+# degrees^2, planar metric.  Chosen strictly between two values of the
+# 1e-4 dsq grid so FMA-level float noise (DuckDB may fuse x*x+y*y) can
+# never flip the tolerance predicate.
+KNN_TOLERANCE_SQ = 4.00005
+
+
+def _rect_admin_table() -> pa.Table:
+    rows = []
+    for admin_id, name, level, level_rank, minx, miny, maxx, maxy in RECT_WORLD:
+        row = {
+            "admin_id": admin_id,
+            "name": name,
+            "level": level,
+            "level_rank": level_rank,
+            "rings": [[[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]],
+            "minx": minx,
+            "miny": miny,
+            "maxx": maxx,
+            "maxy": maxy,
+            "area": (maxx - minx) * (maxy - miny),
+            "formatted": name,
+        }
+        for f in COMPONENT_FIELDS + COMPONENT_LANG_FIELDS:
+            row[f] = None
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=ADMIN_SCHEMA)
+
+
+def _rect_world_values_sql() -> str:
+    vals = ",\n    ".join(
+        f"({a}, {lr}, {(maxx - minx) * (maxy - miny)!r}, {minx!r}, {miny!r}, {maxx!r}, {maxy!r}, '{name}')"
+        for a, name, _lvl, lr, minx, miny, maxx, maxy in RECT_WORLD
+    )
+    return f"admin(admin_id, level_rank, area, minx, miny, maxx, maxy, formatted) AS (VALUES\n    {vals})"
+
+
+def _knn_places_values_sql() -> str:
+    vals = ",\n    ".join(f"({p}, {lon!r}, {lat!r})" for p, lon, lat in KNN_PLACES)
+    return f"places(place_id, plon, plat) AS (VALUES\n    {vals})"
+
+
+# point-synthesis formulas (int arithmetic; mirrored in SQL literally)
+def _pip_lonlat(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005
+    lat = ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005
+    return lon, lat
+
+
+def _knn_lonlat(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = -96.0 + ((event_id * 69621) % 1200) / 100.0
+    lat = -46.0 + ((event_id * 69427) % 1200) / 100.0
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Queries (each returns a lazy ray.data.Dataset)
+# ---------------------------------------------------------------------------
+
+
+def q_reverse_pip(sf_dir: str):
+    """O1/O3 semantics through the real broadcast PIP join, rect world."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.reverse import AdminIndex, ReverseJoiner
+
+    index_ref = ray.put(AdminIndex(_rect_admin_table(), None))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ReverseJoiner,
+        fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "admin_id": batch.column("admin_id").cast(pa.int64()),
+                "formatted": batch.column("formatted"),
+                "match_kind": batch.column("match_kind"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_REVERSE_PIP = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+{_rect_world_values_sql()},
+hits AS (
+  SELECT p.event_id, a.admin_id, a.formatted,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY a.level_rank DESC, a.area ASC, a.admin_id ASC) AS rn
+  FROM pts p JOIN admin a
+    ON p.lon > a.minx AND p.lon < a.maxx AND p.lat > a.miny AND p.lat < a.maxy)
+SELECT p.event_id,
+       COALESCE(h.admin_id, 0) AS admin_id,
+       h.formatted AS formatted,
+       CASE WHEN h.admin_id IS NOT NULL THEN 'pip' ELSE 'miss' END AS match_kind
+FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
+"""
+
+
+def q_reverse_knn(sf_dir: str):
+    """O12 semantics (tolerance kNN), planar metric for oracle exactness."""
+    import ray.data as rd
+
+    pid = np.array([p for p, _, _ in KNN_PLACES], dtype=np.int64)
+    plon = np.array([lon for _, lon, _ in KNN_PLACES])
+    plat = np.array([lat for _, _, lat in KNN_PLACES])
+
+    def knn(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _knn_lonlat(eid)
+        dx = lon[:, None] - plon[None, :]
+        dy = lat[:, None] - plat[None, :]
+        dsq = dx * dx + dy * dy
+        best = np.argmin(dsq, axis=1)  # first min -> lowest place_id (sorted)
+        bd = dsq[np.arange(len(eid)), best]
+        hit = bd <= KNN_TOLERANCE_SQ
+        place = np.where(hit, pid[best], 0)
+        # dsq itself is NOT emitted: DuckDB may fuse x*x+y*y (FMA) giving
+        # last-ulp differences; the selected place is grid-robust.
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "place_id": pa.array(place, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(knn, batch_format="pyarrow")
+
+
+SQL_REVERSE_KNN = f"""
+WITH pts AS (
+  SELECT event_id,
+         -96.0 + ((event_id * 69621) % 1200) / 100.0 AS lon,
+         -46.0 + ((event_id * 69427) % 1200) / 100.0 AS lat
+  FROM events),
+{_knn_places_values_sql()},
+scored AS (
+  SELECT p.event_id, pl.place_id,
+         (p.lon - pl.plon) * (p.lon - pl.plon) + (p.lat - pl.plat) * (p.lat - pl.plat) AS dsq,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY (p.lon - pl.plon) * (p.lon - pl.plon) + (p.lat - pl.plat) * (p.lat - pl.plat) ASC,
+                                     pl.place_id ASC) AS rn
+  FROM pts p CROSS JOIN places pl)
+SELECT p.event_id,
+       COALESCE(CASE WHEN s.dsq <= {KNN_TOLERANCE_SQ!r} THEN s.place_id END, 0) AS place_id
+FROM pts p LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s USING (event_id)
+"""
+
+
+def _nation_gazetteer(sf_dir: str) -> pa.Table:
+    from ..functions.normalize import normalize_text
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    k = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    names = nat.column("n_name").to_pylist()
+    glon = ((k * 7919) % 3600) / 10.0 - 180.0 + 0.05
+    glat = ((k * 104729) % 1800) / 10.0 - 90.0 + 0.05
+    rows = [
+        {
+            "place_id": int(k[i]),
+            "name": names[i],
+            "detail": normalize_text(names[i]),
+            "alt_names": [names[i]],
+            "lon": float(glon[i]),
+            "lat": float(glat[i]),
+            "origin": "gazetteer",
+            "rank": 1,
+            "weight": 0,
+            "importance": float(k[i]),
+            "confidence": 9,
+            "cell_id": 0,
+            "label": names[i],
+            "house_number": None,
+            "strname_deinr": None,
+            "dplz4": None,
+            "dplzname": None,
+        }
+        for i in range(len(k))
+    ]
+    return pa.Table.from_pylist(rows, schema=GAZETTEER_SCHEMA)
+
+
+def q_forward_nation(sf_dir: str):
+    """O2/O7 semantics: caption text -> gazetteer match via the real
+    ForwardJoiner (caption mode: OOV noise tokens dropped)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.forward import ForwardJoiner, GazetteerIndex
+
+    index_ref = ray.put(GazetteerIndex(_nation_gazetteer(sf_dir)))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    key2name = {
+        int(k): n
+        for k, n in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+
+    def mk_query(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "query_id": batch.column("c_custkey").cast(pa.int64()),
+                "caption": pa.array([f"photo near {key2name[int(x)]}" for x in nk], type=pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ds = ds.map_batches(mk_query, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ForwardJoiner,
+        fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True)),
+        fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+    return ds.select_columns(["query_id", "top_name", "top_lon", "top_lat"])
+
+
+SQL_FORWARD_NATION = """
+WITH gaz AS (
+  SELECT n_nationkey, n_name AS gname,
+         ((n_nationkey * 7919) % 3600) / 10.0 - 180.0 + 0.05 AS glon,
+         ((n_nationkey * 104729) % 1800) / 10.0 - 90.0 + 0.05 AS glat
+  FROM nation)
+SELECT c.c_custkey AS query_id, g.gname AS top_name, g.glon AS top_lon, g.glat AS top_lat
+FROM customer c JOIN gaz g ON g.n_nationkey = c.c_nationkey
+"""
+
+FWD_BBOX = (-50.0, -90.0, 100.0, 90.0)
+
+
+def q_forward_bbox(sf_dir: str):
+    """O6/O8 bbox restriction pushed into the candidate filter."""
+    import ray
+    import ray.data as rd
+
+    from ..config import InputBounds
+    from ..stages.forward import ForwardJoiner, GazetteerIndex
+
+    index_ref = ray.put(GazetteerIndex(_nation_gazetteer(sf_dir)))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    key2name = {
+        int(k): n
+        for k, n in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+
+    def mk_query(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "query_id": batch.column("c_custkey").cast(pa.int64()),
+                "caption": pa.array([f"photo near {key2name[int(x)]}" for x in nk], type=pa.string()),
+            }
+        )
+
+    bb = InputBounds(*FWD_BBOX)
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ds = ds.map_batches(mk_query, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ForwardJoiner,
+        fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True, bbox=bb)),
+        fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("n_candidates"), 0)).select(
+            ["query_id", "top_name", "top_lon", "top_lat"]
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_FORWARD_BBOX = f"""
+WITH gaz AS (
+  SELECT n_nationkey, n_name AS gname,
+         ((n_nationkey * 7919) % 3600) / 10.0 - 180.0 + 0.05 AS glon,
+         ((n_nationkey * 104729) % 1800) / 10.0 - 90.0 + 0.05 AS glat
+  FROM nation)
+SELECT c.c_custkey AS query_id, g.gname AS top_name, g.glon AS top_lon, g.glat AS top_lat
+FROM customer c JOIN gaz g ON g.n_nationkey = c.c_nationkey
+WHERE g.glon >= {FWD_BBOX[0]!r} AND g.glon <= {FWD_BBOX[2]!r}
+  AND g.glat >= {FWD_BBOX[1]!r} AND g.glat <= {FWD_BBOX[3]!r}
+"""
+
+
+def _supplier_gazetteer(sf_dir: str) -> pa.Table:
+    from ..functions.normalize import normalize_text
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    key2name = {
+        int(k): n
+        for k, n in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = sup.column("s_nationkey").to_pylist()
+    lon = ((sk * 48271) % 36000) / 100.0 - 180.0 + 0.005
+    lat = ((sk * 16807) % 18000) / 100.0 - 90.0 + 0.005
+    imp = ((sk * 2654435761) % 1000000) / 1000000.0
+    rows = [
+        {
+            "place_id": int(sk[i]),
+            "name": key2name[int(nk[i])],
+            "detail": normalize_text(key2name[int(nk[i])]),
+            "alt_names": [],
+            "lon": float(lon[i]),
+            "lat": float(lat[i]),
+            "origin": "address",
+            "rank": 1,
+            "weight": 0,
+            "importance": float(imp[i]),
+            "confidence": 9,
+            "cell_id": 0,
+            "label": key2name[int(nk[i])],
+            "house_number": None,
+            "strname_deinr": None,
+            "dplz4": None,
+            "dplzname": None,
+        }
+        for i in range(len(sk))
+    ]
+    return pa.Table.from_pylist(rows, schema=GAZETTEER_SCHEMA)
+
+
+def q_forward_topk(sf_dir: str):
+    """O11 semantics: per-query grouped top-k over many candidates
+    (ranked importance desc, place_id asc, limit 5), exploded rows."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.forward import ForwardJoiner, GazetteerIndex
+
+    index_ref = ray.put(GazetteerIndex(_supplier_gazetteer(sf_dir)))
+
+    def mk_query(batch: pa.Table) -> pa.Table:
+        # bare name, strict address-mode matching (ignore_oov would let a
+        # partially-unknown name degrade to its known tokens and
+        # over-match — O2's address semantics are all-tokens-strict)
+        return pa.table(
+            {
+                "query_id": batch.column("n_nationkey").cast(pa.int64()),
+                "caption": batch.column("n_name"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ds = ds.map_batches(mk_query, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ForwardJoiner,
+        fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=False, limit=5)),
+        fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id", "explode": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+    return ds.select_columns(["query_id", "rk", "place_id", "lon", "lat", "importance"])
+
+
+SQL_FORWARD_TOPK = """
+WITH gaz AS (
+  SELECT s_suppkey AS place_id, s_nationkey,
+         ((s_suppkey * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((s_suppkey * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((s_suppkey * 2654435761) % 1000000) / 1000000.0 AS importance
+  FROM supplier),
+ranked AS (
+  SELECT n.n_nationkey AS query_id, g.place_id, g.lon, g.lat, g.importance,
+         row_number() OVER (PARTITION BY n.n_nationkey
+                            ORDER BY g.importance DESC, g.place_id ASC) AS rk
+  FROM nation n JOIN gaz g ON g.s_nationkey = n.n_nationkey)
+SELECT query_id, rk, place_id, lon, lat, importance FROM ranked WHERE rk <= 5
+"""
+
+
+def q_lv03(sf_dir: str):
+    """S1: the swisstopo WGS84->LV03 polynomial, vectorized (geoadmin.rs:311-328)."""
+    import ray.data as rd
+
+    def xform(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon = 6.0 + (eid % 400) / 100.0
+        lat = 45.8 + (eid % 190) / 100.0
+        e, n = crs.wgs84_to_lv03(lon, lat)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "lv03_e": pa.array(e, type=pa.float64()),
+                "lv03_n": pa.array(n, type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(xform, batch_format="pyarrow")
+
+
+# NB: this SQL mirrors state/crs.py wgs84_to_lv03 token-for-token — same
+# literals, same association order, no pow() — for bit equality.
+SQL_LV03 = """
+WITH pts AS (
+  SELECT event_id,
+         6.0 + (event_id % 400) / 100.0 AS lon,
+         45.8 + (event_id % 190) / 100.0 AS lat
+  FROM events),
+lp AS (
+  SELECT event_id,
+         (lon * 3600.0 - 26782.5) / 10000.0 AS lam,
+         (lat * 3600.0 - 169028.66) / 10000.0 AS phi
+  FROM pts)
+SELECT event_id,
+       2600072.37 + 211455.93 * lam - 10938.51 * lam * phi
+         - 0.36 * lam * (phi * phi) - 44.54 * (lam * lam * lam) - 2000000.0 AS lv03_e,
+       1200147.07 + 308807.95 * phi + 3745.25 * (lam * lam) + 76.63 * (phi * phi)
+         - 194.56 * (lam * lam) * phi + 119.79 * (phi * phi * phi) - 1000000.0 AS lv03_n
+FROM lp
+"""
+
+
+class _TiffRoundtrip:
+    """Actor stage: synthesize a real TIFF per row (GPS from integer
+    arithmetic on event_id), then parse it back — exercising the
+    encode -> EXIF-extract path end-to-end inside Ray."""
+
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        self._pix = np.zeros((2, 2, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat_e7 = (eid * 2654435761) % 1800000000 - 900000000
+        lon_e7 = (eid * 1103515245) % 3600000000 - 1800000000
+        bufs = [self.tiff.encode_tiff(self._pix, int(a), int(o)) for a, o in zip(lat_e7, lon_e7)]
+        lon, lat, ok = self.tiff.parse_gps_batch(bufs)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "lon": pa.array(lon, type=pa.float64()),
+                "lat": pa.array(lat, type=pa.float64()),
+                "has_gps": pa.array(ok),
+            }
+        )
+
+
+def q_exif_roundtrip(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(_TiffRoundtrip, batch_format="pyarrow", concurrency=4, num_cpus=1)
+
+
+SQL_EXIF_ROUNDTRIP = """
+SELECT event_id,
+       CAST((event_id * 1103515245) % 3600000000 - 1800000000 AS DOUBLE) / 10000000.0 AS lon,
+       CAST((event_id * 2654435761) % 1800000000 - 900000000 AS DOUBLE) / 10000000.0 AS lat,
+       TRUE AS has_gps
+FROM events
+"""
+
+
+class _ImageStats:
+    """Actor stage: synthesize a TIFF with constant pixel value
+    (event_id % 256), run the real ImageDecode, emit channel means."""
+
+    def __init__(self):
+        from ..sources import tiff
+        from ..stages.image_ops import ImageDecode
+
+        self.tiff = tiff
+        self.decode = ImageDecode(fake_missing=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (eid % 256).astype(np.uint8)
+        bufs = [self.tiff.encode_tiff(np.full((4, 4, 3), v, dtype=np.uint8), 0, 0) for v in vals]
+        dec_in = pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "bytes": pa.array(bufs, type=pa.binary()),
+                "fmt": pa.array(["tiff"] * len(bufs), type=pa.string()),
+            }
+        )
+        out = self.decode(dec_in)
+        return out.select(["event_id", "decode_ok", "mean_r", "mean_g", "mean_b"])
+
+
+def q_image_stats(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(_ImageStats, batch_format="pyarrow", concurrency=4, num_cpus=1)
+
+
+SQL_IMAGE_STATS = """
+SELECT event_id, TRUE AS decode_ok,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST(event_id % 256 AS DOUBLE) AS mean_g,
+       CAST(event_id % 256 AS DOUBLE) AS mean_b
+FROM events
+"""

@@ -1,0 +1,269 @@
+"""Driver-contract queries over documents/embeddings: training-data ops
+(dedup, text analysis, fingerprints, similarity search) with DuckDB
+oracles where SQL can express them (others are rows-only checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.text import LANG_MARKERS, LANG_PRIORITY, STOPWORDS, fingerprint_md5, lang_id, quality_score, token_count
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition groupby on a content hash computed in a
+    vectorized map_batches, native Min/Count aggregates (the shuffle moves
+    only (hash, id) pairs — ray guide 'Aggregation at scale')."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup import add_md5
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_md5, batch_format="pyarrow")
+    ds = ds.select_columns(["text_md5", "doc_id"])
+    return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------------------
+# token count / quality / lang id / fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(quality_score, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "n_punct", "n_stop", "stop_ratio", "quality"])
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+SQL_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ({_SW}))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens, n_punct, n_stop,
+       n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+       (n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5
+         + (1.0 - n_punct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5 AS quality
+FROM t
+"""
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(lang_id, batch_format="pyarrow")
+    return ds.select_columns(["doc_id"] + [f"score_{lg}" for lg in LANG_PRIORITY] + ["pred_lang"])
+
+
+def _lang_score_sql(lg: str) -> str:
+    vocab = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+    return rf"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ({vocab}))) AS score_{lg}"
+
+
+SQL_LANG_ID = rf"""
+WITH s AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')},
+         {_lang_score_sql('de')},
+         {_lang_score_sql('fr')},
+         {_lang_score_sql('es')},
+         {_lang_score_sql('zh')}
+  FROM documents)
+SELECT doc_id, score_en, score_de, score_fr, score_es, score_zh,
+       CASE
+         WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en >= score_zh THEN 'en'
+         WHEN score_de >= score_fr AND score_de >= score_es AND score_de >= score_zh THEN 'de'
+         WHEN score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+         WHEN score_es >= score_zh THEN 'es'
+         ELSE 'zh'
+       END AS pred_lang
+FROM s
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_md5, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+ANN_NQ = 16  # vec_id < ANN_NQ are the query vectors
+ANN_K = 5
+
+
+def _load_queries(sf_dir: str):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    mask = pc.less(tbl.column("vec_id"), ANN_NQ)
+    qt = tbl.filter(mask)
+    from ..stages.ann import embeddings_to_matrix
+
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qmat = embeddings_to_matrix(qt)
+    order = np.argsort(qids, kind="stable")
+    return qids[order], qmat[order]
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: query matrix broadcast once, database
+    streams through map_batches emitting partial top-k, final small
+    groupby merge."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import BruteForceTopK, final_topk
+
+    qref = ray.put(_load_queries(sf_dir))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(qref,),
+        fn_constructor_kwargs={"k": ANN_K},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+    ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
+    # raw sim is dropped from the compared output: DuckDB computes
+    # list_cosine_similarity at a different precision; the *selection*
+    # (nid, rk) is rounding-robust and is what the oracle gates.
+    return ds.select_columns(["qid", "nid", "rk"])
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.qid),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+  FROM pairs)
+SELECT qid, nid, rk FROM ranked WHERE rk <= {ANN_K}
+"""
+
+EMB_DUP_THRESHOLD = 0.35
+
+
+def q_embed_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sim >= threshold, a < b)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import _normalize_rows, embeddings_to_matrix
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat_all = _normalize_rows(embeddings_to_matrix(tbl))
+    ref = ray.put((ids_all, mat_all))
+
+    class PairFinder:
+        def __init__(self, db_ref):
+            import ray as _ray
+
+            self.ids, self.mat = _ray.get(db_ref) if not isinstance(db_ref, tuple) else db_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            bmat = _normalize_rows(embeddings_to_matrix(batch))
+            sims = np.round(bmat @ self.mat.T, 6)
+            ai, bi = np.nonzero((sims >= EMB_DUP_THRESHOLD) & (bids[:, None] < self.ids[None, :]))
+            # sim not emitted (precision differs across engines; the
+            # thresholded pair set is the gated result)
+            return pa.table(
+                {
+                    "a": pa.array(bids[ai], type=pa.int64()),
+                    "b": pa.array(self.ids[bi], type=pa.int64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        PairFinder, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=4, num_cpus=1
+    )
+
+
+SQL_EMBED_DUP = f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {EMB_DUP_THRESHOLD}
+"""
+
+# ---------------------------------------------------------------------------
+# near-dup detection (rows-only checks — not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pipeline: signature -> band explode ->
+    groupby(band,hash) buckets -> candidate pairs -> exact-Jaccard verify."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import JaccardVerify, MinHashStage, bucket_candidate_pairs
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=4, num_cpus=1)
+    ds = ds.groupby(["band", "band_hash"]).map_groups(bucket_candidate_pairs, batch_format="pyarrow")
+    # dedup pairs surfaced by multiple bands before the (costlier) verify
+    ds = ds.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    ds = ds.map_batches(
+        JaccardVerify, fn_constructor_args=(texts_ref, 0.8), batch_format="pyarrow", concurrency=2, num_cpus=1
+    )
+    return ds
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints + band keys (rows-only; hash family is
+    engine-defined, not SQL-expressible)."""
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "simhash", "sim_band0", "sim_band1", "sim_band2", "sim_band3"])

@@ -103,13 +103,24 @@ class ForwardJoiner:
     columns for downstream projection / oracle comparison.
     """
 
-    def __init__(self, index_ref, config: ForwardConfig = ForwardConfig(), query_col: str = "caption", id_col: str = "image_id"):
+    def __init__(
+        self,
+        index_ref,
+        config: ForwardConfig = ForwardConfig(),
+        query_col: str = "caption",
+        id_col: str = "image_id",
+        explode: bool = False,
+    ):
         import ray
 
         self.index: GazetteerIndex = ray.get(index_ref) if not isinstance(index_ref, GazetteerIndex) else index_ref
         self.config = config
         self.query_col = query_col
         self.id_col = id_col
+        # explode=True emits one row per candidate with rank position —
+        # the ``forward_full`` projection (opencage.rs:284-328,
+        # geoadmin.rs:158-202) flattened for columnar consumers.
+        self.explode = explode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
@@ -129,6 +140,7 @@ class ForwardJoiner:
         bbox = cfg.bbox
         origins = set(cfg.origins) if cfg.origins else None
         limit = cfg.limit
+        ex_rows: list[tuple] = []  # explode mode: (i, rk, place array idx)
 
         for i, q in enumerate(queries):
             cand = idx.match(q, ignore_oov=cfg.ignore_oov) if q else np.zeros(0, dtype=np.int64)
@@ -160,10 +172,33 @@ class ForwardJoiner:
             top_place[i] = idx.place_id[cand[0]]
             top_lon[i] = px[0]
             top_lat[i] = py[0]
+            if self.explode:
+                for rk, c in enumerate(cand, start=1):
+                    ex_rows.append((i, rk, int(c)))
+
+        id_arr = batch.column(self.id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+
+        if self.explode:
+            qi = np.array([r[0] for r in ex_rows], dtype=np.int64)
+            rks = np.array([r[1] for r in ex_rows], dtype=np.int64)
+            ci = np.array([r[2] for r in ex_rows], dtype=np.int64)
+            return pa.table(
+                {
+                    "query_id": id_arr.take(pa.array(qi)) if len(qi) else id_arr.slice(0, 0),
+                    "rk": pa.array(rks, type=pa.int64()),
+                    "place_id": pa.array(idx.place_id[ci] if len(ci) else np.zeros(0, np.uint64), type=pa.uint64()).cast(pa.int64()),
+                    "name": pa.array(idx.name[ci].tolist() if len(ci) else [], type=pa.string()),
+                    "lon": pa.array(idx.lon[ci] if len(ci) else np.zeros(0), type=pa.float64()),
+                    "lat": pa.array(idx.lat[ci] if len(ci) else np.zeros(0), type=pa.float64()),
+                    "importance": pa.array(idx.importance[ci] if len(ci) else np.zeros(0), type=pa.float64()),
+                }
+            )
 
         out = pa.table(
             {
-                "query_id": pa.array(ids, type=pa.string()),
+                "query_id": id_arr,
                 "query": pa.array(queries, type=pa.string()),
                 "points": pa.array(out_points, type=pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())]))),
                 "n_candidates": pa.array(out_n, type=pa.int32()),

@@ -1,0 +1,148 @@
+"""Multimodal (image/audio/video) batch stages.
+
+Payloads are opaque ``binary`` columns with typed metadata (w, h, fmt)
+per the input contract.  The Ray-side plumbing — schemas, actor pools,
+batch sizing for wide binary rows — is real and tested; codecs for
+formats whose libraries are absent in this sandbox (JPEG/PNG/audio/video)
+are STUBBED behind ``NotImplementedError`` or a deterministic fake, as
+the build brief requires.  The engine's own uncompressed TIFF decodes
+for real (sources/tiff.py).
+
+Memory note (SURVEY.md §4.2): stages that touch pixels use a small
+``batch_size`` (bytes dominate block size); downstream columns drop the
+payload so shuffles never move pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.tiff import parse_pixels
+
+
+class ImageDecode:
+    """Actor stage: bytes -> decoded pixel stats (mean RGB, phash check).
+
+    Decodes the engine's TIFF; any other ``fmt`` raises
+    ``NotImplementedError`` unless ``fake_missing`` is set, in which case
+    a deterministic fake (hash-derived stats) stands in for the decoder.
+    """
+
+    def __init__(self, fake_missing: bool = True):
+        self.fake_missing = fake_missing
+
+    def _decode(self, buf: bytes, fmt: str) -> np.ndarray | None:
+        if fmt == "tiff":
+            try:
+                return parse_pixels(buf)
+            except Exception:
+                return None
+        if self.fake_missing:
+            # STUB: no JPEG/PNG codec in this sandbox — deterministic fake
+            h = hashlib.blake2b(buf, digest_size=3).digest()
+            return np.full((1, 1, 3), np.frombuffer(h, dtype=np.uint8).reshape(1, 1, 3))
+        raise NotImplementedError(f"no codec for fmt={fmt!r} in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        n = len(bufs)
+        mean_r = np.full(n, np.nan)
+        mean_g = np.full(n, np.nan)
+        mean_b = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        phash = np.zeros(n, dtype=np.int64)
+        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
+            pix = self._decode(buf, fmt)
+            if pix is None:
+                continue
+            ok[i] = True
+            mean_r[i] = float(pix[:, :, 0].mean())
+            mean_g[i] = float(pix[:, :, 1].mean())
+            mean_b[i] = float(pix[:, :, 2].mean())
+            phash[i] = np.int64(
+                np.uint64(int.from_bytes(hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little"))
+            )
+        out = batch.drop_columns(["bytes"])  # pixels stop here
+        out = out.append_column("decode_ok", pa.array(ok))
+        out = out.append_column("mean_r", pa.array(mean_r, type=pa.float64()))
+        out = out.append_column("mean_g", pa.array(mean_g, type=pa.float64()))
+        out = out.append_column("mean_b", pa.array(mean_b, type=pa.float64()))
+        out = out.append_column("pixel_hash", pa.array(phash, type=pa.int64()))
+        return out
+
+
+class ImageResize:
+    """Actor stage: nearest-neighbor resize to (target_w, target_h).
+
+    Real for TIFF payloads (pure numpy index sampling); emits resized
+    payloads re-encoded as raw RGB bytes + new dims.
+    """
+
+    def __init__(self, target_w: int = 8, target_h: int = 8):
+        self.tw = target_w
+        self.th = target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch.column("bytes").to_pylist()
+        out_bytes = []
+        for buf in bufs:
+            try:
+                pix = parse_pixels(buf)
+            except Exception:
+                out_bytes.append(None)
+                continue
+            h, w = pix.shape[:2]
+            yi = (np.arange(self.th) * h // self.th).clip(0, h - 1)
+            xi = (np.arange(self.tw) * w // self.tw).clip(0, w - 1)
+            out_bytes.append(pix[yi][:, xi].tobytes())
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column("resized_rgb", pa.array(out_bytes, type=pa.binary()))
+        out = out.append_column("rw", pa.array(np.full(len(bufs), self.tw, dtype=np.int32), type=pa.int32()))
+        out = out.append_column("rh", pa.array(np.full(len(bufs), self.th, dtype=np.int32), type=pa.int32()))
+        return out
+
+
+class AudioFeatureStub:
+    """Audio feature extraction — STUB (no audio libs in this sandbox).
+
+    Keeps the actor-pool signature and output schema real: emits a
+    fixed-size float32 feature vector per payload, deterministically
+    derived from the payload hash, or raises when ``strict``.
+    """
+
+    def __init__(self, n_features: int = 16, strict: bool = False):
+        self.n_features = n_features
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("audio decode unavailable in this environment")
+        bufs = batch.column("bytes").to_pylist()
+        feats = []
+        for buf in bufs:
+            h = hashlib.blake2b(buf or b"", digest_size=self.n_features * 4).digest()
+            feats.append(np.frombuffer(h, dtype=np.uint32).astype(np.float32) / np.float32(2**32))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column(
+            "features", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32(), self.n_features))
+        )
+        return out
+
+
+class FrameSampleStub:
+    """Video frame sampling — STUB: emits deterministic frame indices for
+    a given fps/duration metadata, no real decode."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames = batch.column("n_frames").to_numpy(zero_copy_only=False) if "n_frames" in batch.column_names else np.full(batch.num_rows, 0)
+        idx = [list(range(0, int(nf), self.every_n)) for nf in n_frames]
+        return batch.append_column("frame_indices", pa.array(idx, type=pa.list_(pa.int32())))

@@ -249,7 +249,9 @@ class ReverseJoiner:
             else:
                 formatted[knn_rows] = idx.place_label[p]
 
-        keep = [c for c in ("image_id", "caption", "phash", "cell_id") if c in batch.column_names]
+        # pass through every input column (ids, captions, cell ids, ...);
+        # lon/lat re-appended so they sit next to the join outputs
+        keep = [c for c in batch.column_names if c not in ("lon", "lat")]
         out = batch.select(keep)
         out = out.append_column("lon", batch.column("lon"))
         out = out.append_column("lat", batch.column("lat"))

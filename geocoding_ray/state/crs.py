@@ -26,22 +26,25 @@ def wgs84_to_lv03(lon, lat) -> tuple[np.ndarray, np.ndarray]:
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
+    # Explicit left-associated multiplies (no pow()) so the expression is
+    # bit-reproducible across numpy and SQL engines evaluating the same
+    # source order — required by the DuckDB correctness oracle.
     lam = (lon * 3600.0 - 26782.5) / 10000.0
     phi = (lat * 3600.0 - 169028.66) / 10000.0
     x = (
         2600072.37
         + 211455.93 * lam
         - 10938.51 * lam * phi
-        - 0.36 * lam * phi**2
-        - 44.54 * lam**3
+        - 0.36 * lam * (phi * phi)
+        - 44.54 * (lam * lam * lam)
     )
     y = (
         1200147.07
         + 308807.95 * phi
-        + 3745.25 * lam**2
-        + 76.63 * phi**2
-        - 194.56 * lam**2 * phi
-        + 119.79 * phi**3
+        + 3745.25 * (lam * lam)
+        + 76.63 * (phi * phi)
+        - 194.56 * (lam * lam) * phi
+        + 119.79 * (phi * phi * phi)
     )
     return x - 2000000.0, y - 1000000.0
 
