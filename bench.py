@@ -1,0 +1,220 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS`` CPUs (default 32) and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "rows": {...}, "rows_per_s": {...}}
+
+``--scaling`` runs the same bench twice in fresh processes at 8 and 32
+CPUs (the sandbox stand-in for N vs 4N nodes — no real cluster exists
+here) and reports throughput at both plus scaling efficiency.
+
+The reverse/forward pipelines run over a cached synthetic image table
+(EXIF GPS inside TIFF payloads) whose row count scales with the sf of
+the input dir; dedup/ann/text run over the driver's documents/embeddings
+tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# images per sf unit (sf0.1 -> 1M images, ~2.5 GB); generation is
+# one-time, cached in /tmp.  Sized so the headline pipeline is
+# compute-dominated (not startup/actor-spawn-dominated) at both
+# parallelism levels of the scaling protocol.
+IMAGES_PER_SF = 10_000_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _fixture_dir(sf: float) -> dict:
+    from geocoding_ray.sources.fixtures import generate_fixture_dir
+
+    n_images = max(1000, int(IMAGES_PER_SF * sf))
+    out = f"/tmp/graft_bench_fx_{n_images}"
+    return generate_fixture_dir(out, n_images=n_images, n_shards=max(8, n_images // 4000))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from geocoding_ray.config import ForwardConfig, ReverseConfig
+    from geocoding_ray.pipelines.forward_pipeline import run_forward
+    from geocoding_ray.pipelines.reverse_pipeline import run_reverse
+
+    sf = _sf_of(SF_DIR)
+    fx = _fixture_dir(sf)
+
+    # warm OS page cache so we measure compute+shuffle, not first-read I/O
+    import pyarrow.parquet as pq
+
+    for f in sorted(os.listdir(fx["images_dir"])):
+        pq.read_table(os.path.join(fx["images_dir"], f))
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = int(n)
+
+    # FIXED-size actor pool (autoscaling pools ramp from their minimum and
+    # dominate short jobs); with a fixed pool Ray fuses the parquet read
+    # into the actor pipeline — no intermediate block materialization.
+    # batch_size=None -> block-sized batches.
+    pool = max(4, NUM_CPUS - max(1, NUM_CPUS // 8))  # proportional pool (7 at 8 cpus, 28 at 32)
+    digests = {}
+
+    # Warm-up: run the pipeline once over a single shard with the SAME
+    # pool size so Ray spawns/reuses the worker processes before the
+    # timed runs — the scaling protocol measures steady-state pipeline
+    # throughput, not one-time process spawn.
+    first_shard = os.path.join(fx["images_dir"], sorted(os.listdir(fx["images_dir"]))[0])
+    run_reverse(
+        first_shard, fx["admin"], fx["gazetteer"], ReverseConfig(tolerance_m=20000),
+        concurrency=pool, batch_size=None, validate=True,
+    ).count()
+
+    def q_reverse():
+        import numpy as np
+        import pyarrow as pa
+
+        ds = run_reverse(
+            fx["images_dir"], fx["admin"], fx["gazetteer"],
+            ReverseConfig(tolerance_m=20000),
+            concurrency=pool, batch_size=None, validate=True,
+        )
+
+        def block_digest(batch: pa.Table) -> pa.Table:
+            # order-insensitive content digest: summed per-row mix of the
+            # join outputs, so N-vs-4N runs can be asserted identical
+            aid = batch.column("admin_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            import pyarrow.compute as pc
+
+            flen = pc.coalesce(pc.utf8_length(batch.column("formatted")), pa.scalar(0, pa.int32()))
+            flen = flen.to_numpy(zero_copy_only=False).astype(np.uint64)
+            kind = np.array(
+                [{"pip": 1, "knn": 2, "miss": 3}[k] for k in batch.column("match_kind").to_pylist()],
+                dtype=np.uint64,
+            )
+            with np.errstate(over="ignore"):
+                mix = aid * np.uint64(1000003) + flen * np.uint64(7919) + kind * np.uint64(97)
+            return pa.table({"d": pa.array([int(mix.sum() % (1 << 63))], type=pa.int64()),
+                             "n": pa.array([batch.num_rows], type=pa.int64())})
+
+        agg = ds.map_batches(block_digest, batch_format="pyarrow").to_pandas()
+        digests["reverse_geocode"] = int(agg["d"].sum() % (1 << 63))
+        return int(agg["n"].sum())
+
+    def q_forward():
+        ds = run_forward(
+            fx["images_dir"], fx["gazetteer"],
+            ForwardConfig(ignore_oov=True),
+            concurrency=pool, batch_size=None,
+        )
+        return ds.count()
+
+    def q_minhash():
+        from geocoding_ray.pipelines.text_queries import q_minhash_pairs
+
+        return q_minhash_pairs(SF_DIR).count()
+
+    def q_ann():
+        from geocoding_ray.pipelines.text_queries import q_ann_topk
+
+        return q_ann_topk(SF_DIR).count()
+
+    def q_dedup():
+        from geocoding_ray.pipelines.text_queries import q_dedup_exact
+
+        return q_dedup_exact(SF_DIR).count()
+
+    timed("reverse_geocode", q_reverse)
+    timed("forward_geocode", q_forward)
+    timed("dedup_exact", q_dedup)
+    timed("minhash_pairs", q_minhash)
+    timed("ann_topk", q_ann)
+
+    ray.shutdown()
+
+    total = round(sum(timings.values()), 3)
+    rps = {k: (round(rows[k] / timings[k], 1) if timings[k] > 0 else None) for k in timings}
+    return {
+        "metric": "geocoding_ray headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "rows_per_s": rps,
+        "digests": digests,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["reverse_geocode"]
+    t_hi = r_hi["queries"]["reverse_geocode"]
+    n = r_lo["rows"]["reverse_geocode"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    same_output = r_lo.get("digests") == r_hi.get("digests")
+    print(
+        json.dumps(
+            {
+                "metric": "reverse_geocode scaling (N vs 4N cpus, fresh sessions, same input)",
+                "rows": n,
+                "identical_output_digest": same_output,
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "rows_per_s_lo": round(n / t_lo, 1),
+                "rows_per_s_hi": round(n / t_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "total_sec_lo": r_lo["value"],
+                "total_sec_hi": r_hi["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -31,12 +31,25 @@ def md5_hex(strings) -> list[str]:
     return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV-64 prime
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """k-char shingle hash set (uint64) of a normalized text."""
-    if len(text) < k:
+    """k-char shingle hash set (uint64) of a normalized text.
+
+    Vectorized polynomial rolling hash over the UTF-8 bytes (wraparound
+    mod 2^64) — no per-shingle digest calls; collisions are negligible
+    for MinHash purposes and the family is fixed/deterministic.
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
         return stable_u64([text]) if text else np.zeros(0, dtype=np.uint64)
-    sh = {text[i : i + k] for i in range(len(text) - k + 1)}
-    return stable_u64(sorted(sh))
+    base = int(_SHINGLE_BASE)
+    pows = np.array([pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (win * pows[None, :]).sum(axis=1)
+    return np.unique(h)
 
 
 def minhash_params(num_perm: int = 64, seed: int = 12345) -> tuple[np.ndarray, np.ndarray]:

@@ -26,7 +26,7 @@ def run_forward(
     gazetteer_path: str,
     config: ForwardConfig = ForwardConfig(),
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
     index_ref=None,
     query_col: str = "caption",
     id_col: str = "image_id",

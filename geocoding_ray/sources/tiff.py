@@ -178,15 +178,120 @@ def parse_pixels(buf: bytes) -> np.ndarray:
 def parse_gps_batch(bufs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vector wrapper: list/array of bytes -> (lon, lat, ok) float64/bool.
 
-    The per-image parse is a handful of struct.unpack_from calls (no pixel
-    touch) — cheap relative to batch overheads; pixels are never read here
-    so the hot reverse pipeline does not decode imagery.
+    Per-image parse touches only the IFD headers (never pixels), so the
+    hot reverse pipeline does not decode imagery.  Prefer
+    :func:`parse_gps_arrow` in batch stages — it takes the Arrow binary
+    column directly and decodes the canonical encoder layout fully
+    vectorized.
     """
     n = len(bufs)
     lon = np.full(n, np.nan)
     lat = np.full(n, np.nan)
     ok = np.zeros(n, dtype=bool)
     for i, b in enumerate(bufs):
+        try:
+            r = parse_gps(b)
+        except (struct.error, IndexError, KeyError):
+            r = None
+        if r is not None:
+            lon[i], lat[i] = r
+            ok[i] = True
+    return lon, lat, ok
+
+
+# Fixed offsets of the canonical encode_tiff layout (see encode_tiff):
+# header 8 | IFD0 (10 entries) 8..134 | bits 134..140 | GPS IFD 140..194 |
+# lat RATIONAL[3] 194..218 | lon RATIONAL[3] 218..242 | strip.
+_FAST_GPS_PTR_ENTRY = 118  # 10 + 9*12: tag of the GPSInfo entry
+_FAST_GPS_OFF = 140
+_FAST_LAT_REF = 150
+_FAST_LON_REF = 174
+_FAST_LAT_RAT = 194
+_FAST_LON_RAT = 218
+_FAST_MIN_LEN = 242
+
+
+def _u16(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return data[pos].astype(np.uint32) | (data[pos + 1].astype(np.uint32) << 8)
+
+
+def _u32(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (
+        data[pos].astype(np.uint64)
+        | (data[pos + 1].astype(np.uint64) << 8)
+        | (data[pos + 2].astype(np.uint64) << 16)
+        | (data[pos + 3].astype(np.uint64) << 24)
+    )
+
+
+def _rat3_deg(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(pos), dtype=np.float64)
+    for field_off, scale in ((0, 1.0), (8, 60.0), (16, 3600.0)):
+        num = _u32(data, pos + field_off).astype(np.float64)
+        den = _u32(data, pos + field_off + 4).astype(np.float64)
+        nz = den != 0
+        out[nz] += num[nz] / den[nz] / scale
+    return out
+
+
+def parse_gps_arrow(binary_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (lon, lat, ok) from an Arrow binary column.
+
+    Rows matching the canonical encoder layout decode via fancy-indexed
+    reads on the flat value buffer (no per-row Python); any other TIFF
+    falls back to the generic IFD walker.
+    """
+    import pyarrow as pa
+
+    if isinstance(binary_col, pa.ChunkedArray):
+        binary_col = binary_col.combine_chunks()
+    if len(binary_col) == 0:
+        z = np.zeros(0)
+        return z, z.copy(), np.zeros(0, dtype=bool)
+    offsets = np.frombuffer(binary_col.buffers()[1], dtype=np.int32, count=len(binary_col) + 1).astype(np.int64)
+    arrow_off = binary_col.offset
+    if arrow_off:
+        offsets = offsets[arrow_off : arrow_off + len(binary_col) + 1]
+    data = np.frombuffer(binary_col.buffers()[2], dtype=np.uint8)
+    start = offsets[:-1]
+    length = offsets[1:] - start
+
+    n = len(start)
+    lon = np.full(n, np.nan)
+    lat = np.full(n, np.nan)
+    ok = np.zeros(n, dtype=bool)
+
+    fast = length >= _FAST_MIN_LEN
+    if fast.any():
+        s = start[fast]
+        sig = (
+            (data[s] == ord("I"))
+            & (data[s + 1] == ord("I"))
+            & (data[s + 2] == 42)
+            & (data[s + 3] == 0)
+            & (_u32(data, s + 4) == 8)
+            & (_u16(data, s + 8) == 10)
+            & (_u16(data, s + _FAST_GPS_PTR_ENTRY) == _TAG_GPS_IFD)
+            & (_u32(data, s + _FAST_GPS_PTR_ENTRY + 8) == _FAST_GPS_OFF)
+        )
+        fi = np.nonzero(fast)[0][sig]
+        if len(fi):
+            s = start[fi]
+            la = _rat3_deg(data, s + _FAST_LAT_RAT)
+            lo = _rat3_deg(data, s + _FAST_LON_RAT)
+            la = np.where(data[s + _FAST_LAT_REF] == ord("S"), -la, la)
+            lo = np.where(data[s + _FAST_LON_REF] == ord("W"), -lo, lo)
+            lat[fi] = la
+            lon[fi] = lo
+            ok[fi] = True
+        fast_done = np.zeros(n, dtype=bool)
+        fast_done[np.nonzero(fast)[0][sig]] = True
+    else:
+        fast_done = np.zeros(n, dtype=bool)
+
+    slow = np.nonzero(~fast_done)[0]
+    for i in slow:
+        b = data[start[i] : start[i] + length[i]].tobytes()
         try:
             r = parse_gps(b)
         except (struct.error, IndexError, KeyError):

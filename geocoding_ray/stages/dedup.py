@@ -38,9 +38,17 @@ from ..functions.hashing import (
 )
 from ..functions.normalize import normalize_text, tokenize
 
-NUM_PERM = 64
-NUM_BANDS = 16
+# 128 perms in 8 bands of 16 rows -> LSH threshold ~(1/8)^(1/16) ~ 0.88,
+# so pairs below ~0.7 Jaccard rarely collide (the corpus shares a small
+# vocabulary, making shallow bands collide constantly).
+NUM_PERM = 128
+NUM_BANDS = 8
 SHINGLE_K = 5
+# Safety valve for degenerate buckets (all-identical boilerplate): a
+# bucket of m docs emits m(m-1)/2 pairs; cap the per-bucket fan-out to
+# the first MAX_BUCKET ids (deterministic: sorted doc_id order).  Real
+# dups still pair through their other bands.
+MAX_BUCKET = 64
 
 
 def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -91,7 +99,7 @@ class MinHashStage:
 
 def bucket_candidate_pairs(group: "pa.Table") -> pa.Table:
     """Per (band, band_hash) bucket: emit unordered candidate pairs."""
-    ids = np.sort(np.unique(group.column("doc_id").to_numpy(zero_copy_only=False)))
+    ids = np.sort(np.unique(group.column("doc_id").to_numpy(zero_copy_only=False)))[:MAX_BUCKET]
     if len(ids) < 2:
         return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
     ia, ib = np.triu_indices(len(ids), k=1)

@@ -14,20 +14,20 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.tiff import parse_gps_batch
+from ..sources.tiff import parse_gps_arrow
 
 
 def extract_gps(batch: pa.Table) -> pa.Table:
     """images batch -> (image_id, caption, lon, lat, has_gps).
 
-    lon/lat are null when the payload carries no GPS IFD (the extraction
-    analogue of a provider returning no result — GeoAdmin's ``Ok(None)``
-    semantics, geoadmin.rs:295-304).
+    Vectorized over the Arrow binary buffer (no per-row Python for the
+    canonical layout).  lon/lat are null when the payload carries no GPS
+    IFD (the extraction analogue of a provider returning no result —
+    GeoAdmin's ``Ok(None)`` semantics, geoadmin.rs:295-304).
     """
-    bufs = batch.column("bytes").to_pylist()
-    lon, lat, ok = parse_gps_batch(bufs)
-    keep = [c for c in ("image_id", "caption", "w", "h", "phash") if c in batch.column_names]
-    out = batch.select(keep)
+    lon, lat, ok = parse_gps_arrow(batch.column("bytes"))
+    # drop ONLY the payload; every metadata column flows through
+    out = batch.select([c for c in batch.column_names if c != "bytes"])
     out = out.append_column("lon", pa.array(np.where(ok, lon, np.nan), type=pa.float64(), from_pandas=True))
     out = out.append_column("lat", pa.array(np.where(ok, lat, np.nan), type=pa.float64(), from_pandas=True))
     out = out.append_column("has_gps", pa.array(ok))

@@ -1,0 +1,239 @@
+"""Tests for the training-data operators: dedup (exact/minhash/simhash/
+ngram), ANN, text analysis, multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geocoding_ray.functions import hashing
+from geocoding_ray.stages import ann, dedup, image_ops, text
+
+
+def _docs_with_dups():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about rivers and mountains in the old country"
+    )
+    other = (
+        "completely different content about databases indexes shuffles "
+        "partitions and vectorized execution engines for analytics"
+    )
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup of 1
+        {"doc_id": 3, "text": base.replace("lazy", "sleepy")},  # near dup
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": other + " with an appended tail sentence"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+class TestHashing:
+    def test_char_shingles_deterministic_and_set(self):
+        a = hashing.char_shingles("hello world hello world", 5)
+        b = hashing.char_shingles("hello world hello world", 5)
+        assert np.array_equal(a, b)
+        assert len(np.unique(a)) == len(a)
+
+    def test_shingles_short_text(self):
+        assert len(hashing.char_shingles("ab", 5)) == 1
+        assert len(hashing.char_shingles("", 5)) == 0
+
+    def test_jaccard_bounds(self):
+        a = hashing.char_shingles("the quick brown fox", 5)
+        assert hashing.jaccard(a, a) == 1.0
+        b = hashing.char_shingles("entirely unrelated words", 5)
+        assert hashing.jaccard(a, b) < 0.2
+
+    def test_minhash_estimates_jaccard(self):
+        a_p, b_p = hashing.minhash_params(256)
+        t1 = "the quick brown fox jumps over the lazy dog again and again"
+        t2 = "the quick brown fox jumps over the sleepy dog again and again"
+        s1 = hashing.minhash_signature(hashing.char_shingles(t1), a_p, b_p)
+        s2 = hashing.minhash_signature(hashing.char_shingles(t2), a_p, b_p)
+        est = (s1 == s2).mean()
+        true = hashing.jaccard(hashing.char_shingles(t1), hashing.char_shingles(t2))
+        assert abs(est - true) < 0.15
+
+    def test_simhash_near_for_near_texts(self):
+        t1 = hashing.stable_u64("the quick brown fox jumps over the lazy dog".split())
+        t2 = hashing.stable_u64("the quick brown fox jumps over the sleepy dog".split())
+        h1 = hashing.simhash64(t1)
+        h2 = hashing.simhash64(t2)
+        d = hashing.hamming64(np.array([h1], dtype=np.uint64), np.array([h2], dtype=np.uint64))[0]
+        assert d <= 16
+        t3 = hashing.stable_u64("utterly different vocabulary entirely disjoint tokens".split())
+        d2 = hashing.hamming64(np.array([h1], dtype=np.uint64), np.array([hashing.simhash64(t3)], dtype=np.uint64))[0]
+        assert d2 > d
+
+    def test_rolling_fingerprint_deterministic(self):
+        assert hashing.rolling_fingerprint("abc") == hashing.rolling_fingerprint("abc")
+        assert hashing.rolling_fingerprint("abc") != hashing.rolling_fingerprint("abd")
+
+
+class TestDedupStages:
+    def test_minhash_stage_finds_dups(self):
+        docs = _docs_with_dups()
+        stage = dedup.MinHashStage()
+        bands = stage(docs)
+        assert bands.num_rows == docs.num_rows * dedup.NUM_BANDS
+        import pandas as pd
+
+        df = bands.to_pandas()
+        pairs = set()
+        for (_, _), g in df.groupby(["band", "band_hash"]):
+            ids = sorted(g["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+        assert (1, 2) in pairs  # exact dup always collides
+
+    def test_jaccard_verify(self):
+        docs = _docs_with_dups()
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        v = dedup.JaccardVerify(texts, threshold=0.9)
+        batch = pa.table({"a": pa.array([1, 1, 1], type=pa.int64()), "b": pa.array([2, 3, 4], type=pa.int64())})
+        out = v(batch).to_pylist()
+        kept = {(r["a"], r["b"]) for r in out}
+        assert (1, 2) in kept  # identical
+        assert (1, 4) not in kept  # unrelated
+
+    def test_bucket_pairs_cap(self):
+        g = pa.table({"doc_id": pa.array(list(range(200)), type=pa.int64())})
+        out = dedup.bucket_candidate_pairs(g)
+        m = dedup.MAX_BUCKET
+        assert out.num_rows == m * (m - 1) // 2
+
+    def test_simhash_batch_bands(self):
+        out = dedup.simhash_batch(_docs_with_dups())
+        assert "simhash" in out.column_names
+        d = {r["doc_id"]: r for r in out.to_pylist()}
+        assert d[1]["simhash"] == d[2]["simhash"]  # identical docs
+        shared = sum(d[1][f"sim_band{i}"] == d[3][f"sim_band{i}"] for i in range(4))
+        assert shared >= 1  # near dup shares at least one 16-bit band
+
+    def test_ngram_jaccard_pairs(self):
+        docs = _docs_with_dups()
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        out = dedup.ngram_jaccard_pairs(texts, n=3, threshold=0.5)
+        pairs = {(r["a"], r["b"]) for r in out.to_pylist()}
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+        assert (1, 4) not in pairs
+
+
+class TestANN:
+    def _embeddings(self, n=100, d=16, seed=5):
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(n, d).astype(np.float32)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.array([r.tolist() for r in mat], type=pa.list_(pa.float32())),
+            }
+        ), mat
+
+    def test_brute_force_matches_numpy(self):
+        tbl, mat = self._embeddings()
+        qids = np.arange(4, dtype=np.int64)
+        q = (qids, mat[:4].astype(np.float64))
+        stage = ann.BruteForceTopK(q, k=3)
+        out = stage(tbl).to_pandas()
+        merged = ann.final_topk(out[out.qid == 0], 3)
+        m = mat.astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ mn[0], 6)
+        sims[0] = -np.inf  # exclude self
+        order = np.lexsort((np.arange(len(sims)), -sims))[:3]
+        assert merged["nid"].tolist() == order.tolist()
+
+    def test_partial_topk_merge_across_batches(self):
+        tbl, mat = self._embeddings(200, 16)
+        qids = np.array([0], dtype=np.int64)
+        stage = ann.BruteForceTopK((qids, mat[:1].astype(np.float64)), k=5)
+        whole = ann.final_topk(stage(tbl).to_pandas(), 5)["nid"].tolist()
+        p1 = stage(tbl.slice(0, 100)).to_pandas()
+        p2 = stage(tbl.slice(100, 100)).to_pandas()
+        import pandas as pd
+
+        merged = ann.final_topk(pd.concat([p1, p2]), 5)["nid"].tolist()
+        assert whole == merged
+
+    def test_ivf_recall_reasonable(self):
+        tbl, mat = self._embeddings(400, 16)
+        qids = np.arange(8, dtype=np.int64)
+        cents = ann.build_ivf_centroids(mat.astype(np.float64), n_centroids=8)
+        bf = ann.BruteForceTopK((qids, mat[:8].astype(np.float64)), k=5)
+        ivf = ann.IVFTopK((qids, mat[:8].astype(np.float64)), cents, k=5, nprobe=4)
+        exact = ann.final_topk(bf(tbl).to_pandas().groupby("qid").get_group(0), 5)["nid"].tolist()
+        approx = ann.final_topk(ivf(tbl).to_pandas().groupby("qid").get_group(0), 5)["nid"].tolist()
+        recall = len(set(exact) & set(approx)) / 5
+        assert recall >= 0.4  # nprobe=4 of 8 centroids
+
+
+class TestTextStages:
+    def test_token_count_rules(self):
+        batch = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "  x ", "one"]})
+        out = text.token_count(batch).to_pylist()
+        assert [r["n_tokens"] for r in out] == [3, 1, 1]
+
+    def test_quality_score_components(self):
+        batch = pa.table({"doc_id": [1], "text": ["the cat, the hat."]})
+        r = text.quality_score(batch).to_pylist()[0]
+        assert r["n_tokens"] == 4
+        assert r["n_punct"] == 2
+        assert r["n_stop"] == 2
+        assert r["stop_ratio"] == 0.5
+        assert r["quality"] == 0.5 * 0.5 + (1.0 - 2 / 4) * 0.5
+
+    def test_lang_id_priority_ties(self):
+        batch = pa.table({"doc_id": [1, 2], "text": ["nothing matching here", "der und das ist"]})
+        out = text.lang_id(batch).to_pylist()
+        assert out[0]["pred_lang"] == "en"  # all-zero tie -> priority order
+        assert out[1]["pred_lang"] == "de"
+
+    def test_fingerprint_matches_hashlib(self):
+        import hashlib as hl
+
+        batch = pa.table({"doc_id": [1], "text": ["abc"]})
+        assert text.fingerprint_md5(batch).to_pylist()[0]["fp_md5"] == hl.md5(b"abc").hexdigest()
+
+
+class TestImageOps:
+    def _images(self):
+        from geocoding_ray.sources import tiff
+
+        rng = np.random.RandomState(3)
+        pix = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+        return pa.table(
+            {
+                "image_id": ["a", "b"],
+                "bytes": pa.array([tiff.encode_tiff(pix, 100, 200), b"notatiff"], type=pa.binary()),
+                "fmt": ["tiff", "jpeg"],
+            }
+        ), pix
+
+    def test_decode_real_and_fake(self):
+        batch, pix = self._images()
+        out = image_ops.ImageDecode(fake_missing=True)(batch).to_pylist()
+        assert out[0]["decode_ok"] and out[0]["mean_r"] == pytest.approx(pix[:, :, 0].mean())
+        assert out[1]["decode_ok"]  # deterministic fake stands in
+        assert "bytes" not in image_ops.ImageDecode(fake_missing=True)(batch).column_names
+
+    def test_decode_strict_raises(self):
+        batch, _ = self._images()
+        with pytest.raises(NotImplementedError):
+            image_ops.ImageDecode(fake_missing=False)(batch)
+
+    def test_resize_nearest(self):
+        batch, pix = self._images()
+        out = image_ops.ImageResize(4, 4)(batch.slice(0, 1)).to_pylist()[0]
+        arr = np.frombuffer(out["resized_rgb"], dtype=np.uint8).reshape(4, 4, 3)
+        assert arr.shape == (4, 4, 3)
+        assert out["rw"] == 4 and out["rh"] == 4
+
+    def test_audio_stub_schema(self):
+        batch = pa.table({"clip_id": ["x"], "bytes": pa.array([b"audio?"], type=pa.binary())})
+        out = image_ops.AudioFeatureStub(n_features=8)(batch)
+        assert out.schema.field("features").type == pa.list_(pa.float32(), 8)
+        with pytest.raises(NotImplementedError):
+            image_ops.AudioFeatureStub(strict=True)(batch)
