@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_nation": oq.q_forward_nation,    # O2/O5/O7: text -> gazetteer match
         "forward_bbox": oq.q_forward_bbox,        # O6/O8: bbox-restricted forward
         "forward_topk": oq.q_forward_topk,        # O11: grouped top-k / limit / forward_full explode
+        "forward_shuffle": oq.q_forward_shuffle_topk,  # shuffle-join physical plan, same oracle as forward_topk
+        "reverse_components": oq.q_reverse_components,  # O4 reverse_full: component hierarchy
         "wgs84_to_lv03": oq.q_lv03,               # S1: CRS polynomial
         "exif_roundtrip": oq.q_exif_roundtrip,    # input-contract: GPS-in-payload extract
         "image_stats": oq.q_image_stats,          # multimodal decode stage (real TIFF)
@@ -48,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
         "simhash": tq.q_simhash,
+        "cell_assign": oq.q_cell_assign,          # deterministic tile/cell ids + quadkey render
     }
 
 
@@ -58,6 +61,8 @@ def oracle_sql() -> dict[str, str]:
         "forward_nation": oq.SQL_FORWARD_NATION,
         "forward_bbox": oq.SQL_FORWARD_BBOX,
         "forward_topk": oq.SQL_FORWARD_TOPK,
+        "forward_shuffle": oq.SQL_FORWARD_TOPK,  # same oracle — different physical plan
+        "reverse_components": oq.SQL_REVERSE_COMPONENTS,
         "wgs84_to_lv03": oq.SQL_LV03,
         "exif_roundtrip": oq.SQL_EXIF_ROUNDTRIP,
         "image_stats": oq.SQL_IMAGE_STATS,

@@ -56,9 +56,29 @@ KNN_PLACES = [(p, -95.0 + ((p * 37) % 1000) / 100.0, -45.0 + ((p * 53) % 1000) /
 KNN_TOLERANCE_SQ = 4.00005
 
 
+def _rect_components(admin_id: int) -> dict:
+    """Address-component hierarchy for a RECT_WORLD row (O4 reverse_full
+    projection): each level carries its ancestors' fields."""
+    by_id = {a: (name, level) for a, name, level, *_ in RECT_WORLD}
+    name, level = by_id[admin_id]
+    comps: dict[str, str] = {}
+    # ancestry in this fixed world is by name prefix ("Cland Suburb 1" ⊂ "Cland")
+    for a, (nm, lv) in by_id.items():
+        if name.startswith(nm.split(" ")[0]) and lv in ("country", "state", "city", "suburb"):
+            rank_self = LEVEL_RANK_ORDER.index(level)
+            rank_other = LEVEL_RANK_ORDER.index(lv)
+            if rank_other <= rank_self:
+                comps[lv] = nm
+    return comps
+
+
+LEVEL_RANK_ORDER = ["country", "state", "city", "suburb"]
+
+
 def _rect_admin_table() -> pa.Table:
     rows = []
     for admin_id, name, level, level_rank, minx, miny, maxx, maxy in RECT_WORLD:
+        comps = _rect_components(admin_id)
         row = {
             "admin_id": admin_id,
             "name": name,
@@ -73,17 +93,27 @@ def _rect_admin_table() -> pa.Table:
             "formatted": name,
         }
         for f in COMPONENT_FIELDS + COMPONENT_LANG_FIELDS:
-            row[f] = None
+            row[f] = comps.get(f)
         rows.append(row)
     return pa.Table.from_pylist(rows, schema=ADMIN_SCHEMA)
 
 
 def _rect_world_values_sql() -> str:
-    vals = ",\n    ".join(
-        f"({a}, {lr}, {(maxx - minx) * (maxy - miny)!r}, {minx!r}, {miny!r}, {maxx!r}, {maxy!r}, '{name}')"
-        for a, name, _lvl, lr, minx, miny, maxx, maxy in RECT_WORLD
+    def sq(v) -> str:
+        return "NULL" if v is None else f"'{v}'"
+
+    rows = []
+    for a, name, _lvl, lr, minx, miny, maxx, maxy in RECT_WORLD:
+        c = _rect_components(a)
+        rows.append(
+            f"({a}, {lr}, {(maxx - minx) * (maxy - miny)!r}, {minx!r}, {miny!r}, {maxx!r}, {maxy!r}, "
+            f"'{name}', {sq(c.get('country'))}, {sq(c.get('state'))}, {sq(c.get('city'))}, {sq(c.get('suburb'))})"
+        )
+    vals = ",\n    ".join(rows)
+    return (
+        "admin(admin_id, level_rank, area, minx, miny, maxx, maxy, formatted, "
+        f"country, state, city, suburb) AS (VALUES\n    {vals})"
     )
-    return f"admin(admin_id, level_rank, area, minx, miny, maxx, maxy, formatted) AS (VALUES\n    {vals})"
 
 
 def _knn_places_values_sql() -> str:
@@ -575,3 +605,130 @@ SELECT event_id, TRUE AS decode_ok,
        CAST(event_id % 256 AS DOUBLE) AS mean_b
 FROM events
 """
+
+
+def q_reverse_components(sf_dir: str):
+    """O4 ``reverse_full`` projection: the full address-component
+    hierarchy of the winning polygon (openstreetmap.rs:322-337 fields),
+    flattened to columns."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.reverse import AdminIndex, ReverseJoiner
+
+    index_ref = ray.put(AdminIndex(_rect_admin_table(), None))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ReverseJoiner,
+        fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "country", "state", "city", "suburb"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_REVERSE_COMPONENTS = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+{_rect_world_values_sql()},
+hits AS (
+  SELECT p.event_id, a.country, a.state, a.city, a.suburb,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY a.level_rank DESC, a.area ASC, a.admin_id ASC) AS rn
+  FROM pts p JOIN admin a
+    ON p.lon > a.minx AND p.lon < a.maxx AND p.lat > a.miny AND p.lat < a.maxy)
+SELECT p.event_id, h.country, h.state, h.city, h.suburb
+FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
+"""
+
+
+def q_cell_assign(sf_dir: str):
+    """Deterministic tile/cell assignment (north_star: "preserve
+    tile/cell assignments deterministically"): uint64 quadkey cell at two
+    resolutions + parent containment + rendered quadkey string.
+    Rows-only check (Morton interleave is not sanely SQL-expressible);
+    determinism across parallelism is asserted by tests and the bench
+    digest."""
+    import ray.data as rd
+
+    from ..state import cells
+
+    def assign(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        c8 = cells.encode(lon, lat, 8)
+        c12 = cells.encode(lon, lat, 12)
+        qk = cells.render_quadkey(c8)
+        parent_ok = cells.parent(c12, 4) == c8
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "cell8": pa.array(c8.astype(np.int64), type=pa.int64()),
+                "cell12": pa.array(c12.astype(np.int64), type=pa.int64()),
+                "quadkey8": pa.array(qk, type=pa.string()),
+                "parent_consistent": pa.array(parent_ok),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_forward_shuffle_topk(sf_dir: str):
+    """The shuffle-join forward path (token co-shuffle + salting) on the
+    same synthesized inputs as ``forward_topk`` — gated by the SAME SQL
+    oracle, proving the broadcast and shuffle physical plans agree."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqw
+
+    from ..config import ForwardConfig
+    from .forward_shuffle import run_forward_shuffle
+
+    tmp = os.path.join(tempfile.gettempdir(), f"graft_fwd_shuffle_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(tmp, exist_ok=True)
+    gaz_path = os.path.join(tmp, "gazetteer.parquet")
+    q_path = os.path.join(tmp, "queries.parquet")
+    pqw.write_table(_supplier_gazetteer(sf_dir), gaz_path)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    pqw.write_table(
+        pa.table(
+            {
+                "query_id": nat.column("n_nationkey").cast(pa.int64()),
+                "caption": nat.column("n_name"),
+            }
+        ),
+        q_path,
+    )
+    ds = run_forward_shuffle(
+        q_path,
+        gaz_path,
+        ForwardConfig(ignore_oov=False, limit=5),
+        query_col="caption",
+        id_col="query_id",
+        n_salts=4,
+        hot_threshold=20,
+    )
+
+    def project(batch):
+        import pandas as pd
+
+        return batch[["query_id", "rk", "place_id", "lon", "lat", "importance"]]
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -61,9 +61,13 @@ def run_reverse(
         ds = ds.map_batches(validate_payload, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(extract_gps, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(make_cell_encoder(level=config.cell_level), batch_format="pyarrow", batch_size=batch_size)
+    # resolve the provider on the driver so custom-registered providers
+    # reach the actor processes (the registry is per-process)
+    from ..providers import get_provider
+
     ds = ds.map_batches(
         ReverseJoiner,
-        fn_constructor_args=(index_ref, config),
+        fn_constructor_args=(index_ref, config, get_provider(config.provider)),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ReverseConfig
-from ..functions.formatters import geoadmin_reverse_label, opencage_formatted, osm_display_name
+from ..functions.formatters import geoadmin_reverse_label, osm_display_name
 from ..sources.schemas import COMPONENT_FIELDS, COMPONENT_LANG_FIELDS
 from ..state import cells
 from ..state.distance import haversine_m
@@ -185,11 +185,18 @@ class ReverseJoiner:
     ``__call__`` is pure per-batch compute (no driver round-trips).
     """
 
-    def __init__(self, index_ref, config: ReverseConfig = ReverseConfig()):
+    def __init__(self, index_ref, config: ReverseConfig = ReverseConfig(), provider=None):
         import ray
+
+        from ..providers import get_provider
 
         self.index: AdminIndex = ray.get(index_ref) if not isinstance(index_ref, AdminIndex) else index_ref
         self.config = config
+        # Providers registered on the DRIVER are not visible in actor
+        # processes (the registry is per-process), so pipelines resolve
+        # the Provider object at build time and ship it in the
+        # constructor; bare construction still resolves built-ins here.
+        self.provider = provider if provider is not None else get_provider(config.provider)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
@@ -227,17 +234,23 @@ class ReverseJoiner:
             for f in COMPONENT_FIELDS:
                 comp_out[f][pip_rows] = idx.components[f][a]
             if cfg.provider == "openstreetmap":
-                formatted[pip_rows] = idx.osm_formatted[a]
-            elif cfg.language:
-                # language re-render is per-row (rare path; the language demo)
+                formatted[pip_rows] = idx.osm_formatted[a]  # pre-rendered fast path
+            elif cfg.provider == "opencage" and not cfg.language:
+                formatted[pip_rows] = idx.formatted[a]  # pre-rendered fast path
+            else:
+                # generic/registered providers and language variants
+                # render per-row via the provider registry (§2.7)
                 for i, ai in zip(pip_rows, a):
                     comps = {f: idx.components[f][ai] for f in COMPONENT_FIELDS}
                     comps.update(
                         {f.replace("_fr", ":fr"): idx.components[f][ai] for f in COMPONENT_LANG_FIELDS}
                     )
-                    formatted[i] = opencage_formatted(comps, language=cfg.language)
-            else:
-                formatted[pip_rows] = idx.formatted[a]
+                    if cfg.provider == "geoadmin":
+                        # admin-polygon hits have no building-register
+                        # fields; fall back to the precomputed display
+                        formatted[i] = idx.formatted[ai]
+                    else:
+                        formatted[i] = self.provider.render_reverse(comps, cfg.language)
 
         knn_rows = np.nonzero((win < 0) & (knn_idx >= 0))[0]
         if len(knn_rows):
