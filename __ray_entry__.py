@@ -47,10 +47,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": tq.q_fingerprint,
         "ann_topk": tq.q_ann_topk,
         "embed_dup": tq.q_embed_dup,
+        "events_window": tq.q_events_window,      # tumbling-window partial+final aggregate
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
         "simhash": tq.q_simhash,
         "cell_assign": oq.q_cell_assign,          # deterministic tile/cell ids + quadkey render
+        "ann_ivf": tq.q_ann_ivf,                  # IVF scale path (approximate by design)
     }
 
 
@@ -73,5 +75,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": tq.SQL_FINGERPRINT,
         "ann_topk": tq.SQL_ANN_TOPK,
         "embed_dup": tq.SQL_EMBED_DUP,
+        "events_window": tq.SQL_EVENTS_WINDOW,
         # minhash_pairs / simhash: rows-only by design
     }

@@ -292,3 +292,82 @@ def q_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "simhash", "sim_band0", "sim_band1", "sim_band2", "sim_band3"])
+
+# ---------------------------------------------------------------------------
+# stream-shaped: tumbling-window aggregate over the events log
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type over the ordered events log.
+
+    Scale pattern (ray guide "Aggregation at scale"): a vectorized
+    per-batch PARTIAL aggregate (pyarrow group_by inside map_batches)
+    emits one row per (event_type, hour) per batch; the global shuffle
+    then combines the much smaller partials with Sum/Min/Max.  Only
+    count/min/max are emitted — they are exactly mergeable and
+    float-exact, unlike a distributed double sum.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": hour,
+                "value": batch.column("value"),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(["event_type", "hour", "pn", "pmin", "pmax"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "hour"]).aggregate(
+        Sum("pn", alias_name="n_events"),
+        Min("pmin", alias_name="min_value"),
+        Max("pmax", alias_name="max_value"),
+    )
+    return out
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(value) AS n_events, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-pruned cosine top-k (the ANN scale path): fixed-seed Lloyd
+    coarse quantizer built on the driver, database rows scored only when
+    their centroid is probed.  Rows-only check (approximate by design);
+    recall vs the exact path is asserted in tests."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import IVFTopK, build_ivf_centroids, embeddings_to_matrix, final_topk
+
+    qids, qmat = _load_queries(sf_dir)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = embeddings_to_matrix(tbl.slice(0, min(2000, tbl.num_rows)))
+    cents = build_ivf_centroids(sample, n_centroids=16)
+    qref = ray.put((qids, qmat))
+    cref = ray.put(cents)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        IVFTopK,
+        fn_constructor_args=(qref, cref),
+        fn_constructor_kwargs={"k": ANN_K, "nprobe": 4},
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+    ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
+    return ds.select_columns(["qid", "nid", "rk"])

@@ -147,8 +147,13 @@ class AdminIndex:
         """Per point: (place array index or -1, distance m).
 
         Cell-ring candidate gathering (disk radius 1 at level 10) then
-        exact haversine; deterministic tie-break (distance, place_id) via
-        stable argmin over places sorted by id at build time.
+        exact haversine; deterministic tie-break (distance, place_id).
+
+        Search reach is bounded by the cell disk (~39 km of longitude at
+        the equator): a ``tolerance_m`` beyond that cannot match — by
+        design, mirroring GeoAdmin's identify which is a *local* probe
+        (``tolerance`` in screen px around the point, geoadmin.rs:287),
+        not a global nearest-neighbor query.
         """
         n = len(lon)
         out_idx = np.full(n, -1, dtype=np.int64)
@@ -157,24 +162,41 @@ class AdminIndex:
             return out_idx, out_d
         qcell = cells.encode(lon, lat, _KNN_CELL_LEVEL)
         disks = cells.neighbors_disk(qcell, radius=1)  # (n, 9)
-        for i in range(n):
-            cands: list[np.ndarray] = []
-            for c in np.unique(disks[i]):
-                lo = np.searchsorted(self._pcell_sorted, c, side="left")
-                hi = np.searchsorted(self._pcell_sorted, c, side="right")
-                if hi > lo:
-                    cands.append(self._porder[lo:hi])
-            if not cands:
-                continue
-            cand = np.concatenate(cands)
-            d = haversine_m(lon[i], lat[i], self.place_lon[cand], self.place_lat[cand])
-            # tie-break by place_id: sort candidates by (d, place_id)
-            sel = np.lexsort((self.place_id[cand], d))
-            best = cand[sel[0]]
-            bd = d[sel[0]]
-            if bd <= tolerance_m:
-                out_idx[i] = best
-                out_d[i] = bd
+
+        # Fully vectorized candidate gathering: searchsorted over all
+        # (point, disk-cell) pairs at once, then one flat haversine and a
+        # segment-min with deterministic (distance, place_id) tie-break.
+        flat_cells = disks.ravel()
+        lo = np.searchsorted(self._pcell_sorted, flat_cells, side="left")
+        hi = np.searchsorted(self._pcell_sorted, flat_cells, side="right")
+        counts = (hi - lo).reshape(n, -1)  # candidates per (point, cell)
+        per_point = counts.sum(axis=1)
+        total = int(per_point.sum())
+        if total == 0:
+            return out_idx, out_d
+        # expand ranges [lo, hi) into flat indices into _porder
+        seg_len = (hi - lo).astype(np.int64)
+        nz = seg_len > 0
+        starts = lo[nz]
+        lens = seg_len[nz]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        flat = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], lens) + np.repeat(starts, lens)
+        cand = self._porder[flat]
+        # owning point of each candidate (disk cells are row-major per point)
+        point_of = np.repeat(np.repeat(np.arange(n), disks.shape[1])[nz], lens)
+        d = haversine_m(lon[point_of], lat[point_of], self.place_lon[cand], self.place_lat[cand])
+        # disk cells can overlap after lon wrap/clamp -> duplicates are
+        # harmless (same distance, same id; min picks one value)
+        order = np.lexsort((self.place_id[cand], d, point_of))
+        p_s = point_of[order]
+        first = np.ones(len(p_s), dtype=bool)
+        first[1:] = p_s[1:] != p_s[:-1]
+        win_rows = p_s[first]
+        win_cand = cand[order][first]
+        win_d = d[order][first]
+        ok = win_d <= tolerance_m
+        out_idx[win_rows[ok]] = win_cand[ok]
+        out_d[win_rows[ok]] = win_d[ok]
         return out_idx, out_d
 
 
