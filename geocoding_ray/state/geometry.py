@@ -37,15 +37,20 @@ class PackedRings:
         return len(self.poly_ring_offsets) - 1
 
     def _compute_bbox(self) -> np.ndarray:
+        """Per-polygon bbox via reduceat over the vertex ranges — no
+        Python loop, so a million-polygon build side stays fast."""
         n = self.n_polys
         bbox = np.empty((n, 4), dtype=np.float64)
-        for p in range(n):
-            r0, r1 = self.poly_ring_offsets[p], self.poly_ring_offsets[p + 1]
-            v0, v1 = self.ring_offsets[r0], self.ring_offsets[r1]
-            bbox[p, 0] = self.xs[v0:v1].min()
-            bbox[p, 1] = self.ys[v0:v1].min()
-            bbox[p, 2] = self.xs[v0:v1].max()
-            bbox[p, 3] = self.ys[v0:v1].max()
+        if n == 0:
+            return bbox
+        starts = self.ring_offsets[self.poly_ring_offsets[:-1]]
+        # reduceat segments run start_i .. start_{i+1}; the final segment
+        # runs to the end of the vertex arrays, which is exactly the last
+        # polygon's extent since rings are stored contiguously per poly.
+        bbox[:, 0] = np.minimum.reduceat(self.xs, starts)
+        bbox[:, 1] = np.minimum.reduceat(self.ys, starts)
+        bbox[:, 2] = np.maximum.reduceat(self.xs, starts)
+        bbox[:, 3] = np.maximum.reduceat(self.ys, starts)
         return bbox
 
     @classmethod
@@ -91,22 +96,37 @@ class PackedRings:
     def area(self) -> np.ndarray:
         """Absolute shoelace area per polygon (outer ring minus holes),
         in square degrees — used only as the deterministic specificity
-        tie-break (smaller = more specific)."""
+        tie-break (smaller = more specific).
+
+        Vectorized: per-vertex cross terms with the ring-wrap edge fixed
+        up per ring, then reduceat per ring and sign-combined per poly.
+        """
+        n_rings = len(self.ring_offsets) - 1
+        if self.n_polys == 0:
+            return np.zeros(0, dtype=np.float64)
+        x = self.xs
+        y = self.ys
+        # cross term for edge i -> i+1 (invalid across ring boundaries)
+        cross = np.empty(len(x), dtype=np.float64)
+        cross[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+        cross[-1] = 0.0
+        starts = self.ring_offsets[:-1]
+        ends = self.ring_offsets[1:]
+        sums = np.add.reduceat(cross, starts)
+        # subtract the spurious boundary edge (last vertex -> next ring's
+        # first) and add the closing edge (last -> first of same ring)
+        last = ends - 1
+        first = starts
+        spurious = np.where(last < len(x) - 1, x[last] * y[(last + 1) % len(x)] - x[(last + 1) % len(x)] * y[last], 0.0)
+        closing = x[last] * y[first] - x[first] * y[last]
+        ring_area = np.abs(0.5 * (sums - spurious + closing))
+        # first ring of each poly adds; holes subtract
         out = np.zeros(self.n_polys, dtype=np.float64)
-        for p in range(self.n_polys):
-            r0, r1 = self.poly_ring_offsets[p], self.poly_ring_offsets[p + 1]
-            total = 0.0
-            for r in range(r0, r1):
-                v0, v1 = self.ring_offsets[r], self.ring_offsets[r + 1]
-                x = self.xs[v0:v1]
-                y = self.ys[v0:v1]
-                a = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
-                if r == r0:
-                    total += abs(a)
-                else:
-                    total -= abs(a)
-            out[p] = abs(total)
-        return out
+        ring_poly = np.repeat(np.arange(self.n_polys), np.diff(self.poly_ring_offsets))
+        is_outer = np.zeros(n_rings, dtype=bool)
+        is_outer[self.poly_ring_offsets[:-1]] = True
+        np.add.at(out, ring_poly, np.where(is_outer, ring_area, -ring_area))
+        return np.abs(out)
 
     def contains(self, poly_idx: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Vectorized even-odd ray-crossing test of many points against one

@@ -188,3 +188,32 @@ class TestCRS:
         assert lon[0] == 7.0 and lat[0] == 46.0
         with pytest.raises(ValueError):
             crs.project_points(np.array([0.0]), np.array([0.0]), "9999")
+
+
+class TestIndexBuildScale:
+    def test_100k_polygon_index_builds_fast(self):
+        """Driver-side index build must stay sub-second-per-100k-polys so
+        a ~1M-polygon admin table (Natural-Earth-deep) builds in seconds."""
+        import time
+
+        rng = np.random.RandomState(0)
+        n = 100_000
+        cx = rng.uniform(-170, 170, n)
+        cy = rng.uniform(-80, 80, n)
+        verts_per = 8
+        ang = np.linspace(0, 2 * np.pi, verts_per, endpoint=False)
+        xs = (cx[:, None] + 0.05 * np.cos(ang)[None, :]).ravel()
+        ys = (cy[:, None] + 0.05 * np.sin(ang)[None, :]).ravel()
+        ring_offsets = np.arange(0, n * verts_per + 1, verts_per)
+        poly_ring_offsets = np.arange(0, n + 1)
+        t0 = time.time()
+        pr = geometry.PackedRings(xs, ys, ring_offsets, poly_ring_offsets)
+        a = pr.area()
+        tree = rtree.STRtree(pr.bbox)
+        build_s = time.time() - t0
+        assert build_s < 5.0, f"index build too slow: {build_s:.1f}s"
+        # octagon area sanity
+        expected = 0.5 * verts_per * 0.05 * 0.05 * np.sin(2 * np.pi / verts_per)
+        assert np.allclose(a, expected, rtol=1e-9)
+        p, i = tree.query_points(rng.uniform(-170, 170, 1000), rng.uniform(-80, 80, 1000))
+        assert len(p) >= 0
