@@ -336,6 +336,7 @@ def build_images(
     include_golden: bool = True,
     min_wh: int = 16,
     max_wh: int = 40,
+    id_offset: int = 0,
 ) -> tuple[pa.Table, pa.Table]:
     """Build the images table + ground-truth table.
 
@@ -343,68 +344,123 @@ def build_images(
     place (kNN fallback), ~10% mid-ocean (miss -> null), ~8% without GPS.
     All lat/lon are exact multiples of 1e-7 degrees (see tiff.py).
     """
+    import hashlib
+
     rng = np.random.RandomState(seed)
-    gnames = gaz_tbl.column("name").to_pylist()
-    gdetails = gaz_tbl.column("detail").to_pylist()
-    isl_lon = [r["lon"] for r in gaz_tbl.to_pylist() if r["origin"] == "gazetteer"]
-    isl_lat = [r["lat"] for r in gaz_tbl.to_pylist() if r["origin"] == "gazetteer"]
+    gnames = np.array(gaz_tbl.column("name").to_pylist(), dtype=object)
+    origin = np.array(gaz_tbl.column("origin").to_pylist(), dtype=object)
+    isl = origin == "gazetteer"
+    isl_lon = gaz_tbl.column("lon").to_numpy(zero_copy_only=False)[isl]
+    isl_lat = gaz_tbl.column("lat").to_numpy(zero_copy_only=False)[isl]
+    n_boxes = len(sample_boxes)
+    boxes = np.array([b[:4] for b in sample_boxes]) if n_boxes else np.zeros((0, 4))
 
-    img_rows = []
-    truth_rows = []
+    # --- vectorized draws for all n rows ---
+    u = rng.uniform(size=n)
+    cap_idx = rng.randint(0, len(gnames), size=n)
+    box_pick = rng.randint(0, max(1, n_boxes), size=n)
+    box_u1 = rng.uniform(size=n)
+    box_u2 = rng.uniform(size=n)
+    isl_pick = rng.randint(0, max(1, len(isl_lon)), size=n)
+    jit1 = rng.uniform(-0.01, 0.01, size=n)
+    jit2 = rng.uniform(-0.01, 0.01, size=n)
+    ocean_lon = rng.uniform(60.0, 90.0, size=n)
+    ocean_lat = rng.uniform(-50.0, 30.0, size=n)
+    ws = rng.randint(min_wh, max_wh + 1, size=n)
+    hs = rng.randint(min_wh, max_wh + 1, size=n)
 
-    def mk_image(image_id, lon_e7, lat_e7, caption, kind):
-        w = int(rng.randint(min_wh, max_wh + 1))
-        h = int(rng.randint(min_wh, max_wh + 1))
-        pix = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-        if lon_e7 is None:
-            # valid TIFF, no GPS IFD: encode then strip by rebuilding without GPS —
-            # simplest: encode with GPS then truncate? Keep honest: build a
-            # GPS-less TIFF via the same writer path with a sentinel.
+    kinds = np.where(
+        (u < 0.72) & (n_boxes > 0),
+        "pip",
+        np.where((u < 0.82) & (len(isl_lon) > 0), "knn", np.where(u < 0.92, "miss", "nogps")),
+    )
+    lon = np.where(
+        kinds == "pip",
+        boxes[box_pick % max(1, n_boxes), 0] + box_u1 * (boxes[box_pick % max(1, n_boxes), 2] - boxes[box_pick % max(1, n_boxes), 0]),
+        np.where(kinds == "knn", (isl_lon[isl_pick % max(1, len(isl_lon))] + jit1) if len(isl_lon) else 0.0, ocean_lon),
+    )
+    lat = np.where(
+        kinds == "pip",
+        boxes[box_pick % max(1, n_boxes), 1] + box_u2 * (boxes[box_pick % max(1, n_boxes), 3] - boxes[box_pick % max(1, n_boxes), 1]),
+        np.where(kinds == "knn", (isl_lat[isl_pick % max(1, len(isl_lat))] + jit2) if len(isl_lat) else 0.0, ocean_lat),
+    )
+    lon_e7 = np.round(lon * E7).astype(np.int64)
+    lat_e7 = np.round(lat * E7).astype(np.int64)
+
+    # one pixel pool for the whole chunk (per-image rng calls dominate
+    # generation time otherwise)
+    sizes = (ws.astype(np.int64) * hs.astype(np.int64) * 3)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    pool = rng.randint(0, 256, size=int(offs[-1]), dtype=np.uint8)
+
+    ids: list[str] = []
+    bufs: list[bytes] = []
+    caps: list[str] = []
+    phashes: list[int] = []
+    t_lon: list = []
+    t_lat: list = []
+    t_kind: list = []
+
+    def emit(image_id, pix, lo7, la7, caption, kind):
+        if lo7 is None:
             buf = _encode_tiff_no_gps(pix)
         else:
-            buf = tiff.encode_tiff(pix, lat_e7, lon_e7)
-        phash = int(np.int64(np.uint64(int.from_bytes(__import__("hashlib").blake2b(pix.tobytes(), digest_size=8).digest(), "little"))))
-        img_rows.append(
-            {"image_id": image_id, "bytes": buf, "w": w, "h": h, "fmt": "tiff", "caption": caption, "phash": phash}
+            buf = tiff.encode_tiff(pix, int(la7), int(lo7))
+        ids.append(image_id)
+        bufs.append(buf)
+        caps.append(caption)
+        phashes.append(
+            int(np.int64(np.uint64(int.from_bytes(hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little"))))
         )
-        truth_rows.append(
-            {
-                "image_id": image_id,
-                "lon": (lon_e7 / E7) if lon_e7 is not None else None,
-                "lat": (lat_e7 / E7) if lat_e7 is not None else None,
-                "kind": kind,
-            }
-        )
+        t_lon.append((lo7 / E7) if lo7 is not None else None)
+        t_lat.append((la7 / E7) if la7 is not None else None)
+        t_kind.append(kind)
 
+    g_w: list[int] = []
+    g_h: list[int] = []
     if include_golden:
-        for gid, (lon, lat) in GOLDEN_POINTS.items():
-            mk_image(gid, round(lon * E7), round(lat * E7), GOLDEN_CAPTIONS[gid], "golden")
+        grng = np.random.RandomState(seed ^ 0x5EED)
+        for gid, (glon, glat) in GOLDEN_POINTS.items():
+            w = int(grng.randint(min_wh, max_wh + 1))
+            h = int(grng.randint(min_wh, max_wh + 1))
+            pix = grng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            emit(gid, pix, round(glon * E7), round(glat * E7), GOLDEN_CAPTIONS[gid], "golden")
+            g_w.append(w)
+            g_h.append(h)
 
-    n_boxes = len(sample_boxes)
     for i in range(n):
-        image_id = f"img{i:012d}"
-        u = rng.uniform()
-        cap_idx = int(rng.randint(0, len(gnames)))
-        caption = f"photo near {gnames[cap_idx]}"
-        if u < 0.72 and n_boxes:
-            bx = sample_boxes[int(rng.randint(0, n_boxes))]
-            lon = rng.uniform(bx[0], bx[2])
-            lat = rng.uniform(bx[1], bx[3])
-            mk_image(image_id, int(round(lon * E7)), int(round(lat * E7)), caption, "pip")
-        elif u < 0.82 and isl_lon:
-            j = int(rng.randint(0, len(isl_lon)))
-            lon = isl_lon[j] + rng.uniform(-0.01, 0.01)
-            lat = isl_lat[j] + rng.uniform(-0.01, 0.01)
-            mk_image(image_id, int(round(lon * E7)), int(round(lat * E7)), caption, "knn")
-        elif u < 0.92:
-            lon = rng.uniform(60.0, 90.0)  # empty ocean east of the worlds
-            lat = rng.uniform(-50.0, 30.0)
-            mk_image(image_id, int(round(lon * E7)), int(round(lat * E7)), caption, "miss")
-        else:
-            mk_image(image_id, None, None, caption, "nogps")
+        pix = pool[offs[i] : offs[i + 1]].reshape(hs[i], ws[i], 3)
+        k = kinds[i]
+        emit(
+            f"img{i + id_offset:012d}",
+            pix,
+            None if k == "nogps" else int(lon_e7[i]),
+            None if k == "nogps" else int(lat_e7[i]),
+            f"photo near {gnames[cap_idx[i]]}",
+            k,
+        )
 
-    images = pa.Table.from_pylist(img_rows, schema=IMAGES_SCHEMA)
-    truth = pa.Table.from_pylist(truth_rows)
+    all_w = g_w + ws.tolist()
+    all_h = g_h + hs.tolist()
+    images = pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "bytes": pa.array(bufs, type=pa.binary()),
+            "w": pa.array(all_w, type=pa.int32()),
+            "h": pa.array(all_h, type=pa.int32()),
+            "fmt": pa.array(["tiff"] * len(ids), type=pa.string()),
+            "caption": pa.array(caps, type=pa.string()),
+            "phash": pa.array(phashes, type=pa.int64()),
+        }
+    ).cast(IMAGES_SCHEMA)
+    truth = pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "lon": pa.array(t_lon, type=pa.float64()),
+            "lat": pa.array(t_lat, type=pa.float64()),
+            "kind": pa.array(t_kind, type=pa.string()),
+        }
+    )
     return images, truth
 
 
@@ -441,14 +497,27 @@ def generate_fixture_dir(out_dir: str, n_images: int = 200, seed: int = 42, n_sh
         return meta
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     admin_tbl, gaz_tbl, sample_boxes = build_world(seed=seed)
-    images, truth = build_images(n_images, sample_boxes, gaz_tbl, seed=seed + 1)
     pq.write_table(admin_tbl, meta["admin"])
     pq.write_table(gaz_tbl, meta["gazetteer"])
-    n = images.num_rows
-    per = max(1, (n + n_shards - 1) // n_shards)
-    for s in range(0, n, per):
-        pq.write_table(images.slice(s, per), os.path.join(meta["images_dir"], f"part-{s // per:04d}.parquet"))
-    pq.write_table(truth, meta["truth"])
+    # stream shard by shard: bounded memory, deterministic per-shard
+    # seeds, golden rows in shard 0 only
+    per = max(1, (n_images + n_shards - 1) // n_shards)
+    truth_parts = []
+    shard = 0
+    for start in range(0, n_images, per):
+        count = min(per, n_images - start)
+        images, truth = build_images(
+            count,
+            sample_boxes,
+            gaz_tbl,
+            seed=seed + 1 + shard,
+            include_golden=(shard == 0),
+            id_offset=start,
+        )
+        pq.write_table(images, os.path.join(meta["images_dir"], f"part-{shard:04d}.parquet"))
+        truth_parts.append(truth)
+        shard += 1
+    pq.write_table(pa.concat_tables(truth_parts), meta["truth"])
     with open(marker, "w") as f:
         f.write("ok")
     return meta
