@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_topk": oq.q_forward_topk,        # O11: grouped top-k / limit / forward_full explode
         "forward_shuffle": oq.q_forward_shuffle_topk,  # shuffle-join physical plan, same oracle as forward_topk
         "reverse_components": oq.q_reverse_components,  # O4 reverse_full: component hierarchy
+        "reverse_raster": oq.q_reverse_raster,    # raster<->vector: burned grid, O(1) lookup
         "wgs84_to_lv03": oq.q_lv03,               # S1: CRS polynomial
         "exif_roundtrip": oq.q_exif_roundtrip,    # input-contract: GPS-in-payload extract
         "image_stats": oq.q_image_stats,          # multimodal decode stage (real TIFF)
@@ -48,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": tq.q_ann_topk,
         "embed_dup": tq.q_embed_dup,
         "events_window": tq.q_events_window,      # tumbling-window partial+final aggregate
+        "sessionize": tq.q_sessionize,            # gap-based session windows per user
+        "top_docs": tq.q_top_docs,                # distributed sort + global top-k
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
         "simhash": tq.q_simhash,
@@ -65,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_topk": oq.SQL_FORWARD_TOPK,
         "forward_shuffle": oq.SQL_FORWARD_TOPK,  # same oracle — different physical plan
         "reverse_components": oq.SQL_REVERSE_COMPONENTS,
+        "reverse_raster": oq.SQL_REVERSE_RASTER,
         "wgs84_to_lv03": oq.SQL_LV03,
         "exif_roundtrip": oq.SQL_EXIF_ROUNDTRIP,
         "image_stats": oq.SQL_IMAGE_STATS,
@@ -76,5 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": tq.SQL_ANN_TOPK,
         "embed_dup": tq.SQL_EMBED_DUP,
         "events_window": tq.SQL_EVENTS_WINDOW,
+        "sessionize": tq.SQL_SESSIONIZE,
+        "top_docs": tq.SQL_TOP_DOCS,
         # minhash_pairs / simhash: rows-only by design
     }

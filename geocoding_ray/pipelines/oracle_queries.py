@@ -732,3 +732,57 @@ def q_forward_shuffle_topk(sf_dir: str):
         return batch[["query_id", "rk", "place_id", "lon", "lat", "importance"]]
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+def q_reverse_raster(sf_dir: str):
+    """Raster-path reverse geocoding (vector -> raster burn at level 10,
+    then O(1) per-point lookup).  The oracle replicates the raster
+    semantics exactly: containment is evaluated at the point's CELL
+    CENTER, not the point itself."""
+    import ray
+    import ray.data as rd
+
+    from ..state.raster import RasterLookup, build_raster
+    from ..stages.reverse import AdminIndex
+
+    raster = build_raster(AdminIndex(_rect_admin_table(), None), level=10)
+    raster_ref = ray.put(raster)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(
+        RasterLookup,
+        fn_constructor_args=(raster_ref,),
+        batch_format="pyarrow",
+        concurrency=4,
+        num_cpus=1,
+    )
+    return ds.select_columns(["event_id", "raster_admin_id"])
+
+
+SQL_REVERSE_RASTER = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+cellc AS (
+  SELECT event_id,
+         (floor((lon + 180.0) / 360.0 * 1024.0) + 0.5) / 1024.0 * 360.0 - 180.0 AS clon,
+         (floor((lat + 90.0) / 180.0 * 1024.0) + 0.5) / 1024.0 * 180.0 - 90.0 AS clat
+  FROM pts),
+{_rect_world_values_sql()},
+hits AS (
+  SELECT c.event_id, a.admin_id,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY a.level_rank DESC, a.area ASC, a.admin_id ASC) AS rn
+  FROM cellc c JOIN admin a
+    ON c.clon > a.minx AND c.clon < a.maxx AND c.clat > a.miny AND c.clat < a.maxy)
+SELECT p.event_id, COALESCE(h.admin_id, 0) AS raster_admin_id
+FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
+"""

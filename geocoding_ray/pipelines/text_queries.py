@@ -371,3 +371,67 @@ def q_ann_ivf(sf_dir: str):
     )
     ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
     return ds.select_columns(["qid", "nid", "rk"])
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based session windows over the events log)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user: a new session starts when the
+    gap to the previous event (ordered by ts, event_id) exceeds 30 min.
+
+    Ray plan: ``groupby(user_id).map_groups`` over the sorted group —
+    the ray-guide pattern for stream-shaped workloads (partition by key,
+    order by ts within partition).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = g["ts"].diff().dt.total_seconds() * 1_000_000
+        new_sess = gap.isna() | (gap > SESSION_GAP_US)
+        g["session_id"] = new_sess.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(n_events=("event_id", "count"), session_start=("ts", "min"), session_end=("ts", "max"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_top_docs(sf_dir: str):
+    """Global deterministic top-k via distributed sort + limit
+    (n_chars desc, doc_id asc)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
