@@ -159,7 +159,7 @@ def q_reverse_pip(sf_dir: str):
         ReverseJoiner,
         fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
 
@@ -312,7 +312,7 @@ def q_forward_nation(sf_dir: str):
         fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True)),
         fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
     return ds.select_columns(["query_id", "top_name", "top_lon", "top_lat"])
@@ -363,7 +363,7 @@ def q_forward_bbox(sf_dir: str):
         fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True, bbox=bb)),
         fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
 
@@ -553,7 +553,7 @@ def q_exif_roundtrip(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    return ds.map_batches(_TiffRoundtrip, batch_format="pyarrow", concurrency=4, num_cpus=1)
+    return ds.map_batches(_TiffRoundtrip, batch_format="pyarrow", concurrency=2, num_cpus=1)
 
 
 SQL_EXIF_ROUNDTRIP = """
@@ -595,7 +595,7 @@ def q_image_stats(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    return ds.map_batches(_ImageStats, batch_format="pyarrow", concurrency=4, num_cpus=1)
+    return ds.map_batches(_ImageStats, batch_format="pyarrow", concurrency=2, num_cpus=1)
 
 
 SQL_IMAGE_STATS = """
@@ -629,7 +629,7 @@ def q_reverse_components(sf_dir: str):
         ReverseJoiner,
         fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
 
@@ -759,7 +759,7 @@ def q_reverse_raster(sf_dir: str):
         RasterLookup,
         fn_constructor_args=(raster_ref,),
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
     return ds.select_columns(["event_id", "raster_admin_id"])

@@ -160,7 +160,7 @@ def q_ann_topk(sf_dir: str):
         fn_constructor_args=(qref,),
         fn_constructor_kwargs={"k": ANN_K},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
     ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
@@ -220,7 +220,7 @@ def q_embed_dup(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ds.map_batches(
-        PairFinder, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=4, num_cpus=1
+        PairFinder, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=1
     )
 
 
@@ -249,7 +249,7 @@ def q_minhash_pairs(sf_dir: str):
     texts_ref = ray.put(dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=4, num_cpus=1)
+    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
 
     # Bucket prefilter: a native Count aggregate finds the (band, hash)
     # buckets with >=2 members — near-dup buckets are a tiny fraction, so
@@ -366,7 +366,7 @@ def q_ann_ivf(sf_dir: str):
         fn_constructor_args=(qref, cref),
         fn_constructor_kwargs={"k": ANN_K, "nprobe": 4},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=2,
         num_cpus=1,
     )
     ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
@@ -435,3 +435,13 @@ def q_top_docs(sf_dir: str):
 SQL_TOP_DOCS = """
 SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 """
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> verified -> connected
+    components by min-label propagation (rows-only; clustering of an
+    engine-defined hash family is not SQL-expressible)."""
+    from ..stages.dedup import connected_components
+
+    pairs = q_minhash_pairs(sf_dir)
+    return connected_components(pairs)

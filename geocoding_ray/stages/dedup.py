@@ -175,3 +175,63 @@ def ngram_jaccard_pairs(texts_by_id: dict[int, str], n: int = 3, threshold: floa
             {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()), "jaccard": pa.array([], type=pa.float64())}
         )
     return pa.Table.from_pylist(rows)
+
+
+def connected_components(pairs, max_rounds: int = 10):
+    """Duplicate clusters from verified near-dup pairs via distributed
+    min-label propagation (ray guide: "iterate a few rounds of min-label
+    propagation with groupby"; union-find on the driver is only safe
+    when the pair set is provably small — this path scales).
+
+    ``pairs``: a ray.data.Dataset or pyarrow.Table with int64 columns
+    (a, b).  Returns a Dataset of (doc_id, cluster_id) where cluster_id
+    is the minimum doc_id of the component.
+
+    Each round: labels join onto the (undirected + self) edge list keyed
+    by src, then a ``groupby(dst).min(label)`` — two shuffles of
+    O(edges) small rows; rounds needed = graph diameter (near-dup
+    components are shallow; max_rounds bounds pathological chains).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if not isinstance(pairs, pa.Table):
+        tbl = pa.Table.from_pylist(pairs.take_all()) if hasattr(pairs, "take_all") else pa.table(pairs)
+    else:
+        tbl = pairs
+    a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()), "cluster_id": pa.array([], type=pa.int64())}))
+    src = np.concatenate([a, b, nodes])
+    dst = np.concatenate([b, a, nodes])
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, type=pa.int64()), "dst": pa.array(dst, type=pa.int64())}))
+    labels = {int(x): int(x) for x in nodes}
+
+    for _ in range(max_rounds):
+        import ray
+
+        lab_ref = ray.put(labels)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            lab = ray.get(lab_ref)
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            lv = np.array([lab[int(x)] for x in s], dtype=np.int64)
+            return pa.table({"dst": pa.array(d, type=pa.int64()), "label": pa.array(lv, type=pa.int64())})
+
+        agg = edges.map_batches(relabel, batch_format="pyarrow").groupby("dst").aggregate(Min("label", alias_name="m"))
+        new = {int(r["dst"]): int(r["m"]) for r in agg.take_all()}
+        if new == labels:
+            break
+        labels = new
+
+    out = pa.table(
+        {
+            "doc_id": pa.array(sorted(labels), type=pa.int64()),
+            "cluster_id": pa.array([labels[k] for k in sorted(labels)], type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)

@@ -237,3 +237,23 @@ class TestImageOps:
         assert out.schema.field("features").type == pa.list_(pa.float32(), 8)
         with pytest.raises(NotImplementedError):
             image_ops.AudioFeatureStub(strict=True)(batch)
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, ray_session):
+        import pyarrow as pa
+
+        from geocoding_ray.stages.dedup import connected_components
+
+        # chain 1-2-3-4, pair 10-11, singleton never appears
+        pairs = pa.table({"a": pa.array([1, 2, 3, 10], type=pa.int64()), "b": pa.array([2, 3, 4, 11], type=pa.int64())})
+        out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).take_all()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+
+        from geocoding_ray.stages.dedup import connected_components
+
+        pairs = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
+        assert connected_components(pairs).count() == 0
