@@ -786,3 +786,23 @@ hits AS (
 SELECT p.event_id, COALESCE(h.admin_id, 0) AS raster_admin_id
 FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
 """
+
+
+def q_reverse_annotations(sf_dir: str):
+    """O4 annotations analogue (opencage.rs:581-599): DMS strings,
+    quadkey (the geohash role), cell id, Mercator x/y.  Rows-only: DMS
+    string formatting and Morton codes aren't SQL-reproducible; the
+    kernels are unit/property tested."""
+    import ray.data as rd
+
+    from ..stages.annotations import annotate_points
+
+    def synth(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(annotate_points, batch_format="pyarrow")
+    return ds.select_columns(["event_id", "dms_lat", "dms_lon", "quadkey", "mercator_x", "mercator_y"])

@@ -17,18 +17,24 @@ from ..stages.text import LANG_MARKERS, LANG_PRIORITY, STOPWORDS, fingerprint_md
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: hash-partition groupby on a content hash computed in a
-    vectorized map_batches, native Min/Count aggregates (the shuffle moves
-    only (hash, id) pairs — ray guide 'Aggregation at scale')."""
+    """Exact dedup: content hash per row, then PARTIAL aggregation inside
+    each batch (pyarrow group_by: one row per hash per batch) before the
+    hash-partition groupby combines partials with Min/Sum — the shuffle
+    moves at most one slim row per distinct hash per batch, never
+    payloads (ray guide 'Aggregation at scale')."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     from ..stages.dedup import add_md5
 
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_md5(batch).select(["text_md5", "doc_id"])
+        g = b.group_by("text_md5").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text_md5", "pmin", "pcount"])
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.map_batches(add_md5, batch_format="pyarrow")
-    ds = ds.select_columns(["text_md5", "doc_id"])
-    return ds.groupby("text_md5").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("text_md5").aggregate(Min("pmin", alias_name="doc_id"), Sum("pcount", alias_name="n_dups"))
 
 
 SQL_DEDUP_EXACT = """

@@ -217,3 +217,32 @@ class TestIndexBuildScale:
         assert np.allclose(a, expected, rtol=1e-9)
         p, i = tree.query_points(rng.uniform(-170, 170, 1000), rng.uniform(-80, 80, 1000))
         assert len(p) >= 0
+
+
+class TestAnnotations:
+    def test_dms_and_quadkey(self):
+        import pyarrow as pa
+
+        from geocoding_ray.stages.annotations import annotate_points
+
+        batch = pa.table({"id": [1, 2], "lon": [2.1287, None], "lat": [41.40139, None]})
+        out = annotate_points(batch).to_pylist()
+        r = out[0]
+        assert r["dms_lat"].endswith("'' N") and r["dms_lat"].startswith("41° 24'")
+        assert r["dms_lon"].endswith("'' E") and r["dms_lon"].startswith("2° 7'")
+        assert len(r["quadkey"]) == 9
+        # Web-Mercator of (2.1287, 41.40139)
+        assert abs(r["mercator_x"] - 236963.8) < 10
+        assert abs(r["mercator_y"] - 5071728) < 2000
+        # null GPS stays null
+        assert out[1]["dms_lat"] is None and out[1]["quadkey"] is None
+
+    def test_dms_negative_refs(self):
+        import pyarrow as pa
+
+        from geocoding_ray.stages.annotations import annotate_points
+
+        batch = pa.table({"id": [1], "lon": [-0.1360], "lat": [-51.5210]})
+        r = annotate_points(batch).to_pylist()[0]
+        assert r["dms_lat"].endswith("'' S")
+        assert r["dms_lon"].endswith("'' W")
