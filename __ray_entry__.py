@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
         "simhash": tq.q_simhash,
+        "simhash_pairs": tq.q_simhash_pairs,      # banded SimHash near-dup pairs (Hamming verify)
         "cell_assign": oq.q_cell_assign,          # deterministic tile/cell ids + quadkey render
         "ann_ivf": tq.q_ann_ivf,                  # IVF scale path (approximate by design)
         "dedup_clusters": tq.q_dedup_clusters,    # near-dup connected components (label propagation)

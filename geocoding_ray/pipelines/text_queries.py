@@ -451,3 +451,61 @@ def q_dedup_clusters(sf_dir: str):
 
     pairs = q_minhash_pairs(sf_dir)
     return connected_components(pairs)
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs: 64-bit fingerprints -> candidate buckets
+    keyed by each of the four 16-bit bands (two fingerprints within
+    Hamming<=3 share at least one exact band when the <=3 differing bits
+    fall in <=3 bands — pigeonhole over 4 bands) -> exact Hamming verify.
+    Rows-only (hash family engine-defined)."""
+    import ray.data as rd
+
+    from ..functions.hashing import hamming64
+    from ..stages.dedup import simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fp = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+        bands = np.stack([batch.column(f"sim_band{b}").to_numpy(zero_copy_only=False) for b in range(4)])
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n), type=pa.int32()),
+                "key": pa.array(bands.ravel(), type=pa.int32()),
+                "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+                "simhash": pa.array(np.tile(sh, 4), type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = group.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, sh = ids[order], sh[order]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, sh = ids[keep], sh[keep]
+        if len(ids) < 2 or len(ids) > 256:  # bucket cap, like MinHash
+            return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()), "hamming": pa.array([], type=pa.int64())})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = hamming64(sh[ia].astype(np.uint64), sh[ib].astype(np.uint64))
+        ok = d <= SIMHASH_MAX_HAMMING
+        return pa.table(
+            {
+                "a": pa.array(ids[ia][ok], type=pa.int64()),
+                "b": pa.array(ids[ib][ok], type=pa.int64()),
+                "hamming": pa.array(d[ok], type=pa.int64()),
+            }
+        )
+
+    pairs = fp.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = pairs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # dedup pairs found via multiple bands
+    return pairs.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")

@@ -1,0 +1,153 @@
+"""GeoJSON ingest — the engine's analogue of the reference's
+FeatureCollection parsing (/root/reference/src/openstreetmap.rs:234-292:
+``OpenstreetmapResponse`` IS a GeoJSON FeatureCollection; geoadmin.rs
+returns ``geometryFormat=geojson`` too).
+
+Converts FeatureCollection dicts (no network, schema-on-read like the
+reference's serde decode) into the engine's Arrow tables:
+
+* Polygon / MultiPolygon features -> ``ADMIN_SCHEMA`` rows
+* Point features                  -> ``GAZETTEER_SCHEMA`` rows
+
+Coordinates are GeoJSON [lon, lat] order, matching the boundary
+invariant (lib.rs:13-16).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.normalize import normalize_text
+from ..state import cells
+from .schemas import ADMIN_SCHEMA, COMPONENT_FIELDS, COMPONENT_LANG_FIELDS, GAZETTEER_SCHEMA
+
+LEVEL_RANK = {"country": 1, "state": 2, "county": 3, "city": 4, "suburb": 5, "postcode_zone": 6}
+
+
+def _rings_of(geom: dict) -> list[list[list[float]]]:
+    t = geom.get("type")
+    if t == "Polygon":
+        return [[list(map(float, pt)) for pt in ring] for ring in geom["coordinates"]]
+    if t == "MultiPolygon":
+        # flatten: all rings of all polygons (holes follow their outer
+        # ring; PIP parity is preserved by even-odd crossing)
+        return [
+            [list(map(float, pt)) for pt in ring]
+            for poly in geom["coordinates"]
+            for ring in poly
+        ]
+    raise ValueError(f"not an areal geometry: {t}")
+
+
+def admin_from_geojson(fc: dict, id_start: int = 1) -> pa.Table:
+    """FeatureCollection of Polygon/MultiPolygon features -> admin table.
+
+    Feature properties understood: ``name``, ``level`` (one of
+    country/state/county/city/suburb/postcode_zone), ``formatted``, and
+    any of the 14 AddressDetails component fields
+    (openstreetmap.rs:322-337)."""
+    if fc.get("type") != "FeatureCollection":
+        raise ValueError("expected a FeatureCollection")
+    rows = []
+    admin_id = id_start
+    for feat in fc.get("features", []):
+        geom = feat.get("geometry") or {}
+        if geom.get("type") not in ("Polygon", "MultiPolygon"):
+            continue
+        props = feat.get("properties") or {}
+        rings = _rings_of(geom)
+        xs = np.array([pt[0] for ring in rings for pt in ring])
+        ys = np.array([pt[1] for ring in rings for pt in ring])
+        level = props.get("level", "city")
+        row = {
+            "admin_id": admin_id,
+            "name": props.get("name", f"feature-{admin_id}"),
+            "level": level,
+            "level_rank": LEVEL_RANK.get(level, 4),
+            "rings": rings,
+            "minx": float(xs.min()),
+            "miny": float(ys.min()),
+            "maxx": float(xs.max()),
+            "maxy": float(ys.max()),
+            "area": float((xs.max() - xs.min()) * (ys.max() - ys.min())),
+            "formatted": props.get("formatted", props.get("name", "")),
+        }
+        for f in COMPONENT_FIELDS + COMPONENT_LANG_FIELDS:
+            row[f] = props.get(f)
+        rows.append(row)
+        admin_id += 1
+    return pa.Table.from_pylist(rows, schema=ADMIN_SCHEMA)
+
+
+def gazetteer_from_geojson(fc: dict, id_start: int = 1, cell_level: int = 8) -> pa.Table:
+    """FeatureCollection of Point features -> gazetteer table.
+
+    Properties understood mirror ``ForwardLocationProperties``
+    (geoadmin.rs:375-389): ``name``/``label``/``detail``, ``origin``,
+    ``rank``, ``weight``, plus OSM ``importance`` and OpenCage
+    ``confidence``; ``detail`` defaults to the normalized name."""
+    if fc.get("type") != "FeatureCollection":
+        raise ValueError("expected a FeatureCollection")
+    rows = []
+    pid = id_start
+    for feat in fc.get("features", []):
+        geom = feat.get("geometry") or {}
+        if geom.get("type") != "Point":
+            continue
+        lon, lat = (float(v) for v in geom["coordinates"][:2])
+        props = feat.get("properties") or {}
+        name = props.get("name", f"place-{pid}")
+        rows.append(
+            {
+                "place_id": pid,
+                "name": name,
+                "detail": normalize_text(props.get("detail", name)),
+                "alt_names": list(props.get("alt_names", [name])),
+                "lon": lon,
+                "lat": lat,
+                "origin": props.get("origin", "gazetteer"),
+                "rank": int(props.get("rank", 1)),
+                "weight": int(props.get("weight", 0)),
+                "importance": float(props.get("importance", 0.0)),
+                "confidence": int(props.get("confidence", 5)),
+                "cell_id": int(cells.encode(np.array([lon]), np.array([lat]), cell_level)[0]),
+                "label": props.get("label", name),
+                "house_number": props.get("house_number"),
+                "strname_deinr": props.get("strname_deinr"),
+                "dplz4": props.get("dplz4"),
+                "dplzname": props.get("dplzname"),
+            }
+        )
+        pid += 1
+    return pa.Table.from_pylist(rows, schema=GAZETTEER_SCHEMA)
+
+
+def read_geojson_files(paths: Iterable[str]) -> tuple[pa.Table, pa.Table]:
+    """Read .geojson files -> (admin_table, gazetteer_table), areal and
+    point features routed by geometry type."""
+    import json
+
+    admins = []
+    gazes = []
+    aid = 1
+    gid = 1
+    for p in paths:
+        with open(p) as f:
+            fc = json.load(f)
+        a = admin_from_geojson(fc, id_start=aid)
+        g = gazetteer_from_geojson(fc, id_start=gid)
+        aid += a.num_rows
+        gid += g.num_rows
+        if a.num_rows:
+            admins.append(a)
+        if g.num_rows:
+            gazes.append(g)
+    empty_a = pa.Table.from_pylist([], schema=ADMIN_SCHEMA)
+    empty_g = pa.Table.from_pylist([], schema=GAZETTEER_SCHEMA)
+    return (
+        pa.concat_tables(admins) if admins else empty_a,
+        pa.concat_tables(gazes) if gazes else empty_g,
+    )

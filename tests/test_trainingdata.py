@@ -257,3 +257,82 @@ class TestConnectedComponents:
 
         pairs = pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())})
         assert connected_components(pairs).count() == 0
+
+
+class TestGeoJSON:
+    def _fc(self):
+        return {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]},
+                    "properties": {"name": "Testland", "level": "country", "country": "Testland"},
+                },
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": [[[[2, 2], [5, 2], [5, 5], [2, 5], [2, 2]]], [[[6, 6], [8, 6], [8, 8], [6, 8], [6, 6]]]],
+                    },
+                    "properties": {"name": "Splitcity", "level": "city", "city": "Splitcity"},
+                },
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [3.5, 3.5]},
+                    "properties": {"name": "Mid Place", "origin": "address", "importance": 0.9},
+                },
+            ],
+        }
+
+    def test_admin_ingest_and_pip(self):
+        from geocoding_ray.sources.geojson import admin_from_geojson
+        from geocoding_ray.stages.reverse import AdminIndex
+
+        tbl = admin_from_geojson(self._fc())
+        assert tbl.num_rows == 2
+        idx = AdminIndex(tbl, None)
+        win = idx.locate(np.array([3.0, 7.0, 0.5, 20.0]), np.array([3.0, 7.0, 0.5, 20.0]))
+        # inside first lobe of Splitcity; inside second lobe; country only; miss
+        assert idx.name[int(win[0])] == "Splitcity"
+        assert idx.name[int(win[1])] == "Splitcity"
+        assert idx.name[int(win[2])] == "Testland"
+        assert win[3] == -1
+
+    def test_gazetteer_ingest_and_forward(self):
+        from geocoding_ray.config import ForwardConfig
+        from geocoding_ray.sources.geojson import gazetteer_from_geojson
+        from geocoding_ray.stages.forward import ForwardJoiner, GazetteerIndex
+
+        gaz = gazetteer_from_geojson(self._fc())
+        assert gaz.num_rows == 1
+        fj = ForwardJoiner(GazetteerIndex(gaz), ForwardConfig(), query_col="q", id_col="i")
+        out = fj(pa.table({"i": ["x"], "q": ["Mid Place"]})).to_pylist()[0]
+        assert out["points"][0] == {"lon": 3.5, "lat": 3.5}
+
+    def test_not_a_fc_raises(self):
+        from geocoding_ray.sources.geojson import admin_from_geojson
+
+        with pytest.raises(ValueError):
+            admin_from_geojson({"type": "Feature"})
+
+
+class TestSimhashPairs:
+    def test_pigeonhole_bucket_recovers_near_dup(self, ray_session, tmp_path):
+        import pyarrow.parquet as pqw
+
+        from geocoding_ray.pipelines.text_queries import q_simhash_pairs
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        rows = [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},  # identical -> hamming 0
+            {"doc_id": 3, "text": "a completely different document about query engines and shuffles"},
+        ]
+        d = tmp_path / "docs"
+        d.mkdir()
+        pqw.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = q_simhash_pairs(str(d)).take_all()
+        pairs = {(r["a"], r["b"]) for r in out}
+        assert (1, 2) in pairs
+        assert all(p in {(1, 2)} or 3 not in p for p in pairs)
