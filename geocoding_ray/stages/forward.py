@@ -121,6 +121,11 @@ class ForwardJoiner:
         # the ``forward_full`` projection (opencage.rs:284-328,
         # geoadmin.rs:158-202) flattened for columnar consumers.
         self.explode = explode
+        # per-actor memo: query text -> ranked candidate indices.  Real
+        # caption corpora repeat place mentions heavily; the memo turns
+        # repeats into a dict hit.  Bounded to keep actor heaps flat.
+        self._memo: dict[str, np.ndarray] = {}
+        self._memo_cap = 200_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
@@ -143,20 +148,24 @@ class ForwardJoiner:
         ex_rows: list[tuple] = []  # explode mode: (i, rk, place array idx)
 
         for i, q in enumerate(queries):
-            cand = idx.match(q, ignore_oov=cfg.ignore_oov) if q else np.zeros(0, dtype=np.int64)
-            if len(cand) and origins is not None:
-                keep = np.array([o in origins for o in idx.origin[cand]], dtype=bool)
-                cand = cand[keep]
-            if len(cand) and bbox is not None:
-                keep = points_in_bbox(idx.lon[cand], idx.lat[cand], bbox.minx, bbox.miny, bbox.maxx, bbox.maxy)
-                cand = cand[keep]
+            cand = self._memo.get(q) if q else None
+            if cand is None:
+                cand = idx.match(q, ignore_oov=cfg.ignore_oov) if q else np.zeros(0, dtype=np.int64)
+                if len(cand) and origins is not None:
+                    keep = np.array([o in origins for o in idx.origin[cand]], dtype=bool)
+                    cand = cand[keep]
+                if len(cand) and bbox is not None:
+                    keep = points_in_bbox(idx.lon[cand], idx.lat[cand], bbox.minx, bbox.miny, bbox.maxx, bbox.maxy)
+                    cand = cand[keep]
+                # rank: stable order by precomputed global rank position
+                cand = cand[np.argsort(idx.rank_pos[cand], kind="stable")]
+                if limit is not None:
+                    cand = cand[:limit]
+                if q is not None and len(self._memo) < self._memo_cap:
+                    self._memo[q] = cand
             if len(cand) == 0:
                 out_points.append([])
                 continue
-            # rank: stable order by precomputed global rank position
-            cand = cand[np.argsort(idx.rank_pos[cand], kind="stable")]
-            if limit is not None:
-                cand = cand[:limit]
             lon = idx.lon[cand]
             lat = idx.lat[cand]
             px, py = project_points(lon, lat, cfg.sr)

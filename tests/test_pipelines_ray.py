@@ -72,3 +72,33 @@ class TestForwardPipeline:
         # most captions name a real gazetteer place -> high hit rate
         hits = sum(1 for r in rows if r["n_candidates"] > 0)
         assert hits / len(rows) > 0.9
+
+
+class TestBinaryFilesSource:
+    def test_loose_tiff_files_flow_through_reverse(self, ray_session, fixture_dir, tmp_path):
+        import numpy as np
+
+        from geocoding_ray.sources import read_images_from_files, tiff
+
+        d = tmp_path / "raw"
+        d.mkdir()
+        # (2.1287, 41.40139) — the Barcelona golden point
+        buf = tiff.encode_tiff(np.zeros((3, 3, 3), dtype=np.uint8), 414013900, 21287000)
+        (d / "imgA.tiff").write_bytes(buf)
+        (d / "junk.bin").write_bytes(b"not a tiff")
+
+        ds = read_images_from_files(str(d))
+        rows = {r["image_id"]: r for r in ds.take_all()}
+        assert rows["imgA"]["fmt"] == "tiff" and rows["imgA"]["w"] == 3
+        assert rows["junk"]["fmt"] == "unknown"
+
+        # feed the ingested table into the real reverse chain
+        from geocoding_ray.stages.cellstage import make_cell_encoder
+        from geocoding_ray.stages.exif import extract_gps
+
+        out = ds.map_batches(extract_gps, batch_format="pyarrow").map_batches(
+            make_cell_encoder(8), batch_format="pyarrow"
+        )
+        got = {r["image_id"]: r for r in out.take_all()}
+        assert got["imgA"]["has_gps"] and abs(got["imgA"]["lon"] - 2.1287) < 1e-9
+        assert not got["junk"]["has_gps"]
