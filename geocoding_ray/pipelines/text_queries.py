@@ -492,7 +492,8 @@ def q_simhash_pairs(sf_dir: str):
         keep = np.ones(len(ids), dtype=bool)
         keep[1:] = ids[1:] != ids[:-1]
         ids, sh = ids[keep], sh[keep]
-        if len(ids) < 2 or len(ids) > 256:  # bucket cap, like MinHash
+        ids, sh = ids[:256], sh[:256]  # cap fan-out like MinHash: truncate, never drop the bucket
+        if len(ids) < 2:
             return pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()), "hamming": pa.array([], type=pa.int64())})
         ia, ib = np.triu_indices(len(ids), k=1)
         d = hamming64(sh[ia].astype(np.uint64), sh[ib].astype(np.uint64))

@@ -23,8 +23,16 @@ def read_images_from_files(paths_or_dir, include_paths: bool = True):
         bufs = batch.column("bytes").to_pylist()
         paths = batch.column("path").to_pylist() if "path" in batch.column_names else [None] * len(bufs)
         ids, fmts, ws, hs = [], [], [], []
+        import hashlib as _hl
+
         for p, b in zip(paths, bufs):
-            ids.append(os.path.splitext(os.path.basename(p))[0] if p else f"file{len(ids)}")
+            # content-hash fallback when no path: batch-local counters
+            # would collide across batches
+            ids.append(
+                os.path.splitext(os.path.basename(p))[0]
+                if p
+                else "file-" + _hl.blake2b(b, digest_size=8).hexdigest()
+            )
             if b[:4] == b"II*\x00":
                 fmts.append("tiff")
                 try:

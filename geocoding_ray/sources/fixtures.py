@@ -353,7 +353,9 @@ def build_images(
     isl_lon = gaz_tbl.column("lon").to_numpy(zero_copy_only=False)[isl]
     isl_lat = gaz_tbl.column("lat").to_numpy(zero_copy_only=False)[isl]
     n_boxes = len(sample_boxes)
-    boxes = np.array([b[:4] for b in sample_boxes]) if n_boxes else np.zeros((0, 4))
+    # dummy row when empty: np.where evaluates the pip branch eagerly
+    # even though the kinds guard excludes "pip" for n_boxes == 0
+    boxes = np.array([b[:4] for b in sample_boxes]) if n_boxes else np.zeros((1, 4))
 
     # --- vectorized draws for all n rows ---
     u = rng.uniform(size=n)

@@ -248,8 +248,10 @@ def parse_gps_arrow(binary_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if len(binary_col) == 0:
         z = np.zeros(0)
         return z, z.copy(), np.zeros(0, dtype=bool)
-    offsets = np.frombuffer(binary_col.buffers()[1], dtype=np.int32, count=len(binary_col) + 1).astype(np.int64)
     arrow_off = binary_col.offset
+    offsets = np.frombuffer(
+        binary_col.buffers()[1], dtype=np.int32, count=arrow_off + len(binary_col) + 1
+    ).astype(np.int64)
     if arrow_off:
         offsets = offsets[arrow_off : arrow_off + len(binary_col) + 1]
     data = np.frombuffer(binary_col.buffers()[2], dtype=np.uint8)

@@ -66,19 +66,19 @@ class BruteForceTopK:
         sims = self.qmat @ mat.T  # (nq, nb)
         sims = np.round(sims, 6)
         nq, nb = sims.shape
-        k = min(self.k + (1 if self.exclude_self else 0), nb)
         out_q, out_n, out_s = [], [], []
-        # per-query partial top-k: argpartition then deterministic ordering
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k] if k < nb else np.tile(np.arange(nb), (nq, 1))
+        # per-query partial top-k by the FULL deterministic order
+        # (sim desc, nid asc).  argpartition is unsafe here: it picks
+        # arbitrarily among candidates tied at the boundary, breaking the
+        # documented tie-break (and the oracle) on duplicate embeddings.
         for qi in range(nq):
-            cols = part[qi]
+            order = np.lexsort((ids, -sims[qi]))
             if self.exclude_self:
-                cols = cols[ids[cols] != self.qids[qi]]
-            s = sims[qi, cols]
-            order = np.lexsort((ids[cols], -s))[: self.k]
+                order = order[ids[order] != self.qids[qi]]
+            order = order[: self.k]
             out_q.append(np.full(len(order), self.qids[qi], dtype=np.int64))
-            out_n.append(ids[cols][order])
-            out_s.append(s[order])
+            out_n.append(ids[order])
+            out_s.append(sims[qi, order])
         return pa.table(
             {
                 "qid": pa.array(np.concatenate(out_q) if out_q else np.zeros(0, np.int64), type=pa.int64()),
@@ -128,18 +128,24 @@ class IVFTopK(BruteForceTopK):
         cent = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
         self.centroids = cent
         probe = np.argsort(-(self.qmat @ cent.T), axis=1, kind="stable")[:, :nprobe]
-        self.probe_sets = [set(row.tolist()) for row in probe]
+        # (n_centroids, nq) bool membership matrix: probe_mask[c, qi] is
+        # True when query qi probes centroid c — one vectorized gather
+        # per batch instead of per-row Python membership tests
+        self.probe_mask = np.zeros((len(cent), len(self.qids)), dtype=bool)
+        for qi, row in enumerate(probe):
+            self.probe_mask[row, qi] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize_rows(embeddings_to_matrix(batch))
         assign = np.argmax(mat @ self.centroids.T, axis=1)
         sims = np.round(self.qmat @ mat.T, 6)
+        probed = self.probe_mask[assign]  # (nb, nq) — vectorized
         out_q, out_n, out_s = [], [], []
         for qi in range(len(self.qids)):
-            mask = np.fromiter((a in self.probe_sets[qi] for a in assign), count=len(assign), dtype=bool)
+            mask = probed[:, qi]
             if self.exclude_self:
-                mask &= ids != self.qids[qi]
+                mask = mask & (ids != self.qids[qi])
             cols = np.nonzero(mask)[0]
             if len(cols) == 0:
                 continue

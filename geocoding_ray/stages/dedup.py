@@ -52,12 +52,10 @@ MAX_BUCKET = 64
 
 
 def add_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    import hashlib
+    from ..functions.hashing import md5_hex
 
-    texts = batch.column(text_col).to_pylist()
-    return batch.append_column(
-        "text_md5", pa.array([hashlib.md5((t or "").encode()).hexdigest() for t in texts], type=pa.string())
-    )
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("text_md5", pa.array(md5_hex(texts), type=pa.string()))
 
 
 class MinHashStage:
@@ -115,6 +113,8 @@ class JaccardVerify:
     instead; fixtures and sf-scale corpora fit comfortably.
     """
 
+    _CACHE_CAP = 200_000
+
     def __init__(self, texts_ref, threshold: float = 0.8, shingle_k: int = SHINGLE_K):
         import ray
 
@@ -127,7 +127,8 @@ class JaccardVerify:
         s = self._cache.get(i)
         if s is None:
             s = char_shingles(normalize_text(self.texts.get(i, "")), self.shingle_k)
-            self._cache[i] = s
+            if len(self._cache) < self._CACHE_CAP:  # bound long-lived actor heaps
+                self._cache[i] = s
         return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -178,10 +179,15 @@ def ngram_jaccard_pairs(texts_by_id: dict[int, str], n: int = 3, threshold: floa
 
 
 def connected_components(pairs, max_rounds: int = 10):
-    """Duplicate clusters from verified near-dup pairs via distributed
-    min-label propagation (ray guide: "iterate a few rounds of min-label
-    propagation with groupby"; union-find on the driver is only safe
-    when the pair set is provably small — this path scales).
+    """Duplicate clusters from verified near-dup pairs via min-label
+    propagation over groupby rounds.
+
+    Scaling note (honest bound): the per-round combine is distributed,
+    but the label map itself round-trips through the driver
+    (``take_all`` + broadcast), so driver memory is O(nodes appearing in
+    pairs) — fine in practice because near-dup pairs touch a small
+    fraction of a corpus, but NOT unbounded; a fully distributed variant
+    would keep labels as a Dataset and co-shuffle them with the edges.
 
     ``pairs``: a ray.data.Dataset or pyarrow.Table with int64 columns
     (a, b).  Returns a Dataset of (doc_id, cluster_id) where cluster_id
@@ -217,9 +223,13 @@ def connected_components(pairs, max_rounds: int = 10):
 
         def relabel(batch: pa.Table) -> pa.Table:
             lab = ray.get(lab_ref)
+            keys = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+            vals = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
             s = batch.column("src").to_numpy(zero_copy_only=False)
             d = batch.column("dst").to_numpy(zero_copy_only=False)
-            lv = np.array([lab[int(x)] for x in s], dtype=np.int64)
+            lv = vals[np.searchsorted(keys, s)]  # all srcs are known nodes
             return pa.table({"dst": pa.array(d, type=pa.int64()), "label": pa.array(lv, type=pa.int64())})
 
         agg = edges.map_batches(relabel, batch_format="pyarrow").groupby("dst").aggregate(Min("label", alias_name="m"))

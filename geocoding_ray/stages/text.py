@@ -105,6 +105,7 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    digests = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
-    return batch.append_column("fp_md5", pa.array(digests, type=pa.string()))
+    from ..functions.hashing import md5_hex
+
+    texts = [t or "" for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fp_md5", pa.array(md5_hex(texts), type=pa.string()))

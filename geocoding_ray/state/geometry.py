@@ -120,13 +120,31 @@ class PackedRings:
         spurious = np.where(last < len(x) - 1, x[last] * y[(last + 1) % len(x)] - x[(last + 1) % len(x)] * y[last], 0.0)
         closing = x[last] * y[first] - x[first] * y[last]
         ring_area = np.abs(0.5 * (sums - spurious + closing))
-        # first ring of each poly adds; holes subtract
+        # Outer/hole classification by even-odd containment DEPTH among
+        # sibling rings (a ring at even depth adds, odd subtracts) — not
+        # by position, since a flattened MultiPolygon stores several
+        # outer rings per polygon (sources/geojson._rings_of).
         out = np.zeros(self.n_polys, dtype=np.float64)
-        ring_poly = np.repeat(np.arange(self.n_polys), np.diff(self.poly_ring_offsets))
-        is_outer = np.zeros(n_rings, dtype=bool)
-        is_outer[self.poly_ring_offsets[:-1]] = True
-        np.add.at(out, ring_poly, np.where(is_outer, ring_area, -ring_area))
-        return np.abs(out)
+        for p in range(self.n_polys):
+            r0, r1 = int(self.poly_ring_offsets[p]), int(self.poly_ring_offsets[p + 1])
+            if r1 - r0 == 1:
+                out[p] = ring_area[r0]
+                continue
+            total = 0.0
+            for r in range(r0, r1):
+                v0 = int(self.ring_offsets[r])
+                px = np.array([self.xs[v0]])
+                py = np.array([self.ys[v0]])
+                depth = 0
+                for s in range(r0, r1):
+                    if s == r:
+                        continue
+                    sv0, sv1 = int(self.ring_offsets[s]), int(self.ring_offsets[s + 1])
+                    if _ring_crossings(self.xs[sv0:sv1], self.ys[sv0:sv1], px, py)[0]:
+                        depth += 1
+                total += ring_area[r] if depth % 2 == 0 else -ring_area[r]
+            out[p] = abs(total)
+        return out
 
     def contains(self, poly_idx: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Vectorized even-odd ray-crossing test of many points against one
