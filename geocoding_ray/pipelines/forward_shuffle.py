@@ -141,6 +141,7 @@ def make_group_matcher(config: ForwardConfig):
 
     bbox = config.bbox
     origins = set(config.origins) if config.origins else None
+    limit = config.limit
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -152,6 +153,7 @@ def make_group_matcher(config: ForwardConfig):
                 "lat": pd.Series(dtype="float64"),
                 "importance": pd.Series(dtype="float64"),
                 "weight": pd.Series(dtype="int64"),
+                "rk": pd.Series(dtype="int64"),
             }
         )
 
@@ -160,60 +162,62 @@ def make_group_matcher(config: ForwardConfig):
         ps = g[g["side"] == "g"]
         if len(qs) == 0 or len(ps) == 0:
             return _empty()
-        detail_sets = [set(d.split(" ")) for d in ps["detail"]]
-        out = []
-        plon = ps["lon"].to_numpy()
-        plat = ps["lat"].to_numpy()
-        for _, qrow in qs.iterrows():
-            need = set(qrow["qtokens"].split(" "))
-            ok = np.array([need.issubset(ds_) for ds_ in detail_sets], dtype=bool)
-            if origins is not None:
-                ok &= ps["origin"].isin(origins).to_numpy()
-            if bbox is not None:
-                ok &= (plon >= bbox.minx) & (plon <= bbox.maxx) & (plat >= bbox.miny) & (plat <= bbox.maxy)
-            if not ok.any():
-                continue
-            sel = ps[ok]
-            for _, prow in sel.iterrows():
-                out.append(
-                    {
-                        "query_id": qrow["query_id"],
-                        "place_id": prow["place_id"],
-                        "name": prow["name"],
-                        "lon": prow["lon"],
-                        "lat": prow["lat"],
-                        "importance": prow["importance"],
-                        "weight": prow["weight"],
-                    }
-                )
-        if not out:
+        # group-constant filters computed ONCE (not per query)
+        base_ok = np.ones(len(ps), dtype=bool)
+        if origins is not None:
+            base_ok &= ps["origin"].isin(origins).to_numpy()
+        if bbox is not None:
+            plon = ps["lon"].to_numpy()
+            plat = ps["lat"].to_numpy()
+            base_ok &= (plon >= bbox.minx) & (plon <= bbox.maxx) & (plat >= bbox.miny) & (plat <= bbox.maxy)
+        keep_p = np.nonzero(base_ok)[0]
+        if len(keep_p) == 0:
             return _empty()
-        df = pd.DataFrame(out)
-        df["place_id"] = df["place_id"].astype("int64")
-        df["weight"] = df["weight"].astype("int64")
-        return df
+        ps = ps.iloc[keep_p]
+        detail_sets = [set(d.split(" ")) for d in ps["detail"]]
+        np_ = len(detail_sets)
+        # dedup identical query token-sets: within a (token, salt) group
+        # captions repeat heavily, so match once per distinct qtokens
+        qtok = qs["qtokens"].to_numpy()
+        uniq, inv = np.unique(qtok, return_inverse=True)
+        imp = ps["importance"].to_numpy()
+        wgt = ps["weight"].to_numpy().astype("int64")
+        pid = ps["place_id"].to_numpy().astype("int64")
+        # A query has exactly ONE join key, so ALL its candidates are in
+        # this group — rank + limit here and skip any query_id re-shuffle.
+        # Ranked once per DISTINCT caption (captions repeat heavily).
+        match_idx: list[np.ndarray] = []
+        for u in uniq:
+            need = set(u.split(" "))
+            ok = np.fromiter((need.issubset(ds_) for ds_ in detail_sets), dtype=bool, count=np_)
+            idx = np.nonzero(ok)[0]
+            if len(idx):
+                order = np.lexsort((pid[idx], -wgt[idx], -imp[idx]))
+                idx = idx[order]
+                if limit is not None:
+                    idx = idx[:limit]
+            match_idx.append(idx)
+        counts = np.array([len(match_idx[inv[i]]) for i in range(len(qs))], dtype=np.int64)
+        if counts.sum() == 0:
+            return _empty()
+        q_rep = np.repeat(np.arange(len(qs)), counts)
+        p_sel = np.concatenate([match_idx[inv[i]] for i in range(len(qs)) if counts[i]])
+        rk = np.concatenate([np.arange(1, c + 1, dtype=np.int64) for c in counts if c])
+        return pd.DataFrame(
+            {
+                "query_id": qs["query_id"].to_numpy()[q_rep],
+                "place_id": pid[p_sel],
+                "name": ps["name"].to_numpy()[p_sel],
+                "lon": ps["lon"].to_numpy()[p_sel],
+                "lat": ps["lat"].to_numpy()[p_sel],
+                "importance": imp[p_sel],
+                "weight": wgt[p_sel],
+                "rk": rk,
+            }
+        )
 
     return match_group
 
-
-def make_topk(config: ForwardConfig):
-    import pandas as pd
-
-    limit = config.limit
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["importance", "weight", "place_id"], ascending=[False, False, True], kind="stable"
-        )
-        if limit is not None:
-            g = g.head(limit)
-        g = g.reset_index(drop=True)
-        g["place_id"] = g["place_id"].astype("int64")
-        g["weight"] = g["weight"].astype("int64")
-        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return topk
 
 
 def run_forward_shuffle(
@@ -254,9 +258,12 @@ def run_forward_shuffle(
     # execute a nested Dataset inside each map task.
     import pyarrow.parquet as pq_
 
-    qid_type = pq_.read_schema(
-        images_path if images_path.endswith(".parquet") else _first_parquet(images_path)
-    ).field(id_col).type
+    first = (
+        images_path[0]
+        if isinstance(images_path, (list, tuple))
+        else (images_path if images_path.endswith(".parquet") else _first_parquet(images_path))
+    )
+    qid_type = pq_.read_schema(first).field(id_col).type
     gaz_schema = pq_.read_schema(gazetteer_path)
     place_types = {c: gaz_schema.field(c).type for c in _PLACE_COLS}
 
@@ -276,5 +283,6 @@ def run_forward_shuffle(
         q_keyed.map_batches(tag_q, batch_format="pyarrow").select_columns(cols)
     )
 
-    matched = both.groupby(["jtoken", "salt"]).map_groups(make_group_matcher(config), batch_format="pandas")
-    return matched.groupby("query_id").map_groups(make_topk(config), batch_format="pandas")
+    # ranking + limit happen inside match_group (a query's single join
+    # key puts all its candidates in one group), so no query_id re-shuffle
+    return both.groupby(["jtoken", "salt"]).map_groups(make_group_matcher(config), batch_format="pandas")
