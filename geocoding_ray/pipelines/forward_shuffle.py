@@ -9,8 +9,9 @@ Physical plan::
     queries   ──tokenize─> (jtoken, salt, query cols)      [ONE join token per
                                                             query: its rarest
                                                             known token]
-    union ──groupby(jtoken, salt)──> map_groups(match+verify+score)
-          ──groupby(query_id)──────> map_groups(global top-k)
+    union ──groupby(jtoken, salt)──> map_groups(match+verify+rank+limit)
+    (a query has exactly ONE join key, so all its candidates are in one
+    group — ranking happens there; no second shuffle)
 
 * **Join-key choice**: joining a query on its *rarest* token bounds the
   candidate set by that token's posting frequency; candidates are then
