@@ -136,8 +136,14 @@ def make_query_keyer(stats_ref, hot_ref, n_salts: int, config: ForwardConfig, qu
     return key_queries
 
 
-def make_group_matcher(config: ForwardConfig):
-    """Per (jtoken, salt) group: verify all-tokens, filter, score."""
+def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
+    """Per (jtoken, salt) group: verify all-tokens, filter, score.
+
+    ``qid_dtype`` is the pandas dtype of the ORIGINAL query-id column:
+    the co-shuffled group carries null query_id on gazetteer rows, so
+    pandas silently widens int64 -> float64; we cast back on output so
+    the result schema matches the input (CORRECTNESS r01 hash fix).
+    """
     import pandas as pd
 
     bbox = config.bbox
@@ -147,7 +153,7 @@ def make_group_matcher(config: ForwardConfig):
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "query_id": pd.Series(dtype=object),
+                "query_id": pd.Series(dtype=qid_dtype),
                 "place_id": pd.Series(dtype="int64"),
                 "name": pd.Series(dtype=object),
                 "lon": pd.Series(dtype="float64"),
@@ -204,9 +210,13 @@ def make_group_matcher(config: ForwardConfig):
         q_rep = np.repeat(np.arange(len(qs)), counts)
         p_sel = np.concatenate([match_idx[inv[i]] for i in range(len(qs)) if counts[i]])
         rk = np.concatenate([np.arange(1, c + 1, dtype=np.int64) for c in counts if c])
+        # query-side rows never have null ids: undo the pandas null-widening
+        qids = qs["query_id"].to_numpy()
+        if qids.dtype != np.dtype(qid_dtype):
+            qids = qids.astype(qid_dtype)
         return pd.DataFrame(
             {
-                "query_id": qs["query_id"].to_numpy()[q_rep],
+                "query_id": qids[q_rep],
                 "place_id": pid[p_sel],
                 "name": ps["name"].to_numpy()[p_sel],
                 "lon": ps["lon"].to_numpy()[p_sel],
@@ -265,7 +275,8 @@ def run_forward_shuffle(
         else (images_path if images_path.endswith(".parquet") else _first_parquet(images_path))
     )
     qid_type = pq_.read_schema(first).field(id_col).type
-    gaz_schema = pq_.read_schema(gazetteer_path)
+    gaz_first = gazetteer_path if gazetteer_path.endswith(".parquet") else _first_parquet(gazetteer_path)
+    gaz_schema = pq_.read_schema(gaz_first)
     place_types = {c: gaz_schema.field(c).type for c in _PLACE_COLS}
 
     def tag_gaz(b: pa.Table) -> pa.Table:
@@ -286,4 +297,10 @@ def run_forward_shuffle(
 
     # ranking + limit happen inside match_group (a query's single join
     # key puts all its candidates in one group), so no query_id re-shuffle
-    return both.groupby(["jtoken", "salt"]).map_groups(make_group_matcher(config), batch_format="pandas")
+    try:
+        qid_pd = np.dtype(qid_type.to_pandas_dtype())
+    except (NotImplementedError, TypeError):
+        qid_pd = np.dtype(object)
+    return both.groupby(["jtoken", "salt"]).map_groups(
+        make_group_matcher(config, qid_dtype=qid_pd), batch_format="pandas"
+    )

@@ -420,8 +420,10 @@ WITH o AS (
   FROM events),
 s AS (
   SELECT user_id, event_id, ts,
-         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB's windowed sum() yields HUGEINT -> float64 in pandas;
+         -- the engine emits int64, so pin the oracle to BIGINT too
+         CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM o)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end

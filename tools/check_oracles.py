@@ -43,6 +43,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """Per-column dtype KIND ('i', 'f', 'O', 'M', ...) — the driver's
+    value hash is dtype-representation-sensitive (12.0 != 12), so a
+    float-vs-int kind mismatch must FAIL here even when values compare
+    equal (round-1 lesson: forward_shuffle / sessionize slipped through
+    a width-normalizing canon)."""
+    return [df.dtypes[c].kind for c in df.columns]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,7 +87,7 @@ def main() -> int:
             continue
         exp = canon(con.sql(sqls[name]).df())
         ok_rows = len(got) == len(exp)
-        ok_cols = list(got.columns) == list(exp.columns)
+        ok_cols = list(got.columns) == list(exp.columns) and dtype_kinds(got) == dtype_kinds(exp)
         ok_vals = False
         detail = ""
         if ok_rows and ok_cols:
@@ -92,7 +101,7 @@ def main() -> int:
             n_fail += 1
         print(f"[{status}] {name}: rows {len(got)}/{len(exp)} cols_match={ok_cols} vals_match={ok_vals} {detail}")
         if not ok_cols:
-            print(f"        ray={list(got.columns)}\n        sql={list(exp.columns)}")
+            print(f"        ray={list(got.columns)} kinds={dtype_kinds(got)}\n        sql={list(exp.columns)} kinds={dtype_kinds(exp)}")
     ray.shutdown()
     return n_fail
 
