@@ -44,6 +44,49 @@ def tokenize(s: str) -> list[str]:
     return n.split(" ") if n else []
 
 
+def normalize_arrow(arr):
+    """Vectorized :func:`normalize_text` over an Arrow string array.
+
+    Same steps in the same order (umlaut fold -> NFKD -> strip combining
+    marks -> lower -> punctuation to space -> collapse whitespace), all
+    pyarrow.compute kernels — the per-row Python path is the hot spot in
+    tokenize-heavy stages (simhash, shuffle-join prep).  Parity with the
+    scalar function is asserted by tests on fixture + golden strings.
+    ``arr`` may be a pa.Array / pa.ChunkedArray; returns pa.Array
+    (nulls and empty strings both normalize to "").
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.fill_null(arr.cast(pa.string()), "")
+    for src, dst in _FOLD.items():
+        s = pc.replace_substring(s, src, dst)
+    s = pc.utf8_normalize(s, form="NFKD")
+    # unicodedata.combining(ch) > 0 <=> canonical combining class > 0;
+    # after NFKD the marks present are the decomposed ones (ccc > 0),
+    # which \p{Mn} covers for every script the corpus carries
+    s = pc.replace_substring_regex(s, r"\p{Mn}", "")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, r"[^0-9a-z\s]+", " ")
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    return pc.utf8_trim_whitespace(s)
+
+
+def tokenize_arrow(arr):
+    """Vectorized :func:`tokenize`: Arrow string array -> list<string>
+    of normalized tokens (empty list for blank/null input)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = normalize_arrow(arr)
+    toks = pc.split_pattern(n, " ")
+    # "" splits to [""] — map those to empty lists
+    empty = pc.equal(n, "")
+    return pc.if_else(empty, pa.array([[]] * len(toks), type=pa.list_(pa.string())), toks)
+
+
 def coerce_to_string(v) -> str | None:
     """int-or-string -> string, the engine analogue of
     ``deserialize_string_or_int`` (opencage.rs:73-88)."""

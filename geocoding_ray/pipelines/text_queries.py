@@ -241,9 +241,39 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {EMB_DUP_THR
 # ---------------------------------------------------------------------------
 
 
+def collect_candidate_texts(pairs_ds, docs_path: str) -> dict[int, str]:
+    """Semi-join: texts of ONLY the docs appearing in candidate pairs.
+
+    The candidate-pair set is LSH-bounded (tiny vs the corpus), so the
+    returned dict — the verify stage's entire resident set — is bounded
+    by the candidate docs, never the corpus.  The text filter runs
+    distributed (``pc.is_in`` inside map_batches); only matching rows
+    reach the driver.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    rows = pairs_ds.select_columns(["a", "b"]).take_all()  # LSH-bounded-small
+    cand = np.unique(np.array([[r["a"], r["b"]] for r in rows], dtype=np.int64).ravel()) if rows else np.zeros(0, np.int64)
+    if len(cand) == 0:
+        return {}
+    cand_ref = ray.put(pa.array(cand, type=pa.int64()))
+
+    def keep_cand(batch: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ref)
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=ids))
+
+    small = rd.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        keep_cand, batch_format="pyarrow"
+    )
+    return {r["doc_id"]: r["text"] for r in small.take_all()}
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pipeline: signature -> band explode ->
-    groupby(band,hash) buckets -> candidate pairs -> exact-Jaccard verify."""
+    groupby(band,hash) buckets -> candidate pairs -> exact-Jaccard verify
+    (texts semi-joined: only candidate docs are ever resident)."""
     import ray
     import ray.data as rd
 
@@ -251,17 +281,19 @@ def q_minhash_pairs(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())))
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    # materialize the slim (band, band_hash, doc_id) rows ONCE: they are
+    # consumed by both the bucket-count pass and the pair pass, and
+    # re-deriving them would run the signature stage twice
+    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2, num_cpus=1).materialize()
 
     # Bucket prefilter: a native Count aggregate finds the (band, hash)
     # buckets with >=2 members — near-dup buckets are a tiny fraction, so
     # the expensive per-group pairing only ever touches those.  (A bare
     # groupby.map_groups over every singleton bucket pays one Python call
-    # per group — at 16 bands/doc that is 16x the corpus.)
+    # per group — at 16 bands/doc that is 16x the corpus.)  The >=2
+    # filter runs ON the dataset, so only near-dup buckets reach the
+    # driver, never the full bucket vocabulary.
     counts = band_rows.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).take_all()
     hot_set = {(r["band"], r["band_hash"]) for r in hot}
@@ -279,13 +311,21 @@ def q_minhash_pairs(sf_dir: str):
     ds = band_rows.map_batches(keep_hot, batch_format="pyarrow")
     ds = ds.groupby(["band", "band_hash"]).map_groups(bucket_candidate_pairs, batch_format="pyarrow")
     # dedup pairs surfaced by multiple bands before the (costlier) verify
-    ds = ds.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    # — native Count aggregate (no per-group Python), then drop the count;
+    # materialize: the pair set is LSH-bounded-small and is consumed
+    # twice (candidate-id scan + verify) without recomputing the LSH
+    pairs = (
+        ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_nb"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    texts_ref = ray.put(collect_candidate_texts(pairs, f"{sf_dir}/documents.parquet"))
     # verify threshold 0.9, aligned with the b=8/r=16 LSH operating point
     # (recall is high only for near-identical pairs; by design)
-    ds = ds.map_batches(
+    return pairs.map_batches(
         JaccardVerify, fn_constructor_args=(texts_ref, 0.9), batch_format="pyarrow", concurrency=2, num_cpus=1
     )
-    return ds
 
 
 def q_simhash(sf_dir: str):
@@ -510,5 +550,8 @@ def q_simhash_pairs(sf_dir: str):
 
     pairs = fp.map_batches(explode_bands, batch_format="pyarrow")
     pairs = pairs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    # dedup pairs found via multiple bands
-    return pairs.groupby(["a", "b"]).map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    # dedup pairs found via multiple bands — native Min aggregate (every
+    # copy carries the same hamming), no per-group Python
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

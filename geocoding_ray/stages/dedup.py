@@ -28,15 +28,15 @@ import pyarrow as pa
 
 from ..functions.hashing import (
     char_shingles,
+    char_shingles_batch,
     jaccard,
-    minhash_bands,
+    minhash_bands_batch,
     minhash_params,
-    minhash_signature,
+    minhash_signature_batch,
     ngram_set,
-    simhash64,
-    stable_u64,
+    polyhash_strings,
 )
-from ..functions.normalize import normalize_text, tokenize
+from ..functions.normalize import normalize_arrow, normalize_text, tokenize
 
 # 128 perms in 8 bands of 16 rows -> LSH threshold ~(1/8)^(1/16) ~ 0.88,
 # so pairs below ~0.7 Jaccard rarely collide (the corpus shares a small
@@ -72,25 +72,25 @@ class MinHashStage:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(texts)
-        out_band = np.empty(n * self.num_bands, dtype=np.int32)
-        out_hash = np.empty(n * self.num_bands, dtype=np.uint64)
-        out_id = np.empty(n * self.num_bands, dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = char_shingles(normalize_text(t or ""), self.shingle_k)
-            sig = minhash_signature(sh, self.a, self.b)
-            bands = minhash_bands(sig, self.num_bands)
-            s = i * self.num_bands
-            out_band[s : s + self.num_bands] = np.arange(self.num_bands)
-            out_hash[s : s + self.num_bands] = bands
-            out_id[s : s + self.num_bands] = ids[i]
+        n = batch.num_rows
+        # whole-batch vectorized path: arrow-kernel normalize -> one
+        # sliding-window shingle pass over the zero-copy string buffer ->
+        # reduceat signatures -> band keys
+        from ..functions.hashing import char_shingles_flat, string_byte_view
+
+        data, boff = string_byte_view(normalize_arrow(batch.column("text")))
+        sh, off = char_shingles_flat(data, boff, self.shingle_k)
+        sig = minhash_signature_batch(sh, off, self.a, self.b)
+        bands = minhash_bands_batch(sig, self.num_bands)  # (n, num_bands)
+        # band_hash as the int64 BIT VIEW of the uint64 key: values above
+        # 2^63 otherwise hit Ray's slow python-int Arrow fallback in the
+        # groupby path (equality, the only thing LSH needs, is preserved)
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.uint64()),
-                "doc_id": pa.array(out_id, type=pa.int64()),
+                "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n), type=pa.int32()),
+                "band_hash": pa.array(bands.ravel().view(np.int64), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), self.num_bands), type=pa.int64()),
             }
         )
 
@@ -107,10 +107,11 @@ def bucket_candidate_pairs(group: "pa.Table") -> pa.Table:
 class JaccardVerify:
     """Actor stage: verify candidate pairs by exact shingle Jaccard.
 
-    The doc texts needed per pair are looked up from a broadcast
-    id -> normalized-text store (``ray.put`` once).  For corpora too
-    large to broadcast, co-shuffle text alongside the pair rows
-    instead; fixtures and sf-scale corpora fit comfortably.
+    ``texts_ref`` must hold ONLY the texts of docs appearing in
+    candidate pairs (see ``pipelines.text_queries.collect_candidate_texts``
+    — a distributed semi-join on the pair ids).  The actor's resident
+    set is therefore bounded by the LSH candidate count, never the
+    corpus size.
     """
 
     _CACHE_CAP = 200_000
@@ -146,13 +147,34 @@ class JaccardVerify:
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stateless stage: 64-bit SimHash per doc + 4x16-bit band keys."""
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    fps = np.empty(n, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = tokenize(t or "")
-        fps[i] = simhash64(stable_u64(toks)) if toks else 0
+    """Stateless stage: 64-bit SimHash per doc + 4x16-bit band keys.
+
+    Fully vectorized: arrow-kernel tokenize -> one polynomial hash pass
+    over the flat token buffer (:func:`polyhash_strings`) -> per-doc
+    weighted bit-sums via ``np.add.reduceat``.  Token-hash family is the
+    engine's polynomial one (rows-only operator; the family is
+    engine-defined)."""
+    from ..functions.normalize import tokenize_arrow
+
+    n = batch.num_rows
+    toks = tokenize_arrow(batch.column(text_col))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    doc_off = toks.offsets.to_numpy().astype(np.int64)
+    doc_off = doc_off - doc_off[0]  # list array may be a slice view
+    th = polyhash_strings(toks.values)
+    fps = np.zeros(n, dtype=np.uint64)
+    if len(th):
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = bits * 2 - 1  # (n_tokens, 64)
+        cnt = np.diff(doc_off)
+        ne = cnt > 0
+        score = np.zeros((n, 64), dtype=np.int64)
+        if ne.any():
+            score[ne] = np.add.reduceat(contrib, doc_off[:-1][ne], axis=0)
+        pos = (score > 0).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            fps = (pos << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     out = batch.append_column("simhash", pa.array(fps.astype(np.int64), type=pa.int64()))
     for bnd in range(4):
         chunk = ((fps >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(np.int32)

@@ -70,6 +70,39 @@ class TestHashing:
         assert hashing.rolling_fingerprint("abc") == hashing.rolling_fingerprint("abc")
         assert hashing.rolling_fingerprint("abc") != hashing.rolling_fingerprint("abd")
 
+    def test_batch_shingles_match_scalar(self):
+        texts = ["hello world this is longer", "ab", "", "hello world this is longer", "xyz" * 40]
+        h, off = hashing.char_shingles_batch(texts, 5)
+        for i, t in enumerate(texts):
+            assert np.array_equal(np.unique(h[off[i] : off[i + 1]]), hashing.char_shingles(t, 5))
+
+    def test_batch_signature_matches_scalar(self):
+        texts = ["the quick brown fox jumps", "", "a", "the quick brown fox jumps over"]
+        a_p, b_p = hashing.minhash_params(64)
+        h, off = hashing.char_shingles_batch(texts, 5)
+        sig = hashing.minhash_signature_batch(h, off, a_p, b_p)
+        for i, t in enumerate(texts):
+            assert np.array_equal(sig[i], hashing.minhash_signature(hashing.char_shingles(t, 5), a_p, b_p))
+        bands = hashing.minhash_bands_batch(sig, 8)
+        assert np.array_equal(hashing.minhash_bands(sig[0], 8), bands[0])
+
+    def test_polyhash_strings_segments(self):
+        arr = pa.array(["abc", "", "abc", "abd", "x" * 100])
+        h = hashing.polyhash_strings(arr)
+        assert h[0] == h[2]
+        assert h[0] != h[3]
+        # position-independence: same token at a different offset
+        h2 = hashing.polyhash_strings(pa.array(["zzzz", "abc"]))
+        assert h2[1] == h[0]
+
+    def test_normalize_arrow_parity(self):
+        from geocoding_ray.functions.normalize import normalize_arrow, normalize_text, tokenize, tokenize_arrow
+
+        cases = ["Schwabing, München", "Köniz  (BE)!", "", None, "ÀÉÎõü ß STRASSE", "中文 text?", "a  b\tc"]
+        got = normalize_arrow(pa.array(cases)).to_pylist()
+        assert got == [normalize_text(c or "") for c in cases]
+        assert tokenize_arrow(pa.array(cases)).to_pylist() == [tokenize(c or "") for c in cases]
+
 
 class TestDedupStages:
     def test_minhash_stage_finds_dups(self):
@@ -237,6 +270,32 @@ class TestImageOps:
         assert out.schema.field("features").type == pa.list_(pa.float32(), 8)
         with pytest.raises(NotImplementedError):
             image_ops.AudioFeatureStub(strict=True)(batch)
+
+
+class TestCandidateSemiJoin:
+    def test_resident_set_bounded_by_candidates(self, ray_session, tmp_path):
+        import pyarrow.parquet as pqw
+        import ray.data as rd
+
+        from geocoding_ray.pipelines.text_queries import collect_candidate_texts
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(100), type=pa.int64()),
+                "text": pa.array([f"doc number {i}" for i in range(100)]),
+            }
+        )
+        p = str(tmp_path / "documents.parquet")
+        pqw.write_table(docs, p)
+        pairs = rd.from_arrow(
+            pa.table({"a": pa.array([3, 7], type=pa.int64()), "b": pa.array([4, 9], type=pa.int64())})
+        )
+        texts = collect_candidate_texts(pairs, p)
+        # the verify stage's whole resident set == docs in candidate pairs
+        assert set(texts) == {3, 4, 7, 9}
+        assert texts[3] == "doc number 3"
+        empty = rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}))
+        assert collect_candidate_texts(empty, p) == {}
 
 
 class TestConnectedComponents:
