@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": tq.q_simhash_pairs,      # banded SimHash near-dup pairs (Hamming verify)
         "cell_assign": oq.q_cell_assign,          # deterministic tile/cell ids + quadkey render
         "ann_ivf": tq.q_ann_ivf,                  # IVF scale path (approximate by design)
+        "embed_dup_ivf": tq.q_embed_dup_ivf,      # centroid-bucketed near-dup scale path (recall-tested)
         "dedup_clusters": tq.q_dedup_clusters,    # near-dup connected components (label propagation)
         "reverse_annotations": oq.q_reverse_annotations,  # O4 annotations: DMS/quadkey/mercator
     }

@@ -192,42 +192,64 @@ SELECT qid, nid, rk FROM ranked WHERE rk <= {ANN_K}
 EMB_DUP_THRESHOLD = 0.35
 
 
-def q_embed_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (sim >= threshold, a < b)."""
-    import ray
+EMB_DUP_BLOCKS = 4  # P: block-pair groups = P(P+1)/2; residency per task = 2N/P rows
+
+
+def q_embed_dup(sf_dir: str, n_blocks: int = EMB_DUP_BLOCKS):
+    """Embedding-cosine near-dup pairs (sim >= threshold, a < b).
+
+    EXACT threshold join via block-pair decomposition (the 1-bucket-theta
+    pattern): each vector lands in block ``vec_id % P`` and is replicated
+    to every unordered block pair containing its block; a
+    ``groupby(bi, bj)`` co-shuffles each pair's two blocks into one
+    group, which computes its cross/in-block cosine sims vectorized.  No
+    stage holds (or broadcasts) the full matrix — per-task residency is
+    2N/P rows and the shuffle moves N*P slim rows.  FLOPs stay O(N^2):
+    that is inherent to an *exact* low-threshold join; the sub-quadratic
+    scale path is the banded variant (``q_embed_dup_lsh``), whose recall
+    is <1 by design.
+    """
     import ray.data as rd
 
     from ..stages.ann import _normalize_rows, embeddings_to_matrix
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    mat_all = _normalize_rows(embeddings_to_matrix(tbl))
-    ref = ray.put((ids_all, mat_all))
+    P = n_blocks
 
-    class PairFinder:
-        def __init__(self, db_ref):
-            import ray as _ray
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        own = (ids % P).astype(np.int32)
+        reps = np.repeat(np.arange(n), P)
+        j = np.tile(np.arange(P, dtype=np.int32), n)
+        ob = own[reps]
+        out = batch.take(pa.array(reps, type=pa.int64()))
+        out = out.append_column("bi", pa.array(np.minimum(ob, j), type=pa.int32()))
+        out = out.append_column("bj", pa.array(np.maximum(ob, j), type=pa.int32()))
+        return out.append_column("blk", pa.array(ob, type=pa.int32()))
 
-            self.ids, self.mat = _ray.get(db_ref) if not isinstance(db_ref, tuple) else db_ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            bmat = _normalize_rows(embeddings_to_matrix(batch))
-            sims = np.round(bmat @ self.mat.T, 6)
-            ai, bi = np.nonzero((sims >= EMB_DUP_THRESHOLD) & (bids[:, None] < self.ids[None, :]))
-            # sim not emitted (precision differs across engines; the
-            # thresholded pair set is the gated result)
-            return pa.table(
-                {
-                    "a": pa.array(bids[ai], type=pa.int64()),
-                    "b": pa.array(self.ids[bi], type=pa.int64()),
-                }
-            )
+    def pair_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = g.column("blk").to_numpy(zero_copy_only=False)
+        bi = int(g.column("bi")[0].as_py())
+        bj = int(g.column("bj")[0].as_py())
+        mat = _normalize_rows(embeddings_to_matrix(g))
+        if bi == bj:  # in-block pairs, upper triangle
+            sims = np.round(mat @ mat.T, 6)
+            ia, ib = np.nonzero((sims >= EMB_DUP_THRESHOLD) & (ids[:, None] < ids[None, :]))
+            a, b = ids[ia], ids[ib]
+        else:  # cross-block pairs only (in-block handled by diagonals)
+            mi, mj = blk == bi, blk == bj
+            sims = np.round(mat[mi] @ mat[mj].T, 6)
+            ia, ib = np.nonzero(sims >= EMB_DUP_THRESHOLD)
+            x, y = ids[mi][ia], ids[mj][ib]
+            a, b = np.minimum(x, y), np.maximum(x, y)
+        # sim not emitted (precision differs across engines; the
+        # thresholded pair set is the gated result)
+        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ds.map_batches(
-        PairFinder, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=1
-    )
+    ds = ds.map_batches(explode_blocks, batch_format="pyarrow")
+    return ds.groupby(["bi", "bj"]).map_groups(pair_group, batch_format="pyarrow")
 
 
 SQL_EMBED_DUP = f"""
@@ -235,6 +257,49 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {EMB_DUP_THRESHOLD}
 """
+
+
+def q_embed_dup_ivf(sf_dir: str, n_centroids: int = 16, nassign: int = 3):
+    """Embedding near-dup, the SUB-QUADRATIC scale path: coarse-quantize
+    each vector to its ``nassign`` nearest centroids (same fixed-seed
+    Lloyd quantizer as ``ann_ivf``; multi-assignment catches pairs that
+    straddle one centroid boundary), pair within centroid buckets, exact
+    cosine threshold as the verify, native-aggregate pair dedup.
+    Recall < 1 by design (asserted vs the exact path in tests); FLOPs
+    drop from N^2 to the sum of per-bucket squares.
+    Rows-only driver check (approximate by design)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.ann import _normalize_rows, build_ivf_centroids, embeddings_to_matrix
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = embeddings_to_matrix(tbl.slice(0, min(2000, tbl.num_rows)))
+    cents = build_ivf_centroids(sample, n_centroids=n_centroids)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+        mat = _normalize_rows(embeddings_to_matrix(batch))
+        n = len(mat)
+        top = np.argsort(-(mat @ c.T), axis=1, kind="stable")[:, :nassign].astype(np.int32)
+        reps = np.repeat(np.arange(n), nassign)
+        out = batch.take(pa.array(reps, type=pa.int64()))
+        return out.append_column("cid", pa.array(top.ravel(), type=pa.int32()))
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize_rows(embeddings_to_matrix(g))
+        sims = np.round(mat @ mat.T, 6)
+        ia, ib = np.nonzero((sims >= EMB_DUP_THRESHOLD) & (ids[:, None] < ids[None, :]))
+        return pa.table({"a": pa.array(ids[ia], type=pa.int64()), "b": pa.array(ids[ib], type=pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    pairs = ds.groupby("cid").map_groups(pair_group, batch_format="pyarrow")
+    # a pair can surface in up to nassign shared buckets — dedup natively
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nb")).select_columns(["a", "b"])
 
 # ---------------------------------------------------------------------------
 # near-dup detection (rows-only checks — not SQL-expressible)

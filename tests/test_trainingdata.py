@@ -272,6 +272,37 @@ class TestImageOps:
             image_ops.AudioFeatureStub(strict=True)(batch)
 
 
+class TestEmbedDup:
+    SF = "/root/testdata/sf0.001"
+
+    def _exact_pairs(self):
+        import pyarrow.parquet as pq
+
+        from geocoding_ray.pipelines.text_queries import EMB_DUP_THRESHOLD
+        from geocoding_ray.stages.ann import _normalize_rows, embeddings_to_matrix
+
+        tbl = pq.read_table(f"{self.SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize_rows(embeddings_to_matrix(tbl))
+        sims = np.round(mat @ mat.T, 6)
+        ia, ib = np.nonzero((sims >= EMB_DUP_THRESHOLD) & (ids[:, None] < ids[None, :]))
+        return {(int(a), int(b)) for a, b in zip(ids[ia], ids[ib])}
+
+    def test_block_pair_plan_is_exact(self, ray_session):
+        from geocoding_ray.pipelines.text_queries import q_embed_dup
+
+        got = {(r["a"], r["b"]) for r in q_embed_dup(self.SF).take_all()}
+        assert got == self._exact_pairs()
+
+    def test_ivf_path_recall(self, ray_session):
+        from geocoding_ray.pipelines.text_queries import q_embed_dup_ivf
+
+        exact = self._exact_pairs()
+        got = {(r["a"], r["b"]) for r in q_embed_dup_ivf(self.SF).take_all()}
+        assert got <= exact  # exact verify -> no false positives
+        assert len(got) / len(exact) >= 0.5
+
+
 class TestCandidateSemiJoin:
     def test_resident_set_bounded_by_candidates(self, ray_session, tmp_path):
         import pyarrow.parquet as pqw
