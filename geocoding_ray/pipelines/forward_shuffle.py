@@ -29,19 +29,18 @@ Physical plan::
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
 from ..config import ForwardConfig
-from ..functions.normalize import tokenize
+from ..functions.hashing import polyhash_strings, string_byte_view
 
 _PLACE_COLS = ("place_id", "name", "lon", "lat", "origin", "rank", "weight", "importance", "detail", "label")
 
-
-def _hash_u64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+# Join keys are int64 BIT VIEWS of the polynomial token hash, not token
+# strings: the shuffle moves fixed-width ints, and a 2^-64 hash collision
+# merely merges two token groups — the all-tokens verify inside
+# match_group keeps the result exact.
 
 
 def _first_parquet(d: str) -> str:
@@ -53,31 +52,60 @@ def _first_parquet(d: str) -> str:
     raise FileNotFoundError(f"no parquet files under {d}")
 
 
+def _dedup_per_row(row_of: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Indices of the first occurrence of each (row, hash) pair, ordered
+    by (row, hash) — the vectorized per-row token-set dedup."""
+    order = np.lexsort((h, row_of))
+    ro, ho = row_of[order], h[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (ro[1:] != ro[:-1]) | (ho[1:] != ho[:-1])
+    return order[keep]
+
+
+def _split_tokens(col) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Pre-normalized space-joined column -> ``(flat, row_of, h, idx)``:
+    the flat token array, and for each NON-EMPTY token its row index,
+    uint64 hash, and position in ``flat``."""
+    import pyarrow.compute as pc
+
+    s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern(pc.fill_null(s.cast(pa.string()), ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    flat = toks.values
+    row_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+    h = polyhash_strings(flat)
+    _, boff = string_byte_view(flat)
+    keep = np.nonzero(np.diff(boff) > 0)[0]  # empty-string tokens out
+    return flat, row_of[keep], h[keep], keep
+
+
 def explode_gazetteer(batch: pa.Table) -> pa.Table:
-    """gazetteer rows -> one row per unique detail token."""
-    details = batch.column("detail").to_pylist()
-    idx: list[int] = []
-    toks: list[str] = []
-    for i, d in enumerate(details):
-        for t in sorted(set(d.split(" "))) if d else ():
-            idx.append(i)
-            toks.append(t)
-    take = pa.array(idx, type=pa.int64())
-    out = pa.table({"jtoken": pa.array(toks, type=pa.string())})
+    """gazetteer rows -> one row per unique detail token (vectorized:
+    arrow split + hash-keyed per-row dedup; no per-row Python)."""
+    flat, row_of, h, flat_idx = _split_tokens(batch.column("detail"))
+    sel = _dedup_per_row(row_of, h)
+    out = pa.table({"jtoken": pa.array(h[sel].view(np.int64), type=pa.int64())})
+    take = pa.array(row_of[sel], type=pa.int64())
     for c in _PLACE_COLS:
         out = out.append_column(c, batch.column(c).take(take))
     return out
 
 
 def make_salter(hot_ref, n_salts: int):
-    """Replicate hot-token gazetteer rows across ``n_salts`` salt values."""
+    """Replicate hot-token gazetteer rows across ``n_salts`` salt values.
+    ``hot_ref``: sorted int64 array of hot token keys (searchsorted
+    membership — vectorized)."""
 
     def salt_gaz(batch: pa.Table) -> pa.Table:
         import ray
 
-        hot: set[str] = ray.get(hot_ref) if not isinstance(hot_ref, set) else hot_ref
-        toks = batch.column("jtoken").to_pylist()
-        is_hot = np.array([t in hot for t in toks], dtype=bool)
+        hot = ray.get(hot_ref) if not isinstance(hot_ref, np.ndarray) else hot_ref
+        keys = batch.column("jtoken").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hot, keys)
+        is_hot = (pos < len(hot)) & (hot[np.minimum(pos, max(len(hot) - 1, 0))] == keys) if len(hot) else np.zeros(len(keys), dtype=bool)
         cold_idx = np.nonzero(~is_hot)[0]
         hot_idx = np.nonzero(is_hot)[0]
         take = np.concatenate([cold_idx, np.repeat(hot_idx, n_salts)])
@@ -91,45 +119,82 @@ def make_salter(hot_ref, n_salts: int):
 
 
 def make_query_keyer(stats_ref, hot_ref, n_salts: int, config: ForwardConfig, query_col: str, id_col: str):
-    """queries -> (jtoken, salt, query_id, qtokens) rows; one per query."""
+    """queries -> (jtoken, salt, query_id, qtokens) rows; one per query.
+
+    Fully vectorized: arrow tokenize -> hash-keyed per-row dedup ->
+    searchsorted vocabulary lookup -> rarest-key argmin via one lexsort.
+    ``stats_ref``: (sorted int64 token keys, int64 posting counts);
+    ``hot_ref``: sorted int64 hot keys.  The rarest-token tie-break is
+    (count, key) — ANY known token of the query is a complete join key
+    (every matching place contains all query tokens), so the tie-break
+    only affects load placement, never results.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.normalize import normalize_arrow
 
     def key_queries(batch: pa.Table) -> pa.Table:
         import ray
 
-        freq: dict[str, int] = ray.get(stats_ref) if not isinstance(stats_ref, dict) else stats_ref
-        hot: set[str] = ray.get(hot_ref) if not isinstance(hot_ref, set) else hot_ref
-        queries = batch.column(query_col).to_pylist()
+        vh, vc = ray.get(stats_ref) if not isinstance(stats_ref, tuple) else stats_ref
+        hot = ray.get(hot_ref) if not isinstance(hot_ref, np.ndarray) else hot_ref
+        n = batch.num_rows
         ids = batch.column(id_col)
-        keep: list[int] = []
-        jtok: list[str] = []
-        salt: list[int] = []
-        qtoks: list[str] = []
-        for i, q in enumerate(queries):
-            toks = tokenize(q or "")
-            if not toks:
-                continue
-            known = [t for t in set(toks) if t in freq]
-            if config.ignore_oov:
-                toks = [t for t in toks if t in freq]
-                if not toks:
-                    continue
-            elif len(known) != len(set(toks)):
-                continue  # strict mode: unknown token -> no match
-            if not known:
-                continue
-            # rarest known token; deterministic tie-break lexicographic
-            jt = min(known, key=lambda t: (freq[t], t))
-            keep.append(i)
-            jtok.append(jt)
-            salt.append(_hash_u64(str(ids[i].as_py())) % n_salts if jt in hot else 0)
-            qtoks.append(" ".join(sorted(set(toks))))
-        take = pa.array(keep, type=pa.int64())
+        norm = normalize_arrow(batch.column(query_col))
+        flat, row_of, h, flat_idx = _split_tokens(norm)
+        sel = _dedup_per_row(row_of, h)  # distinct (row, token), (row, hash)-sorted
+        ro_d, h_d = row_of[sel], h[sel]
+        key_d = h_d.view(np.int64)
+        pos = np.searchsorted(vh, key_d)
+        known = (pos < len(vh)) & (vh[np.minimum(pos, max(len(vh) - 1, 0))] == key_d) if len(vh) else np.zeros(len(key_d), dtype=bool)
+        fr = np.where(known, vc[np.minimum(pos, max(len(vh) - 1, 0))] if len(vh) else 0, np.iinfo(np.int64).max)
+        cnt_d = np.bincount(ro_d, minlength=n)
+        cnt_known = np.bincount(ro_d[known], minlength=n)
+        if config.ignore_oov:
+            keep_row = cnt_known > 0
+            tok_keep = known  # OOV tokens drop out of qtokens too
+        else:
+            keep_row = (cnt_d > 0) & (cnt_known == cnt_d)  # strict: any OOV -> no match
+            tok_keep = np.ones(len(ro_d), dtype=bool)
+        if not keep_row.any():
+            return pa.table(
+                {
+                    "jtoken": pa.array([], type=pa.int64()),
+                    "salt": pa.array([], type=pa.int32()),
+                    "query_id": ids.slice(0, 0),
+                    "qtokens": pa.array([], type=pa.string()),
+                }
+            )
+        # rarest known token per row: one lexsort by (row, count, key)
+        km = known & keep_row[ro_d]
+        korder = np.lexsort((key_d[km], fr[km], ro_d[km]))
+        kro = ro_d[km][korder]
+        first = np.ones(len(kro), dtype=bool)
+        first[1:] = kro[1:] != kro[:-1]
+        jkey_by_row = np.zeros(n, dtype=np.int64)
+        jkey_by_row[kro[first]] = key_d[km][korder][first]
+        # canonical qtokens string per kept row (hash-ordered set join)
+        tm = tok_keep & keep_row[ro_d]
+        tcnt = np.bincount(ro_d[tm], minlength=n)[keep_row]
+        loff = np.concatenate([[0], np.cumsum(tcnt)])
+        tok_strings = flat.take(pa.array(flat_idx[sel[tm]], type=pa.int64()))
+        qtokens = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(loff, type=pa.int32()), tok_strings), " "
+        )
+        rows = np.nonzero(keep_row)[0]
+        jk = jkey_by_row[rows]
+        pos_h = np.searchsorted(hot, jk)
+        is_hot = (pos_h < len(hot)) & (hot[np.minimum(pos_h, max(len(hot) - 1, 0))] == jk) if len(hot) else np.zeros(len(jk), dtype=bool)
+        id_take = ids.take(pa.array(rows, type=pa.int64()))
+        id_arr = id_take.combine_chunks() if isinstance(id_take, pa.ChunkedArray) else id_take
+        idh = polyhash_strings(id_arr.cast(pa.string()))
+        salt = np.where(is_hot, (idh % np.uint64(n_salts)).astype(np.int32), np.int32(0))
         return pa.table(
             {
-                "jtoken": pa.array(jtok, type=pa.string()),
-                "salt": pa.array(salt, type=pa.int32()),
-                "query_id": ids.take(take),
-                "qtokens": pa.array(qtoks, type=pa.string()),
+                "jtoken": pa.array(jk, type=pa.int64()),
+                "salt": pa.array(salt.astype(np.int32), type=pa.int32()),
+                "query_id": id_take,
+                "qtokens": qtokens,
             }
         )
 
@@ -249,13 +314,17 @@ def run_forward_shuffle(
     gaz = rd.read_parquet(gazetteer_path, columns=list(_PLACE_COLS))
     exploded = gaz.map_batches(explode_gazetteer, batch_format="pyarrow")
 
-    # distributed token stats (vocabulary-bounded), then broadcast
+    # distributed token stats (vocabulary-bounded), then broadcast as
+    # sorted key/count arrays for searchsorted lookup inside the keyer
     from ray.data.aggregate import Count
 
     stats_rows = exploded.groupby("jtoken").aggregate(Count(alias_name="n")).take_all()
-    freq = {r["jtoken"]: int(r["n"]) for r in stats_rows}
-    hot = {t for t, n in freq.items() if n >= hot_threshold}
-    stats_ref = ray.put(freq)
+    vh = np.array([r["jtoken"] for r in stats_rows], dtype=np.int64)
+    vc = np.array([int(r["n"]) for r in stats_rows], dtype=np.int64)
+    order = np.argsort(vh, kind="stable")
+    vh, vc = vh[order], vc[order]
+    hot = np.sort(vh[vc >= hot_threshold])
+    stats_ref = ray.put((vh, vc))
     hot_ref = ray.put(hot)
 
     gaz_keyed = exploded.map_batches(make_salter(hot_ref, n_salts), batch_format="pyarrow")
