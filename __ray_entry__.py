@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_nation": oq.q_forward_nation,    # O2/O5/O7: text -> gazetteer match
         "forward_bbox": oq.q_forward_bbox,        # O6/O8: bbox-restricted forward
         "forward_topk": oq.q_forward_topk,        # O11: grouped top-k / limit / forward_full explode
+        "forward_cc": oq.q_forward_cc,            # S4: OpenCage countrycode restriction via from_params
         "forward_shuffle": oq.q_forward_shuffle_topk,  # shuffle-join physical plan, same oracle as forward_topk
         "reverse_components": oq.q_reverse_components,  # O4 reverse_full: component hierarchy
         "reverse_raster": oq.q_reverse_raster,    # raster<->vector: burned grid, O(1) lookup
@@ -70,6 +71,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_nation": oq.SQL_FORWARD_NATION,
         "forward_bbox": oq.SQL_FORWARD_BBOX,
         "forward_topk": oq.SQL_FORWARD_TOPK,
+        "forward_cc": oq.SQL_FORWARD_CC,
         "forward_shuffle": oq.SQL_FORWARD_TOPK,  # same oracle — different physical plan
         "reverse_components": oq.SQL_REVERSE_COMPONENTS,
         "reverse_raster": oq.SQL_REVERSE_RASTER,

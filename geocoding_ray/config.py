@@ -113,6 +113,23 @@ class ReverseConfig:
     strict_nonempty: bool = False
     cell_level: int = 8
 
+    @classmethod
+    def from_params(cls, params, **overrides) -> "ReverseConfig":
+        """Adapter from the reference-shaped builders to the reverse
+        pipeline config (``oc.parameters.language = ...`` changes the
+        reverse output language, opencage.rs:27, 752)."""
+        kw: dict
+        if isinstance(params, OpencageParams):
+            kw = {"provider": "opencage", "language": params.language}
+        elif isinstance(params, OpenstreetmapParams):
+            kw = {"provider": "openstreetmap"}
+        elif isinstance(params, GeoAdminParams):
+            kw = {"provider": "geoadmin"}
+        else:
+            raise TypeError(f"unsupported params type: {type(params).__name__}")
+        kw.update(overrides)
+        return cls(**kw)
+
 
 @dataclass(frozen=True)
 class ForwardConfig:
@@ -128,3 +145,40 @@ class ForwardConfig:
     # before the all-tokens-must-match rule; address mode (False) treats
     # any unknown token as no-match.
     ignore_oov: bool = False
+    # OpenCage countrycode restriction (opencage.rs:55-70): comma-separated
+    # ISO codes; candidates whose gazetteer country_code is not listed are
+    # filtered before ranking.
+    countrycode: Optional[str] = None
+
+    @property
+    def countrycodes(self) -> Optional[frozenset]:
+        if not self.countrycode:
+            return None
+        return frozenset(c.strip().lower() for c in self.countrycode.split(",") if c.strip())
+
+    @classmethod
+    def from_params(cls, params, **overrides) -> "ForwardConfig":
+        """Adapter from the reference-shaped parameter builders (S4/S6/S7:
+        ``OpencageParams`` opencage.rs:47-70, ``OpenstreetmapParams``
+        openstreetmap.rs:36-93, ``GeoAdminParams`` geoadmin.rs:36-102)
+        to the engine's pipeline config."""
+        kw: dict = {}
+        if isinstance(params, OpencageParams):
+            kw = {"provider": "opencage", "countrycode": params.countrycode, "limit": params.limit}
+        elif isinstance(params, OpenstreetmapParams):
+            kw = {
+                "provider": "openstreetmap",
+                "addressdetails": params.addressdetails,
+                "bbox": params.viewbox,
+            }
+        elif isinstance(params, GeoAdminParams):
+            kw = {
+                "provider": "geoadmin",
+                "origins": tuple(params.origins) if params.origins else None,
+                "bbox": params.bbox,
+                "limit": params.limit,
+            }
+        else:
+            raise TypeError(f"unsupported params type: {type(params).__name__}")
+        kw.update(overrides)
+        return cls(**kw)

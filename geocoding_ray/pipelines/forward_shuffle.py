@@ -35,7 +35,7 @@ import pyarrow as pa
 from ..config import ForwardConfig
 from ..functions.hashing import polyhash_strings, string_byte_view
 
-_PLACE_COLS = ("place_id", "name", "lon", "lat", "origin", "rank", "weight", "importance", "detail", "label")
+_PLACE_COLS = ("place_id", "name", "lon", "lat", "origin", "country_code", "rank", "weight", "importance", "detail", "label")
 
 # Join keys are int64 BIT VIEWS of the polynomial token hash, not token
 # strings: the shuffle moves fixed-width ints, and a 2^-64 hash collision
@@ -213,6 +213,7 @@ def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
 
     bbox = config.bbox
     origins = set(config.origins) if config.origins else None
+    ccodes = config.countrycodes
     limit = config.limit
 
     def _empty() -> pd.DataFrame:
@@ -238,6 +239,8 @@ def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
         base_ok = np.ones(len(ps), dtype=bool)
         if origins is not None:
             base_ok &= ps["origin"].isin(origins).to_numpy()
+        if ccodes is not None:
+            base_ok &= ps["country_code"].str.lower().isin(ccodes).to_numpy()
         if bbox is not None:
             plon = ps["lon"].to_numpy()
             plat = ps["lat"].to_numpy()

@@ -413,6 +413,7 @@ def _supplier_gazetteer(sf_dir: str) -> pa.Table:
             "lon": float(lon[i]),
             "lat": float(lat[i]),
             "origin": "address",
+            "country_code": f"c{int(nk[i]) % 5}",
             "rank": 1,
             "weight": 0,
             "importance": float(imp[i]),
@@ -475,6 +476,63 @@ ranked AS (
          row_number() OVER (PARTITION BY n.n_nationkey
                             ORDER BY g.importance DESC, g.place_id ASC) AS rk
   FROM nation n JOIN gaz g ON g.s_nationkey = n.n_nationkey)
+SELECT query_id, rk, place_id, lon, lat, importance FROM ranked WHERE rk <= 5
+"""
+
+FWD_CC = "c1,C3"  # mixed case on purpose: restriction is case-folded
+
+
+def q_forward_cc(sf_dir: str):
+    """S4 ``countrycode`` restriction threaded end-to-end
+    (opencage.rs:55-70): same grouped top-k as ``forward_topk`` but only
+    candidates whose gazetteer ``country_code`` is in the
+    comma-separated restriction survive — plumbed from the
+    reference-shaped ``OpencageParams`` builder via
+    ``ForwardConfig.from_params``."""
+    import ray
+    import ray.data as rd
+
+    from ..config import OpencageParams
+    from ..stages.forward import ForwardJoiner, GazetteerIndex
+
+    index_ref = ray.put(GazetteerIndex(_supplier_gazetteer(sf_dir)))
+
+    def mk_query(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("n_nationkey").cast(pa.int64()),
+                "caption": batch.column("n_name"),
+            }
+        )
+
+    cfg = ForwardConfig.from_params(OpencageParams(countrycode=FWD_CC, limit=5), ignore_oov=False)
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ds = ds.map_batches(mk_query, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ForwardJoiner,
+        fn_constructor_args=(index_ref, cfg),
+        fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id", "explode": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=1,
+    )
+    return ds.select_columns(["query_id", "rk", "place_id", "lon", "lat", "importance"])
+
+
+SQL_FORWARD_CC = """
+WITH gaz AS (
+  SELECT s_suppkey AS place_id, s_nationkey,
+         'c' || CAST(s_nationkey % 5 AS VARCHAR) AS country_code,
+         ((s_suppkey * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((s_suppkey * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         ((s_suppkey * 2654435761) % 1000000) / 1000000.0 AS importance
+  FROM supplier),
+ranked AS (
+  SELECT n.n_nationkey AS query_id, g.place_id, g.lon, g.lat, g.importance,
+         row_number() OVER (PARTITION BY n.n_nationkey
+                            ORDER BY g.importance DESC, g.place_id ASC) AS rk
+  FROM nation n JOIN gaz g ON g.s_nationkey = n.n_nationkey
+  WHERE g.country_code IN ('c1', 'c3'))
 SELECT query_id, rk, place_id, lon, lat, importance FROM ranked WHERE rk <= 5
 """
 

@@ -157,7 +157,7 @@ def q_ann_topk(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..stages.ann import BruteForceTopK, final_topk
+    from ..stages.ann import BruteForceTopK, final_topk_arrow
 
     qref = ray.put(_load_queries(sf_dir))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -169,7 +169,7 @@ def q_ann_topk(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     )
-    ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
+    ds = ds.groupby("qid").map_groups(lambda g: final_topk_arrow(g, ANN_K), batch_format="pyarrow")
     # raw sim is dropped from the compared output: DuckDB computes
     # list_cosine_similarity at a different precision; the *selection*
     # (nid, rk) is rounding-robust and is what the oracle gates.
@@ -463,7 +463,7 @@ def q_ann_ivf(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..stages.ann import IVFTopK, build_ivf_centroids, embeddings_to_matrix, final_topk
+    from ..stages.ann import IVFTopK, build_ivf_centroids, embeddings_to_matrix, final_topk_arrow
 
     qids, qmat = _load_queries(sf_dir)
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
@@ -480,7 +480,7 @@ def q_ann_ivf(sf_dir: str):
         concurrency=2,
         num_cpus=1,
     )
-    ds = ds.groupby("qid").map_groups(lambda g: final_topk(g, ANN_K), batch_format="pandas")
+    ds = ds.groupby("qid").map_groups(lambda g: final_topk_arrow(g, ANN_K), batch_format="pyarrow")
     return ds.select_columns(["qid", "nid", "rk"])
 
 # ---------------------------------------------------------------------------

@@ -113,23 +113,24 @@ _G = [
 ]
 
 # Golden gazetteer rows: (name, detail-source, lon, lat, origin, rank, weight,
-# importance, confidence, label, house_number, strname_deinr, dplz4, dplzname)
+# importance, confidence, label, house_number, strname_deinr, dplz4, dplzname,
+# country_code)
 _G_PLACES = [
-    ("Schwabing", "Schwabing München", 11.5884858, 48.1700887, "district", 5, 1000, 0.85, 9, "Schwabing, München", None, None, None, None),
+    ("Schwabing", "Schwabing München", 11.5884858, 48.1700887, "district", 5, 1000, 0.85, 9, "Schwabing, München", None, None, None, None, "de"),
     (
         "UCL Centre for Advanced Spatial Analysis",
         "UCL Centre for Advanced Spatial Analysis 90 Tottenham Court Road London",
         -0.13605, 51.52108, "address", 7, 500, 0.72, 9,
-        "90 Tottenham Court Road, London", "90", None, None, None,
+        "90 Tottenham Court Road, London", "90", None, None, None, "gb",
     ),
-    ("Moabit", "Moabit Berlin Germany", 13.34256, 52.52697, "district", 5, 900, 0.80, 9, "Moabit, Berlin, Germany", None, None, None, None),
+    ("Moabit", "Moabit Berlin Germany", 13.34256, 52.52697, "district", 5, 900, 0.80, 9, "Moabit, Berlin, Germany", None, None, None, None, "de"),
     (
         "Seftigenstrasse 264",
         "Seftigenstrasse 264 3084 Wabern 355 Köniz ch be",
         7.451352119445801, 46.92793655395508, "address", 7, 400, 0.65, 10,
-        "Seftigenstrasse 264, 3084 Wabern", "264", "Seftigenstrasse 264", 3084, "Wabern",
+        "Seftigenstrasse 264, 3084 Wabern", "264", "Seftigenstrasse 264", 3084, "Wabern", "ch",
     ),
-    ("Carrer de Calatrava 64", "Carrer de Calatrava 64 08017 Barcelona Spain", 2.1287, 41.40139, "address", 7, 450, 0.70, 9, "Carrer de Calatrava, 64, 08017 Barcelona, Spain", "64", None, None, None),
+    ("Carrer de Calatrava 64", "Carrer de Calatrava 64 08017 Barcelona Spain", 2.1287, 41.40139, "address", 7, 450, 0.70, 9, "Carrer de Calatrava, 64, 08017 Barcelona, Spain", "64", None, None, None, "es"),
 ]
 
 _STREET_WORDS = ["maple", "oak", "cedar", "birch", "elm", "pine", "aspen", "willow", "laurel", "hazel"]
@@ -207,7 +208,7 @@ def build_world(seed: int = 42, n_countries: int = 6):
     gaz_rows: list[dict] = []
     place_id = 1000
 
-    def add_place(name, detail_src, lon, lat, origin, rank, weight, importance, confidence, label, house_number=None, strname_deinr=None, dplz4=None, dplzname=None):
+    def add_place(name, detail_src, lon, lat, origin, rank, weight, importance, confidence, label, house_number=None, strname_deinr=None, dplz4=None, dplzname=None, country_code=None):
         nonlocal place_id
         gaz_rows.append(
             {
@@ -218,6 +219,7 @@ def build_world(seed: int = 42, n_countries: int = 6):
                 "lon": float(lon),
                 "lat": float(lat),
                 "origin": origin,
+                "country_code": country_code,
                 "rank": int(rank),
                 "weight": int(weight),
                 "importance": float(importance),
@@ -284,6 +286,7 @@ def build_world(seed: int = 42, n_countries: int = 6):
                             int(rng.randint(1, 11)),
                             f"{street} {pi}, {tname}",
                             house_number=str(pi),
+                            country_code=f"x{ci}",
                         )
 
     # isolated island places — OUTSIDE every admin polygon, for kNN fallback

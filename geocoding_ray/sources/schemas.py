@@ -71,6 +71,7 @@ GAZETTEER_SCHEMA = pa.schema(
         pa.field("lon", pa.float64()),
         pa.field("lat", pa.float64()),
         pa.field("origin", pa.string()),  # gazetteer layer (geoadmin.rs:69)
+        pa.field("country_code", pa.string()),  # OpenCage countrycode restriction (opencage.rs:55-70)
         pa.field("rank", pa.uint32()),  # geoadmin.rs:380
         pa.field("weight", pa.uint32()),  # geoadmin.rs:379
         pa.field("importance", pa.float64()),  # openstreetmap.rs:316

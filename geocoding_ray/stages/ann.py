@@ -98,6 +98,16 @@ def final_topk(group, k: int = 5):
     return g
 
 
+def final_topk_arrow(group: pa.Table, k: int = 5) -> pa.Table:
+    """Per-qid merge of partial top-k rows, Arrow in/out — keeps the ANN
+    pipeline pyarrow end-to-end (no pandas block schema mixing)."""
+    sim = group.column("sim").to_numpy(zero_copy_only=False)
+    nid = group.column("nid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nid, -sim))[:k]
+    out = group.take(pa.array(order, type=pa.int64()))
+    return out.append_column("rk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), type=pa.int64()))
+
+
 def build_ivf_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 99) -> np.ndarray:
     """Fixed-seed Lloyd iterations on a driver-side sample (the coarse
     quantizer of the IVF scale path)."""

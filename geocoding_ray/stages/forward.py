@@ -50,6 +50,17 @@ class GazetteerIndex:
         self.importance = gazetteer_tbl.column("importance").to_numpy(zero_copy_only=False)
         self.confidence = gazetteer_tbl.column("confidence").to_numpy(zero_copy_only=False).astype(np.int8)
         self.origin = np.array(gazetteer_tbl.column("origin").to_pylist(), dtype=object)
+        if "country_code" in gazetteer_tbl.column_names:
+            self.country_code = np.array(
+                [c.lower() if c else None for c in gazetteer_tbl.column("country_code").to_pylist()], dtype=object
+            )
+        else:  # legacy gazetteer without the column: restriction matches nothing
+            self.country_code = np.full(gazetteer_tbl.num_rows, None, dtype=object)
+        self.house_number = (
+            np.array(gazetteer_tbl.column("house_number").to_pylist(), dtype=object)
+            if "house_number" in gazetteer_tbl.column_names
+            else np.full(gazetteer_tbl.num_rows, None, dtype=object)
+        )
         self.name = np.array(gazetteer_tbl.column("name").to_pylist(), dtype=object)
         self.label = np.array(gazetteer_tbl.column("label").to_pylist(), dtype=object)
         details = gazetteer_tbl.column("detail").to_pylist()
@@ -109,7 +120,7 @@ class ForwardJoiner:
         config: ForwardConfig = ForwardConfig(),
         query_col: str = "caption",
         id_col: str = "image_id",
-        explode: bool = False,
+        explode: bool | None = None,
     ):
         import ray
 
@@ -119,8 +130,11 @@ class ForwardJoiner:
         self.id_col = id_col
         # explode=True emits one row per candidate with rank position —
         # the ``forward_full`` projection (opencage.rs:284-328,
-        # geoadmin.rs:158-202) flattened for columnar consumers.
-        self.explode = explode
+        # geoadmin.rs:158-202) flattened for columnar consumers.  When
+        # not forced, it follows ``config.addressdetails``
+        # (openstreetmap.rs:36-43: addressdetails requests per-candidate
+        # address structs — the flattened per-candidate rows here).
+        self.explode = config.addressdetails if explode is None else explode
         # per-actor memo: query text -> ranked candidate indices.  Real
         # caption corpora repeat place mentions heavily; the memo turns
         # repeats into a dict hit.  Bounded to keep actor heaps flat.
@@ -144,6 +158,7 @@ class ForwardJoiner:
 
         bbox = cfg.bbox
         origins = set(cfg.origins) if cfg.origins else None
+        ccodes = cfg.countrycodes  # opencage.rs:55-70 countrycode restriction
         limit = cfg.limit
         ex_rows: list[tuple] = []  # explode mode: (i, rk, place array idx)
 
@@ -153,6 +168,9 @@ class ForwardJoiner:
                 cand = idx.match(q, ignore_oov=cfg.ignore_oov) if q else np.zeros(0, dtype=np.int64)
                 if len(cand) and origins is not None:
                     keep = np.array([o in origins for o in idx.origin[cand]], dtype=bool)
+                    cand = cand[keep]
+                if len(cand) and ccodes is not None:
+                    keep = np.array([c in ccodes for c in idx.country_code[cand]], dtype=bool)
                     cand = cand[keep]
                 if len(cand) and bbox is not None:
                     keep = points_in_bbox(idx.lon[cand], idx.lat[cand], bbox.minx, bbox.miny, bbox.maxx, bbox.maxy)
@@ -202,6 +220,12 @@ class ForwardJoiner:
                     "lon": pa.array(idx.lon[ci] if len(ci) else np.zeros(0), type=pa.float64()),
                     "lat": pa.array(idx.lat[ci] if len(ci) else np.zeros(0), type=pa.float64()),
                     "importance": pa.array(idx.importance[ci] if len(ci) else np.zeros(0), type=pa.float64()),
+                    # per-candidate address-detail columns (the flattened
+                    # AddressDetails role, openstreetmap.rs:322-337)
+                    "origin": pa.array(idx.origin[ci].tolist() if len(ci) else [], type=pa.string()),
+                    "label": pa.array(idx.label[ci].tolist() if len(ci) else [], type=pa.string()),
+                    "house_number": pa.array(idx.house_number[ci].tolist() if len(ci) else [], type=pa.string()),
+                    "country_code": pa.array(idx.country_code[ci].tolist() if len(ci) else [], type=pa.string()),
                 }
             )
 

@@ -156,6 +156,64 @@ class TestForwardGolden:
         assert r["points"] == []
 
 
+class TestParamBuilders:
+    """Drive the pipelines purely through the reference-shaped builders
+    (S4/S6/S7) via the from_params adapters."""
+
+    def test_opencage_countrycode_restricts(self, indexes):
+        # countrycode threaded like add_optional_param (opencage.rs:55-70):
+        # Schwabing is a German place — cc=de keeps it, cc=es drops it
+        from geocoding_ray.config import OpencageParams
+
+        _, gidx = indexes
+        batch = pa.table({"image_id": ["q"], "caption": ["Schwabing, München"]})
+        hit = ForwardJoiner(gidx, ForwardConfig.from_params(OpencageParams(countrycode="de")))(batch)
+        assert hit.to_pylist()[0]["n_candidates"] >= 1
+        miss = ForwardJoiner(gidx, ForwardConfig.from_params(OpencageParams(countrycode="es")))(batch)
+        assert miss.to_pylist()[0]["n_candidates"] == 0
+        # comma-separated + case-folded restriction
+        multi = ForwardJoiner(gidx, ForwardConfig.from_params(OpencageParams(countrycode="ES,DE")))(batch)
+        assert multi.to_pylist()[0]["n_candidates"] >= 1
+
+    def test_opencage_language_via_params(self, indexes):
+        # opencage.rs:738-759: language=fr through the builder
+        from geocoding_ray.config import OpencageParams
+
+        idx, _ = indexes
+        cfg = ReverseConfig.from_params(OpencageParams(language="fr"))
+        batch = pa.table({"image_id": ["q"], "lon": [2.12870], "lat": [41.40139]})
+        r = ReverseJoiner(idx, cfg)(batch).to_pylist()[0]
+        assert r["formatted"].endswith("Barcelone, Espagne")
+
+    def test_osm_params_viewbox_and_addressdetails(self, indexes):
+        # openstreetmap.rs:410-437 forward_full: viewbox + addressdetails
+        from geocoding_ray.config import OpenstreetmapParams
+
+        _, gidx = indexes
+        params = OpenstreetmapParams(query="UCL Centre for Advanced Spatial Analysis").with_addressdetails(
+            True
+        ).with_viewbox(InputBounds.new((-0.138069, 51.519892), (-0.134271, 51.523197)))
+        cfg = ForwardConfig.from_params(params)
+        assert cfg.provider == "openstreetmap" and cfg.addressdetails and cfg.bbox is not None
+        batch = pa.table({"image_id": ["q"], "caption": [params.query]})
+        out = ForwardJoiner(gidx, cfg)(batch).to_pylist()  # addressdetails -> exploded rows
+        assert len(out) >= 1
+        assert out[0]["rk"] == 1
+        assert out[0]["house_number"] == "90"  # AddressDetails role columns
+
+    def test_geoadmin_params_origins_limit(self, indexes):
+        # geoadmin.rs:66-101: origins + limit through the builder
+        from geocoding_ray.config import GeoAdminParams
+
+        _, gidx = indexes
+        params = GeoAdminParams(searchtext="Maple Street").with_origins("address").with_limit(3)
+        cfg = ForwardConfig.from_params(params)
+        assert cfg.provider == "geoadmin" and cfg.origins == ("address",) and cfg.limit == 3
+        batch = pa.table({"image_id": ["q"], "caption": [params.searchtext]})
+        r = ForwardJoiner(gidx, cfg)(batch).to_pylist()[0]
+        assert 1 <= r["n_candidates"] <= 3
+
+
 class TestRoundtrip:
     def test_reverse_then_forward_roundtrip(self, indexes):
         # BASELINE.json north_star: forward(reverse(p)) within tolerance of p
