@@ -200,70 +200,98 @@ def ngram_jaccard_pairs(texts_by_id: dict[int, str], n: int = 3, threshold: floa
     return pa.Table.from_pylist(rows)
 
 
-def connected_components(pairs, max_rounds: int = 10):
-    """Duplicate clusters from verified near-dup pairs via min-label
-    propagation over groupby rounds.
-
-    Scaling note (honest bound): the per-round combine is distributed,
-    but the label map itself round-trips through the driver
-    (``take_all`` + broadcast), so driver memory is O(nodes appearing in
-    pairs) — fine in practice because near-dup pairs touch a small
-    fraction of a corpus, but NOT unbounded; a fully distributed variant
-    would keep labels as a Dataset and co-shuffle them with the edges.
+def connected_components(pairs, max_rounds: int = 10, num_partitions: int = 8):
+    """Duplicate clusters from verified near-dup pairs via FULLY
+    DISTRIBUTED min-label propagation: labels live in a Dataset that is
+    hash-JOINED onto the edge list each round — nothing label-sized ever
+    touches the driver (the only driver value per round is the int64
+    label-sum convergence checksum, which strictly decreases until the
+    fixpoint).
 
     ``pairs``: a ray.data.Dataset or pyarrow.Table with int64 columns
     (a, b).  Returns a Dataset of (doc_id, cluster_id) where cluster_id
     is the minimum doc_id of the component.
 
-    Each round: labels join onto the (undirected + self) edge list keyed
-    by src, then a ``groupby(dst).min(label)`` — two shuffles of
-    O(edges) small rows; rounds needed = graph diameter (near-dup
-    components are shallow; max_rounds bounds pathological chains).
+    Each round: ``edges.join(labels, on=src)`` then
+    ``groupby(dst).min(label)`` — two shuffles of O(edges) slim rows;
+    rounds needed = graph diameter (near-dup components are shallow;
+    ``max_rounds`` bounds pathological chains, with a warning if the
+    labels were still changing when the bound hit).
     """
+    import warnings
+
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
-    if not isinstance(pairs, pa.Table):
-        tbl = pa.Table.from_pylist(pairs.take_all()) if hasattr(pairs, "take_all") else pa.table(pairs)
-    else:
-        tbl = pairs
-    a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-    b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    if len(nodes) == 0:
-        return rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()), "cluster_id": pa.array([], type=pa.int64())}))
-    src = np.concatenate([a, b, nodes])
-    dst = np.concatenate([b, a, nodes])
-    edges = rd.from_arrow(pa.table({"src": pa.array(src, type=pa.int64()), "dst": pa.array(dst, type=pa.int64())}))
-    labels = {int(x): int(x) for x in nodes}
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs.select(["a", "b"]))
 
-    for _ in range(max_rounds):
-        import ray
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # both directions + self loops (so every touched node keeps its
+        # own label in the per-round min)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b, a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a, a, b]), type=pa.int64()),
+            }
+        )
 
-        lab_ref = ray.put(labels)
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()), "cluster_id": pa.array([], type=pa.int64())})
+        )
 
-        def relabel(batch: pa.Table) -> pa.Table:
-            lab = ray.get(lab_ref)
-            keys = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
-            vals = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
-            order = np.argsort(keys, kind="stable")
-            keys, vals = keys[order], vals[order]
-            s = batch.column("src").to_numpy(zero_copy_only=False)
-            d = batch.column("dst").to_numpy(zero_copy_only=False)
-            lv = vals[np.searchsorted(keys, s)]  # all srcs are known nodes
-            return pa.table({"dst": pa.array(d, type=pa.int64()), "label": pa.array(lv, type=pa.int64())})
+    def rename(node_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column(node_col),
+                    "label": batch.column("label"),
+                }
+            )
 
-        agg = edges.map_batches(relabel, batch_format="pyarrow").groupby("dst").aggregate(Min("label", alias_name="m"))
-        new = {int(r["dst"]): int(r["m"]) for r in agg.take_all()}
-        if new == labels:
-            break
-        labels = new
+        return f
 
-    out = pa.table(
-        {
-            "doc_id": pa.array(sorted(labels), type=pa.int64()),
-            "cluster_id": pa.array([labels[k] for k in sorted(labels)], type=pa.int64()),
-        }
+    # round 0 folded into initialization: label(n) = min neighbor incl self
+    labels = (
+        edges.groupby("dst")
+        .aggregate(Min("src", alias_name="label"))
+        .map_batches(rename("dst"), batch_format="pyarrow")
+        .materialize()
     )
-    return rd.from_arrow(out)
+    checksum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    converged = False
+    for _ in range(max_rounds):
+        joined = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("src",), right_on=("node",)
+        )
+        labels = (
+            joined.groupby("dst")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(rename("dst"), batch_format="pyarrow")
+            # join partitions with no rows emit SCHEMA-LESS empty blocks
+            # (ray 2.49) that break the next round's join key resolution;
+            # repartition coalesces them away and keeps block count stable
+            .repartition(num_partitions)
+            .materialize()
+        )
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == checksum:  # min-label sums strictly decrease until fixpoint
+            converged = True
+            break
+        checksum = new_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_rounds={max_rounds} before convergence; "
+            "clusters may be split (raise max_rounds for deeper graphs)",
+            stacklevel=2,
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"), "cluster_id": batch.column("label")})
+
+    return labels.map_batches(project, batch_format="pyarrow")

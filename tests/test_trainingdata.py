@@ -340,6 +340,33 @@ class TestConnectedComponents:
         out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).take_all()}
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
+    def test_multiblock_graph_stays_distributed(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geocoding_ray.stages.dedup import connected_components
+
+        # 500 two-node components + one 8-node chain, spread over several
+        # input blocks — exercises the label-Dataset rounds (no driver
+        # label dict anywhere in the implementation)
+        a = np.arange(0, 1000, 2, dtype=np.int64)
+        b = a + 1
+        chain_a = np.arange(2000, 2007, dtype=np.int64)
+        chain_b = chain_a + 1
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(np.concatenate([a, chain_a]), type=pa.int64()),
+                    "b": pa.array(np.concatenate([b, chain_b]), type=pa.int64()),
+                }
+            )
+        ).repartition(6)
+        out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).take_all()}
+        assert len(out) == 1000 + 8
+        assert all(out[int(x)] == int(x) - 1 for x in b)  # pair components
+        assert {out[int(x)] for x in np.concatenate([chain_a, chain_b])} == {2000}  # chain collapses
+
     def test_empty(self, ray_session):
         import pyarrow as pa
 
