@@ -848,9 +848,10 @@ FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
 
 def q_reverse_annotations(sf_dir: str):
     """O4 annotations analogue (opencage.rs:581-599): DMS strings,
-    quadkey (the geohash role), cell id, Mercator x/y.  Rows-only: DMS
-    string formatting and Morton codes aren't SQL-reproducible; the
-    kernels are unit/property tested."""
+    quadkey (the geohash role), cell id, Mercator x/y, MGRS, Maidenhead,
+    qibla, sun rise/set.  Rows-only: DMS/MGRS string formatting and
+    Morton codes aren't SQL-reproducible; the kernels are unit/property
+    tested against public fixed points."""
     import ray.data as rd
 
     from ..stages.annotations import annotate_points
@@ -863,4 +864,18 @@ def q_reverse_annotations(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
     ds = ds.map_batches(synth, batch_format="pyarrow")
     ds = ds.map_batches(annotate_points, batch_format="pyarrow")
-    return ds.select_columns(["event_id", "dms_lat", "dms_lon", "quadkey", "mercator_x", "mercator_y"])
+    return ds.select_columns(
+        [
+            "event_id",
+            "dms_lat",
+            "dms_lon",
+            "quadkey",
+            "mercator_x",
+            "mercator_y",
+            "mgrs",
+            "maidenhead",
+            "qibla",
+            "sun_rise",
+            "sun_set",
+        ]
+    )

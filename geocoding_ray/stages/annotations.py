@@ -1,8 +1,10 @@
 """Point annotations — the engine's analogue of OpenCage's ``Annotations``
 document (/root/reference/src/opencage.rs:581-599): DMS strings, the
 geohash-role cell index (opencage.rs:594 — here the quadkey), Mercator
-x/y, and the calling-code/timezone fringe stubbed where it would need
-external data.
+x/y, plus the pure-math fringe — MGRS, Maidenhead, qibla, sunrise/set,
+flag emoji (``state/geodesy.py``).  callingcode / currency / timezone /
+what3words need external or licensed tables and are intentionally out of
+scope (documented, not hidden).
 
 All formatting is byte-stable (fixed decimals, no locale) per SURVEY.md
 §7 hard part 2.
@@ -15,6 +17,11 @@ import pyarrow as pa
 
 from ..state import cells
 from ..state.crs import project_points
+from ..state.geodesy import flag_emoji, maidenhead, mgrs, qibla, sun_rise_set
+
+# Fixed default observation day for the sun.rise/set annotation
+# (opencage.rs:620-624) so outputs stay deterministic: 2024-03-20 UTC.
+DEFAULT_SUN_TS = 1_710_892_800
 
 
 def _dms(value: float, pos: str, neg: str) -> str:
@@ -28,9 +35,11 @@ def _dms(value: float, pos: str, neg: str) -> str:
     return f"{deg}° {minutes}' {seconds:.5f}'' {ref}"
 
 
-def annotate_points(batch: pa.Table, level: int = 9) -> pa.Table:
-    """Adds DMS, quadkey (the OpenCage-geohash analogue), cell id and
-    Web-Mercator x/y columns for lon/lat rows; null GPS rows stay null."""
+def annotate_points(batch: pa.Table, level: int = 9, sun_ts: int = DEFAULT_SUN_TS) -> pa.Table:
+    """Adds DMS, quadkey (the OpenCage-geohash analogue), cell id,
+    Web-Mercator x/y, MGRS, Maidenhead, qibla and sun rise/set columns
+    for lon/lat rows; null GPS rows stay null.  A ``country_code``
+    column, when present, also yields the ``flag`` emoji."""
     lon = batch.column("lon").to_numpy(zero_copy_only=False)
     lat = batch.column("lat").to_numpy(zero_copy_only=False)
     valid = ~(np.isnan(lon) | np.isnan(lat))
@@ -41,6 +50,11 @@ def annotate_points(batch: pa.Table, level: int = 9) -> pa.Table:
     cell = np.zeros(len(lon), dtype=np.uint64)
     mx = np.full(len(lon), np.nan)
     my = np.full(len(lon), np.nan)
+    mg = np.full(len(lon), None, dtype=object)
+    mh = np.full(len(lon), None, dtype=object)
+    qb = np.full(len(lon), np.nan)
+    s_rise = np.full(len(lon), -1, dtype=np.int64)
+    s_set = np.full(len(lon), -1, dtype=np.int64)
 
     if valid.any():
         vi = np.nonzero(valid)[0]
@@ -50,10 +64,18 @@ def annotate_points(batch: pa.Table, level: int = 9) -> pa.Table:
         e, n = project_points(lon[valid], np.clip(lat[valid], -85.05112878, 85.05112878), "3857")
         mx[valid] = e
         my[valid] = n
+        mg_v = mgrs(lon[valid], lat[valid])
+        mh_v = maidenhead(lon[valid], lat[valid])
+        qb[valid] = qibla(lon[valid], lat[valid])
+        r_v, st_v = sun_rise_set(lon[valid], lat[valid], np.full(valid.sum(), sun_ts))
+        s_rise[valid] = r_v
+        s_set[valid] = st_v
         for j, i in enumerate(vi):
             dms_lat[i] = _dms(lat[i], "N", "S")
             dms_lon[i] = _dms(lon[i], "E", "W")
             qk[i] = keys[j]
+            mg[i] = mg_v[j]
+            mh[i] = mh_v[j]
 
     out = batch
     out = out.append_column("dms_lat", pa.array(dms_lat.tolist(), type=pa.string()))
@@ -62,4 +84,13 @@ def annotate_points(batch: pa.Table, level: int = 9) -> pa.Table:
     out = out.append_column("ann_cell_id", pa.array(cell, type=pa.uint64()))
     out = out.append_column("mercator_x", pa.array(np.where(np.isnan(mx), None, mx), type=pa.float64(), from_pandas=True))
     out = out.append_column("mercator_y", pa.array(np.where(np.isnan(my), None, my), type=pa.float64(), from_pandas=True))
+    out = out.append_column("mgrs", pa.array(mg.tolist(), type=pa.string()))
+    out = out.append_column("maidenhead", pa.array(mh.tolist(), type=pa.string()))
+    out = out.append_column("qibla", pa.array(np.where(np.isnan(qb), None, np.round(qb, 2)), type=pa.float64(), from_pandas=True))
+    out = out.append_column("sun_rise", pa.array(s_rise, type=pa.int64()))
+    out = out.append_column("sun_set", pa.array(s_set, type=pa.int64()))
+    if "country_code" in batch.column_names:
+        out = out.append_column(
+            "flag", pa.array(flag_emoji(batch.column("country_code").to_pylist()), type=pa.string())
+        )
     return out

@@ -246,3 +246,73 @@ class TestAnnotations:
         r = annotate_points(batch).to_pylist()[0]
         assert r["dms_lat"].endswith("'' S")
         assert r["dms_lon"].endswith("'' W")
+
+
+class TestGeodesy:
+    """Pure-math annotation kernels vs public fixed points."""
+
+    def test_utm_cn_tower(self):
+        # Wikipedia UTM example: CN Tower 43.642567N 79.387139W -> 17T 630084 4833439
+        from geocoding_ray.state.geodesy import utm_forward
+
+        z, e, n = utm_forward(np.array([-79.387139]), np.array([43.642567]))
+        assert z[0] == 17
+        assert abs(e[0] - 630084.0) < 1.0
+        assert abs(n[0] - 4833439.0) < 1.5
+
+    def test_mgrs_white_house(self):
+        # 38.8977N 77.0365W -> 18SUJ23394 07395 (1 m MGRS, UTM 18S 323394 4307395)
+        from geocoding_ray.state.geodesy import mgrs
+
+        assert mgrs(np.array([-77.0365]), np.array([38.8977]))[0] == "18SUJ2339407395"
+        # polar latitude -> None (UPS out of scope)
+        assert mgrs(np.array([0.0]), np.array([87.0]))[0] is None
+
+    def test_maidenhead_w1aw(self):
+        # ARRL HQ 41.7148N 72.7272W -> FN31pr (canonical amateur-radio example)
+        from geocoding_ray.state.geodesy import maidenhead
+
+        assert maidenhead(np.array([-72.7272]), np.array([41.7148]))[0] == "FN31pr"
+        # Munich
+        assert maidenhead(np.array([11.5884858]), np.array([48.1700887]))[0].startswith("JN58")
+
+    def test_qibla_fixed_points(self):
+        from geocoding_ray.state.geodesy import qibla
+
+        # London ~119 deg; Jakarta ~295 deg (public qibla tables)
+        assert abs(qibla(np.array([-0.1278]), np.array([51.5074]))[0] - 119.0) < 1.0
+        assert abs(qibla(np.array([106.8456]), np.array([-6.2088]))[0] - 295.15) < 1.0
+        # at the Kaaba itself any bearing is fine; just no NaN
+        assert np.isfinite(qibla(np.array([39.8251832]), np.array([21.4224779]))[0])
+
+    def test_sun_equator_equinox(self):
+        from geocoding_ray.state.geodesy import sun_rise_set
+
+        # equator, lon 0, 2024-03-20: rise ~06:04 UTC, ~12.1 h daylight
+        r, s = sun_rise_set(np.array([0.0]), np.array([0.0]), np.array([1710892800]))
+        assert r[0] < s[0]
+        assert abs((s[0] - r[0]) - 12.11 * 3600) < 15 * 60
+        assert 1710892800 <= r[0] < 1710892800 + 86400
+        # polar night at 85N in December -> -1 sentinel
+        r2, s2 = sun_rise_set(np.array([0.0]), np.array([85.0]), np.array([1702987200]))
+        assert r2[0] == -1 and s2[0] == -1
+
+    def test_flag_emoji(self):
+        from geocoding_ray.state.geodesy import flag_emoji
+
+        assert flag_emoji(["de"]) == ["\U0001f1e9\U0001f1ea"]
+        assert flag_emoji(["GB", None, "xyz"]) == ["\U0001f1ec\U0001f1e7", None, None]
+
+    def test_annotate_points_carries_new_columns(self):
+        import pyarrow as pa
+
+        from geocoding_ray.stages.annotations import annotate_points
+
+        batch = pa.table(
+            {"id": [1, 2], "lon": [-72.7272, None], "lat": [41.7148, None], "country_code": ["us", None]}
+        )
+        out = annotate_points(batch).to_pylist()
+        assert out[0]["maidenhead"] == "FN31pr"
+        assert out[0]["mgrs"].startswith("18T")
+        assert out[0]["flag"] == "\U0001f1fa\U0001f1f8"
+        assert out[1]["mgrs"] is None and out[1]["maidenhead"] is None and out[1]["sun_rise"] == -1
