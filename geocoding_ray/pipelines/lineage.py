@@ -4,14 +4,18 @@ metrics").
 
 Layout under ``out_dir``::
 
-    part-0000/ ... part-NNNN/     one directory per input shard (parquet)
-    _lineage/part-0000.json       manifest: input digest, row count,
+    part-<key>/                   one directory per input shard (parquet);
+                                  <key> = digest of the shard's path
+    _lineage/part-<key>.json      manifest: input digest, row count,
                                   per-partition metric counters, schema
 
 A shard is *complete* iff its manifest exists and records the same input
 digest; ``run_resumable`` skips complete shards, so a killed run picks
 up where it stopped and produces byte-identical results (stages are
-deterministic; SURVEY.md §4.2).
+deterministic; SURVEY.md §4.2).  Keys are path digests, not list
+positions: reordering or extending the shard list keeps finished shards
+valid, and orphan manifests from an older shard list are removed at the
+start of each run.
 
 Writes are atomic: the part directory is written under ``_tmp`` and
 renamed into place before the manifest is written (manifest last =
@@ -42,18 +46,29 @@ def shard_digest(path: str) -> str:
     return hashlib.blake2b(f"{os.path.basename(path)}:{st.st_size}".encode(), digest_size=8).hexdigest()
 
 
-def _manifest_path(out_dir: str, i: int) -> str:
-    return os.path.join(out_dir, "_lineage", f"part-{i:04d}.json")
+def shard_key(path: str) -> str:
+    """Stable identity of an input shard — digest of its absolute path.
+    Manifests and part dirs are keyed by THIS (not list position), so
+    reordering ``shard_paths`` or growing the list never invalidates
+    finished shards (round-1 advice)."""
+    return hashlib.blake2b(os.path.abspath(path).encode(), digest_size=8).hexdigest()
 
 
-def _part_dir(out_dir: str, i: int) -> str:
-    return os.path.join(out_dir, f"part-{i:04d}")
+def _manifest_path(out_dir: str, key: str) -> str:
+    return os.path.join(out_dir, "_lineage", f"part-{key}.json")
+
+
+def _part_dir(out_dir: str, key: str) -> str:
+    return os.path.join(out_dir, f"part-{key}")
 
 
 def completed_shards(out_dir: str, shard_paths: list[str]) -> set[int]:
+    """Indices (into ``shard_paths``) whose manifests record the same
+    input digest."""
     done = set()
     for i, p in enumerate(shard_paths):
-        mp = _manifest_path(out_dir, i)
+        key = shard_key(p)
+        mp = _manifest_path(out_dir, key)
         if not os.path.exists(mp):
             continue
         try:
@@ -61,7 +76,7 @@ def completed_shards(out_dir: str, shard_paths: list[str]) -> set[int]:
                 m = json.load(f)
         except (json.JSONDecodeError, OSError):
             continue
-        if m.get("input_digest") == shard_digest(p) and os.path.isdir(_part_dir(out_dir, i)):
+        if m.get("input_digest") == shard_digest(p) and os.path.isdir(_part_dir(out_dir, key)):
             done.add(i)
     return done
 
@@ -84,14 +99,22 @@ def run_resumable(
     bottleneck; at test scale it costs some startup per shard.
     """
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    # drop orphan manifests from a previous run with a different shard
+    # list so load_metrics never mixes stale counters in (round-1 advice)
+    keys = {shard_key(p) for p in shard_paths}
+    ldir = os.path.join(out_dir, "_lineage")
+    for fn in os.listdir(ldir):
+        if fn.startswith("part-") and fn.endswith(".json") and fn[5:-5] not in keys:
+            os.remove(os.path.join(ldir, fn))
     tmp_root = os.path.join(out_dir, "_tmp")
     done = completed_shards(out_dir, shard_paths)
     ran = []
     for i, shard in enumerate(shard_paths):
         if i in done:
             continue
-        part = _part_dir(out_dir, i)
-        tmp = os.path.join(tmp_root, f"part-{i:04d}")
+        key = shard_key(shard)
+        part = _part_dir(out_dir, key)
+        tmp = os.path.join(tmp_root, f"part-{key}")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(part, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
@@ -113,10 +136,10 @@ def run_resumable(
                 }
 
         os.replace(tmp, part)
-        with open(_manifest_path(out_dir, i), "w") as f:
+        with open(_manifest_path(out_dir, key), "w") as f:
             json.dump(
                 {
-                    "part": i,
+                    "part": key,
                     "input_path": shard,
                     "input_digest": shard_digest(shard),
                     "rows": n_rows,

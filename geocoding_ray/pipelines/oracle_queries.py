@@ -759,8 +759,10 @@ def q_forward_shuffle_topk(sf_dir: str):
     from ..config import ForwardConfig
     from .forward_shuffle import run_forward_shuffle
 
-    tmp = os.path.join(tempfile.gettempdir(), f"graft_fwd_shuffle_{os.path.basename(sf_dir.rstrip('/'))}")
-    os.makedirs(tmp, exist_ok=True)
+    # per-invocation dir: a fixed shared path would race between two
+    # concurrent runs (and collide across different sf trees that share
+    # a basename)
+    tmp = tempfile.mkdtemp(prefix=f"graft_fwd_shuffle_{os.path.basename(sf_dir.rstrip('/'))}_")
     gaz_path = os.path.join(tmp, "gazetteer.parquet")
     q_path = os.path.join(tmp, "queries.parquet")
     pqw.write_table(_supplier_gazetteer(sf_dir), gaz_path)

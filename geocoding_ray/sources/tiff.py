@@ -249,8 +249,14 @@ def parse_gps_arrow(binary_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         z = np.zeros(0)
         return z, z.copy(), np.zeros(0, dtype=bool)
     arrow_off = binary_col.offset
+    if pa.types.is_large_binary(binary_col.type):
+        off_dtype = np.int64  # large_binary carries int64 offsets
+    elif pa.types.is_binary(binary_col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"parse_gps_arrow expects a (large_)binary column, got {binary_col.type}")
     offsets = np.frombuffer(
-        binary_col.buffers()[1], dtype=np.int32, count=arrow_off + len(binary_col) + 1
+        binary_col.buffers()[1], dtype=off_dtype, count=arrow_off + len(binary_col) + 1
     ).astype(np.int64)
     if arrow_off:
         offsets = offsets[arrow_off : arrow_off + len(binary_col) + 1]

@@ -84,12 +84,25 @@ class TestLineageResume:
         shards, make_ds = self._make(fixture_dir, out)
         lineage.run_resumable(make_ds, shards[:1], out)
         # tamper with the manifest digest -> shard must re-run
-        mp = os.path.join(out, "_lineage", "part-0000.json")
+        mp = os.path.join(out, "_lineage", f"part-{lineage.shard_key(shards[0])}.json")
         m = json.load(open(mp))
         m["input_digest"] = "stale"
         json.dump(m, open(mp, "w"))
         r = lineage.run_resumable(make_ds, shards[:1], out)
         assert r["ran"] == [0]
+
+    def test_reorder_keeps_resume_and_orphans_cleaned(self, ray_session, fixture_dir, tmp_path):
+        out = str(tmp_path / "d")
+        shards, make_ds = self._make(fixture_dir, out)
+        lineage.run_resumable(make_ds, shards, out)
+        # reordering the shard list must not invalidate finished shards
+        r = lineage.run_resumable(make_ds, list(reversed(shards)), out)
+        assert r["ran"] == []
+        # a run with a smaller shard list drops the orphan manifests, so
+        # load_metrics reflects only the current list
+        lineage.run_resumable(make_ds, shards[:1], out)
+        m = lineage.load_metrics(out)
+        assert m["rows"] == pq.read_metadata(shards[0]).num_rows
 
 
 class TestForwardShuffleParity:
