@@ -36,6 +36,27 @@ class TestProviders:
             get_provider("nope")
 
 
+class TestEnvelope:
+    def test_opencage_envelope_fields(self):
+        from geocoding_ray.functions.envelope import FREE_TIER_DAILY_LIMIT, opencage_envelope
+
+        env = opencage_envelope(total_results=3, created_unix=1710892805, metrics={"rows": 100})
+        # schema parity with OpencageResponse (opencage.rs:551-564)
+        assert set(env) == {"documentation", "licenses", "rate", "status", "timestamp", "total_results"}
+        assert env["status"] == {"code": 200, "message": "OK"}
+        assert env["total_results"] == 3
+        assert env["timestamp"]["created_unix"] == 1710892805
+        assert env["rate"]["limit"] == FREE_TIER_DAILY_LIMIT
+        assert env["rate"]["remaining"] == FREE_TIER_DAILY_LIMIT - 100
+        assert env["rate"]["reset"] % 86400 == 0
+
+    def test_rate_floors_at_zero(self):
+        from geocoding_ray.functions.envelope import opencage_envelope
+
+        env = opencage_envelope(0, 0, metrics={"rows": 10**9})
+        assert env["rate"]["remaining"] == 0
+
+
 class TestUnixTime:
     def test_roundtrip(self):
         t = UnixTime.from_seconds(1_700_000_000)
