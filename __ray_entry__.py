@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": tq.q_fingerprint,
         "ann_topk": tq.q_ann_topk,
         "embed_dup": tq.q_embed_dup,
+        "text_dup": tq.q_text_dup,                # exact shingle-Jaccard near-dup (block-pair plan)
+        "train_split": tq.q_train_split,          # deterministic hash split (train/val)
         "events_window": tq.q_events_window,      # tumbling-window partial+final aggregate
         "sessionize": tq.q_sessionize,            # gap-based session windows per user
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
@@ -85,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": tq.SQL_FINGERPRINT,
         "ann_topk": tq.SQL_ANN_TOPK,
         "embed_dup": tq.SQL_EMBED_DUP,
+        "text_dup": tq.SQL_TEXT_DUP,
+        "train_split": tq.SQL_TRAIN_SPLIT,
         "events_window": tq.SQL_EVENTS_WINDOW,
         "sessionize": tq.SQL_SESSIONIZE,
         "top_docs": tq.SQL_TOP_DOCS,

@@ -129,6 +129,45 @@ def q_fingerprint(sf_dir: str):
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
 
 # ---------------------------------------------------------------------------
+# deterministic train/val split (a training-data staple: stable under
+# re-runs, resharding and parallelism because it hashes the KEY, never
+# positions or randomness)
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_OUT_OF_16 = 14  # 14/16 = 87.5% train
+
+
+def q_train_split(sf_dir: str):
+    """Hash-based split: first hex digit of md5(doc_id) < 14 -> train."""
+    import hashlib
+
+    import ray.data as rd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        digit = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(digit < SPLIT_TRAIN_OUT_OF_16, "train", "val")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "split": pa.array(split.tolist(), type=pa.string())}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_TRAIN_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                 < {SPLIT_TRAIN_OUT_OF_16}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
 # similarity search (ANN)
 # ---------------------------------------------------------------------------
 
@@ -300,6 +339,103 @@ def q_embed_dup_ivf(sf_dir: str, n_centroids: int = 16, nassign: int = 3):
     pairs = ds.groupby("cid").map_groups(pair_group, batch_format="pyarrow")
     # a pair can surface in up to nassign shared buckets — dedup natively
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_nb")).select_columns(["a", "b"])
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (SQL-gated; the exactness baseline the
+# LSH pipelines approximate)
+# ---------------------------------------------------------------------------
+
+TEXT_DUP_THRESHOLD = 0.6
+TEXT_DUP_K = 5  # character shingle width
+
+
+def q_text_dup(sf_dir: str, n_blocks: int = 4):
+    """EXACT character-5-gram Jaccard near-dup pairs (>= threshold,
+    a < b) via the same block-pair co-shuffle as ``q_embed_dup`` — no
+    broadcast, per-task residency 2N/P docs.
+
+    Shingles are ``lower(text)`` character windows (no other
+    normalization) so the DuckDB oracle can reproduce the sets with
+    ``substr``; Jaccard is computed as exact integer counts through a
+    per-group doc x shingle incidence matrix (one matmul per group).
+    Dense-matrix note: per-group memory is docs x group-vocab bools —
+    at corpus scale raise ``n_blocks`` (groups shrink as 2N/P) or swap
+    the kernel to the sorted-postings variant.
+    """
+    import ray.data as rd
+
+    P = n_blocks
+    K = TEXT_DUP_K
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        own = (ids % P).astype(np.int32)
+        reps = np.repeat(np.arange(n), P)
+        j = np.tile(np.arange(P, dtype=np.int32), n)
+        ob = own[reps]
+        out = batch.take(pa.array(reps, type=pa.int64()))
+        out = out.append_column("bi", pa.array(np.minimum(ob, j), type=pa.int32()))
+        out = out.append_column("bj", pa.array(np.maximum(ob, j), type=pa.int32()))
+        return out.append_column("blk", pa.array(ob, type=pa.int32()))
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = g.column("text").to_pylist()
+        blk = g.column("blk").to_numpy(zero_copy_only=False)
+        bi = int(g.column("bi")[0].as_py())
+        bj = int(g.column("bj")[0].as_py())
+        n = len(ids)
+        vocab: dict[str, int] = {}
+        rows_ix: list[int] = []
+        cols_ix: list[int] = []
+        sizes = np.zeros(n, dtype=np.int64)
+        for d, t in enumerate(texts):
+            s = (t or "").lower()
+            grams = {s[i : i + K] for i in range(max(len(s) - K + 1, 0))}
+            sizes[d] = len(grams)
+            for gr in grams:
+                cix = vocab.setdefault(gr, len(vocab))
+                rows_ix.append(d)
+                cols_ix.append(cix)
+        m = np.zeros((n, len(vocab)), dtype=np.uint8)
+        if rows_ix:
+            m[rows_ix, cols_ix] = 1
+        inter = (m.astype(np.int64) @ m.T.astype(np.int64)) if len(vocab) else np.zeros((n, n), dtype=np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        hit = jac >= TEXT_DUP_THRESHOLD
+        if bi == bj:
+            ia, ib = np.nonzero(hit & (ids[:, None] < ids[None, :]))
+            a, b = ids[ia], ids[ib]
+        else:
+            mi, mj = blk == bi, blk == bj
+            ia, ib = np.nonzero(hit[np.ix_(mi, mj)])
+            x, y = ids[mi][ia], ids[mj][ib]
+            a, b = np.minimum(x, y), np.maximum(x, y)
+        return pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(explode_blocks, batch_format="pyarrow")
+    return ds.groupby(["bi", "bj"]).map_groups(pair_group, batch_format="pyarrow")
+
+
+SQL_TEXT_DUP = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(lower(text)) - {TEXT_DUP_K} + 2, 1)),
+                                      i -> substr(lower(text), CAST(i AS INT), {TEXT_DUP_K}))) AS s
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS na, len(b.s) AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT a, b FROM pairs
+WHERE na + nb - inter > 0
+  AND CAST(inter AS DOUBLE) / (na + nb - inter) >= {TEXT_DUP_THRESHOLD}
+"""
 
 # ---------------------------------------------------------------------------
 # near-dup detection (rows-only checks — not SQL-expressible)
