@@ -87,6 +87,44 @@ def tokenize_arrow(arr):
     return pc.if_else(empty, pa.array([[]] * len(toks), type=pa.list_(pa.string())), toks)
 
 
+def split_tokens_arrow(col):
+    """Pre-normalized space-joined Arrow string column ->
+    ``(flat, row_of, hashes, idx)``: the flat token array, and for each
+    NON-EMPTY token its row index, uint64 polynomial hash, and position
+    in ``flat`` (the shared vectorized front half of every tokenizing
+    stage)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import polyhash_strings, string_byte_view
+
+    s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks = pc.split_pattern(pc.fill_null(s.cast(pa.string()), ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    flat = toks.values
+    row_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+    h = polyhash_strings(flat)
+    _, boff = string_byte_view(flat)
+    keep = np.nonzero(np.diff(boff) > 0)[0]  # empty-string tokens out
+    return flat, row_of[keep], h[keep], keep
+
+
+def dedup_tokens_per_row(row_of, h):
+    """Indices of the first occurrence of each (row, hash) pair, ordered
+    by (row, hash) — the vectorized per-row token-set dedup."""
+    import numpy as np
+
+    order = np.lexsort((h, row_of))
+    ro, ho = row_of[order], h[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (ro[1:] != ro[:-1]) | (ho[1:] != ho[:-1])
+    return order[keep]
+
+
 def coerce_to_string(v) -> str | None:
     """int-or-string -> string, the engine analogue of
     ``deserialize_string_or_int`` (opencage.rs:73-88)."""

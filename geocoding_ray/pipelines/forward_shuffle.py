@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ForwardConfig
-from ..functions.hashing import polyhash_strings, string_byte_view
+from ..functions.hashing import polyhash_strings
 
 _PLACE_COLS = ("place_id", "name", "lon", "lat", "origin", "country_code", "rank", "weight", "importance", "detail", "label")
 
@@ -52,34 +52,8 @@ def _first_parquet(d: str) -> str:
     raise FileNotFoundError(f"no parquet files under {d}")
 
 
-def _dedup_per_row(row_of: np.ndarray, h: np.ndarray) -> np.ndarray:
-    """Indices of the first occurrence of each (row, hash) pair, ordered
-    by (row, hash) — the vectorized per-row token-set dedup."""
-    order = np.lexsort((h, row_of))
-    ro, ho = row_of[order], h[order]
-    keep = np.ones(len(order), dtype=bool)
-    keep[1:] = (ro[1:] != ro[:-1]) | (ho[1:] != ho[:-1])
-    return order[keep]
-
-
-def _split_tokens(col) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
-    """Pre-normalized space-joined column -> ``(flat, row_of, h, idx)``:
-    the flat token array, and for each NON-EMPTY token its row index,
-    uint64 hash, and position in ``flat``."""
-    import pyarrow.compute as pc
-
-    s = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    toks = pc.split_pattern(pc.fill_null(s.cast(pa.string()), ""), " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    off = toks.offsets.to_numpy().astype(np.int64)
-    off = off - off[0]
-    flat = toks.values
-    row_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
-    h = polyhash_strings(flat)
-    _, boff = string_byte_view(flat)
-    keep = np.nonzero(np.diff(boff) > 0)[0]  # empty-string tokens out
-    return flat, row_of[keep], h[keep], keep
+from ..functions.normalize import dedup_tokens_per_row as _dedup_per_row
+from ..functions.normalize import split_tokens_arrow as _split_tokens
 
 
 def explode_gazetteer(batch: pa.Table) -> pa.Table:

@@ -70,6 +70,12 @@ class GazetteerIndex:
             for t in set(d.split(" ")) if d else ():
                 postings.setdefault(t, []).append(i)
         self.postings = {t: np.array(v, dtype=np.int64) for t, v in postings.items()}
+        # sorted vocabulary hashes: the actors' vectorized known-token
+        # test (searchsorted) — same polynomial family as the query-side
+        # batch tokenizer
+        from ..functions.hashing import polyhash_strings
+
+        self.vocab_hashes = np.sort(polyhash_strings(pa.array(list(self.postings.keys()), type=pa.string())))
         # pre-sorted ranking key per place for fast per-query top-k:
         # order places once by (importance desc, weight desc, place_id asc)
         self.rank_order = np.lexsort((self.place_id, -self.weight, -self.importance))
@@ -77,14 +83,17 @@ class GazetteerIndex:
         self.rank_pos[self.rank_order] = np.arange(len(self.place_id))
 
     def match(self, query: str, ignore_oov: bool = False) -> np.ndarray:
-        """Candidate place indices for a query (unranked).
+        """Candidate place indices for a query string (unranked)."""
+        return self.match_tokens(tokenize(query), ignore_oov=ignore_oov)
+
+    def match_tokens(self, toks: list[str], ignore_oov: bool = False) -> np.ndarray:
+        """Candidate place indices for pre-tokenized queries.
 
         ``ignore_oov=True`` drops tokens absent from the gazetteer
         vocabulary before requiring the rest to all match — the caption
         mode ("photo near X" noise words); an address-mode query
         (``ignore_oov=False``) with any unknown token matches nothing.
         """
-        toks = tokenize(query)
         if not toks:
             return np.zeros(0, dtype=np.int64)
         lists = []
@@ -141,100 +150,163 @@ class ForwardJoiner:
         self._memo: dict[str, np.ndarray] = {}
         self._memo_cap = 200_000
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    _EMPTY = np.zeros(0, dtype=np.int64)
+
+    def _ranked_candidates(self, key: str) -> np.ndarray:
+        """Filtered + ranked candidate indices for a canonical token-set
+        key (config filters are actor constants, so memoizing on the key
+        alone is sound)."""
         cfg = self.config
         idx = self.index
-        queries = batch.column(self.query_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        n = len(queries)
+        cand = idx.match_tokens(key.split(" "), ignore_oov=cfg.ignore_oov) if key else self._EMPTY
+        if len(cand) and cfg.origins is not None:
+            org = set(cfg.origins)
+            cand = cand[np.array([o in org for o in idx.origin[cand]], dtype=bool)]
+        if len(cand) and cfg.countrycodes is not None:  # opencage.rs:55-70
+            cc = cfg.countrycodes
+            cand = cand[np.array([c in cc for c in idx.country_code[cand]], dtype=bool)]
+        if len(cand) and cfg.bbox is not None:
+            b = cfg.bbox
+            cand = cand[points_in_bbox(idx.lon[cand], idx.lat[cand], b.minx, b.miny, b.maxx, b.maxy)]
+        # rank: stable order by precomputed global rank position
+        cand = cand[np.argsort(idx.rank_pos[cand], kind="stable")]
+        if cfg.limit is not None:
+            cand = cand[: cfg.limit]
+        return cand
 
-        out_points: list[list[dict]] = []
-        out_n = np.zeros(n, dtype=np.int32)
-        top_name = np.full(n, None, dtype=object)
-        top_label = np.full(n, None, dtype=object)
-        top_place = np.zeros(n, dtype=np.uint64)
-        top_lon = np.full(n, np.nan)
-        top_lat = np.full(n, np.nan)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized batch path: arrow-kernel tokenize -> searchsorted
+        known-token test -> one canonical token-set key per query (so
+        the memo collapses BOTH repeated captions and distinct captions
+        whose known tokens coincide — "photo 17 of X" and "photo 18 of
+        X" share a key) -> posting-list intersection once per distinct
+        key -> arrow-native output assembly.  No per-row Python beyond
+        tiny dict lookups.
+        """
+        import pyarrow.compute as pc
 
-        bbox = cfg.bbox
-        origins = set(cfg.origins) if cfg.origins else None
-        ccodes = cfg.countrycodes  # opencage.rs:55-70 countrycode restriction
-        limit = cfg.limit
-        ex_rows: list[tuple] = []  # explode mode: (i, rk, place array idx)
+        from ..functions.normalize import dedup_tokens_per_row, normalize_arrow, split_tokens_arrow
 
-        for i, q in enumerate(queries):
-            cand = self._memo.get(q) if q else None
-            if cand is None:
-                cand = idx.match(q, ignore_oov=cfg.ignore_oov) if q else np.zeros(0, dtype=np.int64)
-                if len(cand) and origins is not None:
-                    keep = np.array([o in origins for o in idx.origin[cand]], dtype=bool)
-                    cand = cand[keep]
-                if len(cand) and ccodes is not None:
-                    keep = np.array([c in ccodes for c in idx.country_code[cand]], dtype=bool)
-                    cand = cand[keep]
-                if len(cand) and bbox is not None:
-                    keep = points_in_bbox(idx.lon[cand], idx.lat[cand], bbox.minx, bbox.miny, bbox.maxx, bbox.maxy)
-                    cand = cand[keep]
-                # rank: stable order by precomputed global rank position
-                cand = cand[np.argsort(idx.rank_pos[cand], kind="stable")]
-                if limit is not None:
-                    cand = cand[:limit]
-                if q is not None and len(self._memo) < self._memo_cap:
-                    self._memo[q] = cand
-            if len(cand) == 0:
-                out_points.append([])
-                continue
-            lon = idx.lon[cand]
-            lat = idx.lat[cand]
-            px, py = project_points(lon, lat, cfg.sr)
-            if cfg.sr in ("21781", "2056"):
-                # the reference swaps to (easting, northing) via
-                # Point::new(y, x) — geoadmin.rs:245-255; project_points
-                # already returns (e, n), matching the swapped order.
-                pass
-            out_points.append([{"lon": float(x), "lat": float(y)} for x, y in zip(px, py)])
-            out_n[i] = len(cand)
-            top_name[i] = idx.name[cand[0]]
-            top_label[i] = idx.label[cand[0]]
-            top_place[i] = idx.place_id[cand[0]]
-            top_lon[i] = px[0]
-            top_lat[i] = py[0]
-            if self.explode:
-                for rk, c in enumerate(cand, start=1):
-                    ex_rows.append((i, rk, int(c)))
-
+        cfg = self.config
+        idx = self.index
+        n = batch.num_rows
         id_arr = batch.column(self.id_col)
         if isinstance(id_arr, pa.ChunkedArray):
             id_arr = id_arr.combine_chunks()
+        query_arr = batch.column(self.query_col)
+        if isinstance(query_arr, pa.ChunkedArray):
+            query_arr = query_arr.combine_chunks()
+
+        # --- collapse repeated captions first: the entire front half
+        # (normalize, split, hash, memo) runs once per DISTINCT caption
+        qobj = np.asarray(pc.fill_null(query_arr, "").cast(pa.string()).to_pylist(), dtype=object)
+        quniq, inv = np.unique(qobj, return_inverse=True)
+        nu = len(quniq)
+
+        # --- canonical token-set key per distinct caption (vectorized) ---
+        flat, row_of, h, flat_idx = split_tokens_arrow(normalize_arrow(pa.array(quniq.tolist(), type=pa.string())))
+        sel = dedup_tokens_per_row(row_of, h)  # distinct (caption, token), hash-sorted
+        ro_d, h_d = row_of[sel], h[sel]
+        vh = idx.vocab_hashes
+        if len(vh):
+            pos = np.searchsorted(vh, h_d)
+            known = (pos < len(vh)) & (vh[np.minimum(pos, len(vh) - 1)] == h_d)
+        else:
+            known = np.zeros(len(h_d), dtype=bool)
+        cnt_d = np.bincount(ro_d, minlength=nu)
+        cnt_known = np.bincount(ro_d[known], minlength=nu)
+        if cfg.ignore_oov:
+            keep_u = cnt_known > 0
+            tok_keep = known  # OOV noise tokens leave the key too
+        else:
+            keep_u = (cnt_d > 0) & (cnt_known == cnt_d)  # strict: any OOV -> no match
+            tok_keep = np.ones(len(ro_d), dtype=bool)
+        tm = tok_keep & keep_u[ro_d]
+        tcnt = np.bincount(ro_d[tm], minlength=nu)
+        loff = np.concatenate([[0], np.cumsum(tcnt)])
+        tok_strings = flat.take(pa.array(flat_idx[sel[tm]], type=pa.int64()))
+        keys_arr = pc.binary_join(pa.ListArray.from_arrays(pa.array(loff, type=pa.int32()), tok_strings), " ")
+        keys = keys_arr.to_pylist()  # "" for captions with no usable tokens
+
+        # --- resolve distinct keys through the per-actor memo ---
+        local: dict[str, np.ndarray] = {}
+        cands_u: list[np.ndarray] = []
+        for u in range(nu):
+            if not keep_u[u]:
+                cands_u.append(self._EMPTY)
+                continue
+            k = keys[u]
+            cand = self._memo.get(k)
+            if cand is None:
+                cand = local.get(k)
+            if cand is None:
+                cand = self._ranked_candidates(k)
+                if len(self._memo) < self._memo_cap:
+                    self._memo[k] = cand
+                else:
+                    local[k] = cand
+            cands_u.append(cand)
+        counts_u = np.fromiter((len(c) for c in cands_u), dtype=np.int64, count=nu)
+        offs_u = np.concatenate([[0], np.cumsum(counts_u)])
+        flat_u = np.concatenate([c for c in cands_u if len(c)]) if counts_u.sum() else self._EMPTY
+
+        # --- scatter back to rows (pure index arithmetic) ---
+        counts = counts_u[inv]
+        total = int(counts.sum())
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+        flat_c = flat_u[np.repeat(offs_u[:-1][inv], counts) + within] if total else self._EMPTY
+
+        # --- vectorized projection + output assembly over flat candidates ---
+        px, py = project_points(idx.lon[flat_c], idx.lat[flat_c], cfg.sr)
+        # sr 21781/2056: the reference swaps to (easting, northing) via
+        # Point::new(y, x) — geoadmin.rs:245-255; project_points already
+        # returns (e, n), matching the swapped order.
 
         if self.explode:
-            qi = np.array([r[0] for r in ex_rows], dtype=np.int64)
-            rks = np.array([r[1] for r in ex_rows], dtype=np.int64)
-            ci = np.array([r[2] for r in ex_rows], dtype=np.int64)
+            q_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+            rks = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts) + 1
             return pa.table(
                 {
-                    "query_id": id_arr.take(pa.array(qi)) if len(qi) else id_arr.slice(0, 0),
+                    "query_id": id_arr.take(pa.array(q_rep)) if total else id_arr.slice(0, 0),
                     "rk": pa.array(rks, type=pa.int64()),
-                    "place_id": pa.array(idx.place_id[ci] if len(ci) else np.zeros(0, np.uint64), type=pa.uint64()).cast(pa.int64()),
-                    "name": pa.array(idx.name[ci].tolist() if len(ci) else [], type=pa.string()),
-                    "lon": pa.array(idx.lon[ci] if len(ci) else np.zeros(0), type=pa.float64()),
-                    "lat": pa.array(idx.lat[ci] if len(ci) else np.zeros(0), type=pa.float64()),
-                    "importance": pa.array(idx.importance[ci] if len(ci) else np.zeros(0), type=pa.float64()),
+                    "place_id": pa.array(idx.place_id[flat_c].astype(np.int64), type=pa.int64()),
+                    "name": pa.array(idx.name[flat_c].tolist(), type=pa.string()),
+                    "lon": pa.array(idx.lon[flat_c], type=pa.float64()),
+                    "lat": pa.array(idx.lat[flat_c], type=pa.float64()),
+                    "importance": pa.array(idx.importance[flat_c], type=pa.float64()),
                     # per-candidate address-detail columns (the flattened
                     # AddressDetails role, openstreetmap.rs:322-337)
-                    "origin": pa.array(idx.origin[ci].tolist() if len(ci) else [], type=pa.string()),
-                    "label": pa.array(idx.label[ci].tolist() if len(ci) else [], type=pa.string()),
-                    "house_number": pa.array(idx.house_number[ci].tolist() if len(ci) else [], type=pa.string()),
-                    "country_code": pa.array(idx.country_code[ci].tolist() if len(ci) else [], type=pa.string()),
+                    "origin": pa.array(idx.origin[flat_c].tolist(), type=pa.string()),
+                    "label": pa.array(idx.label[flat_c].tolist(), type=pa.string()),
+                    "house_number": pa.array(idx.house_number[flat_c].tolist(), type=pa.string()),
+                    "country_code": pa.array(idx.country_code[flat_c].tolist(), type=pa.string()),
                 }
             )
 
-        out = pa.table(
+        struct = pa.StructArray.from_arrays(
+            [pa.array(px, type=pa.float64()), pa.array(py, type=pa.float64())], ["lon", "lat"]
+        )
+        points = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), struct)
+        has = counts > 0
+        first = offs[:-1][has]
+        top_place = np.zeros(n, dtype=np.uint64)
+        top_place[has] = idx.place_id[flat_c[first]] if total else []
+        top_name = np.full(n, None, dtype=object)
+        top_label = np.full(n, None, dtype=object)
+        top_lon = np.full(n, np.nan)
+        top_lat = np.full(n, np.nan)
+        if total:
+            top_name[has] = idx.name[flat_c[first]]
+            top_label[has] = idx.label[flat_c[first]]
+            top_lon[has] = px[first]
+            top_lat[has] = py[first]
+        return pa.table(
             {
                 "query_id": id_arr,
-                "query": pa.array(queries, type=pa.string()),
-                "points": pa.array(out_points, type=pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())]))),
-                "n_candidates": pa.array(out_n, type=pa.int32()),
+                "query": query_arr.cast(pa.string()),
+                "points": points,
+                "n_candidates": pa.array(counts.astype(np.int32), type=pa.int32()),
                 "top_place_id": pa.array(top_place, type=pa.uint64()),
                 "top_name": pa.array(top_name.tolist(), type=pa.string()),
                 "top_label": pa.array(top_label.tolist(), type=pa.string()),
@@ -242,4 +314,3 @@ class ForwardJoiner:
                 "top_lat": pa.array(np.where(np.isnan(top_lat), None, top_lat), type=pa.float64(), from_pandas=True),
             }
         )
-        return out
