@@ -223,8 +223,17 @@ def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
         if len(keep_p) == 0:
             return _empty()
         ps = ps.iloc[keep_p]
-        detail_sets = [set(d.split(" ")) for d in ps["detail"]]
-        np_ = len(detail_sets)
+        np_ = len(ps)
+        # vectorized verify: candidate x detail-token-hash incidence
+        # matrix built once per group; each distinct query token set is
+        # one column gather + row-wise all() — no per-candidate Python
+        from ..functions.normalize import split_tokens_arrow
+
+        _, prow, ph, _ = split_tokens_arrow(pa.array(ps["detail"].tolist(), type=pa.string()))
+        vocab, colinv = np.unique(ph, return_inverse=True)
+        m = np.zeros((np_, len(vocab)), dtype=bool)
+        if len(prow):
+            m[prow, colinv] = True
         # dedup identical query token-sets: within a (token, salt) group
         # captions repeat heavily, so match once per distinct qtokens
         qtok = qs["qtokens"].to_numpy()
@@ -235,10 +244,22 @@ def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
         # A query has exactly ONE join key, so ALL its candidates are in
         # this group — rank + limit here and skip any query_id re-shuffle.
         # Ranked once per DISTINCT caption (captions repeat heavily).
+        _, qrow, qh, _ = split_tokens_arrow(pa.array(uniq.tolist(), type=pa.string()))
+        qpos = np.searchsorted(vocab, qh) if len(vocab) else np.zeros(len(qh), dtype=np.int64)
+        qknown = (
+            (qpos < len(vocab)) & (vocab[np.minimum(qpos, max(len(vocab) - 1, 0))] == qh)
+            if len(vocab)
+            else np.zeros(len(qh), dtype=bool)
+        )
+        qcnt = np.bincount(qrow, minlength=len(uniq)) if len(qrow) else np.zeros(len(uniq), dtype=np.int64)
+        qoffs = np.concatenate([[0], np.cumsum(qcnt)])  # qrow is row-major sorted
         match_idx: list[np.ndarray] = []
-        for u in uniq:
-            need = set(u.split(" "))
-            ok = np.fromiter((need.issubset(ds_) for ds_ in detail_sets), dtype=bool, count=np_)
+        for u in range(len(uniq)):
+            s, e = qoffs[u], qoffs[u + 1]
+            if s == e or not qknown[s:e].all():
+                match_idx.append(np.zeros(0, dtype=np.int64))
+                continue  # a token absent from every candidate -> no match
+            ok = m[:, qpos[s:e]].all(axis=1)
             idx = np.nonzero(ok)[0]
             if len(idx):
                 order = np.lexsort((pid[idx], -wgt[idx], -imp[idx]))
