@@ -879,5 +879,9 @@ def q_reverse_annotations(sf_dir: str):
             "qibla",
             "sun_rise",
             "sun_set",
+            "threeword",
+            "tz_offset_sec",
+            "tz_offset_string",
+            "tz_name",
         ]
     )

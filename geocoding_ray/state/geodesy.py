@@ -171,6 +171,52 @@ def sun_rise_set(lon: np.ndarray, lat: np.ndarray, ts: np.ndarray) -> tuple[np.n
     return rise, sset
 
 
+# --- three-word cell code (the what3words ROLE: a human-readable,
+# reversible encoding of a ~level-13 grid cell; the real w3w wordlist
+# and assignment are proprietary, so this is an engine-defined family
+# over a deterministic syllabic wordlist — opencage.rs:597) ---
+
+_CONS = "bdfgklmnprstvz"
+_VOWELS = "aeiou"
+_WORDS = [c1 + v1 + c2 + v2 for c1 in _CONS for v1 in _VOWELS for c2 in _CONS for v2 in _VOWELS][:1024]
+_W = np.uint64(1024)
+_TW_LEVEL = 13  # 2*13=26 bits of cell < 30 bits of 3x1024 words
+
+
+def threeword(lon: np.ndarray, lat: np.ndarray) -> list:
+    """``word.word.word`` code of the level-13 quadkey cell (~1 km)."""
+    from . import cells
+
+    c = cells.encode(np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64), _TW_LEVEL)
+    payload = c & np.uint64((1 << (2 * _TW_LEVEL)) - 1)  # the Morton path (low bits)
+    w0 = payload % _W
+    w1 = (payload // _W) % _W
+    w2 = (payload // (_W * _W)) % _W
+    return [f"{_WORDS[int(a)]}.{_WORDS[int(b)]}.{_WORDS[int(cc)]}" for a, b, cc in zip(w0, w1, w2)]
+
+
+def threeword_decode(code: str) -> int:
+    """Inverse of :func:`threeword` -> the level-13 cell id payload."""
+    a, b, c = (np.uint64(_WORDS.index(w)) for w in code.split("."))
+    return int(a + b * _W + c * _W * _W)
+
+
+def solar_timezone(lon: np.ndarray) -> tuple[np.ndarray, list, list]:
+    """SOLAR-approximation timezone (offset = round(lon / 15) hours).
+
+    The reference's ``timezone`` annotation (opencage.rs:627-636) needs
+    the IANA boundary dataset, which is unavailable offline; the solar
+    offset is the documented pure-math stand-in.  Returns
+    ``(offset_sec, offset_string, name)``.
+    """
+    lon = np.asarray(lon, dtype=np.float64)
+    hours = np.clip(np.round(lon / 15.0), -12, 14).astype(np.int64)
+    offset_sec = hours * 3600
+    offset_string = [f"{'+' if h >= 0 else '-'}{abs(int(h)):02d}:00" for h in hours]
+    name = [f"UTC{s}" for s in offset_string]
+    return offset_sec, offset_string, name
+
+
 def flag_emoji(country_codes) -> list:
     """ISO alpha-2 country code -> regional-indicator flag emoji
     (opencage.rs:592 ``flag``); None for missing/invalid codes."""

@@ -303,6 +303,38 @@ class TestGeodesy:
         assert flag_emoji(["de"]) == ["\U0001f1e9\U0001f1ea"]
         assert flag_emoji(["GB", None, "xyz"]) == ["\U0001f1ec\U0001f1e7", None, None]
 
+    def test_threeword_roundtrip_and_locality(self):
+        from geocoding_ray.state import cells
+        from geocoding_ray.state.geodesy import _TW_LEVEL, threeword, threeword_decode
+
+        lon = np.array([11.5884858, -0.1360, 11.5884858])
+        lat = np.array([48.1700887, 51.5210, 48.1700887])
+        codes = threeword(lon, lat)
+        assert codes[0] == codes[2]  # same point -> same code
+        assert codes[0] != codes[1]
+        for i, code in enumerate(codes):
+            c = cells.encode(lon[i : i + 1], lat[i : i + 1], _TW_LEVEL)[0]
+            assert threeword_decode(code) == int(c & np.uint64((1 << (2 * _TW_LEVEL)) - 1))
+
+    def test_solar_timezone(self):
+        from geocoding_ray.state.geodesy import solar_timezone
+
+        off, ostr, name = solar_timezone(np.array([11.58, -74.0, 0.0]))
+        assert off.tolist() == [3600, -18000, 0]
+        assert ostr == ["+01:00", "-05:00", "+00:00"]
+        assert name == ["UTC+01:00", "UTC-05:00", "UTC+00:00"]
+
+    def test_annotate_country(self):
+        import pyarrow as pa
+
+        from geocoding_ray.functions.country import annotate_country
+
+        batch = pa.table({"id": [1, 2, 3], "country_code": ["de", "GB", "zz"]})
+        out = annotate_country(batch).to_pylist()
+        assert out[0]["callingcode"] == 49 and out[0]["currency_iso_code"] == "EUR"
+        assert out[1]["callingcode"] == 44 and out[1]["currency_symbol"] == "£"
+        assert out[2]["callingcode"] is None and out[2]["currency_iso_code"] is None
+
     def test_annotate_points_carries_new_columns(self):
         import pyarrow as pa
 
