@@ -297,6 +297,8 @@ class ReverseJoiner:
         for f in COMPONENT_FIELDS:
             out = out.append_column(f, pa.array(comp_out[f].tolist(), type=pa.string()))
         if cfg.strict_nonempty:
-            err = [None if f_ is not None else "empty result" for f_ in formatted.tolist()]
+            from ..functions.errors import REVERSE_EMPTY  # GeocodingError taxonomy (lib.rs:54-66)
+
+            err = [None if f_ is not None else REVERSE_EMPTY for f_ in formatted.tolist()]
             out = out.append_column("error", pa.array(err, type=pa.string()))
         return out

@@ -66,11 +66,15 @@ class TestReverseGolden:
 
     def test_strict_mode_flags_empty(self, indexes):
         # OpenCage/OSM would panic on empty (opencage.rs:370-372);
-        # the engine flags the row instead of killing the task.
+        # the engine flags the row with the GeocodingError taxonomy
+        # variant (lib.rs:59) instead of killing the task.
+        from geocoding_ray.functions.errors import REVERSE_EMPTY, GeocodingError
+
         idx, _ = indexes
         batch = pa.table({"image_id": ["q"], "lon": [75.0], "lat": [-20.0]})
         out = ReverseJoiner(idx, ReverseConfig(strict_nonempty=True))(batch)
-        assert out.to_pylist()[0]["error"] == "empty result"
+        assert out.to_pylist()[0]["error"] == REVERSE_EMPTY
+        assert out.to_pylist()[0]["error"].startswith(GeocodingError.REVERSE.value)
 
     def test_knn_fallback_geoadmin(self, indexes):
         # point just off "Isla 0" (-95, -40) — no polygon, within tolerance
