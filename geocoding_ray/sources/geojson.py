@@ -151,3 +151,53 @@ def read_geojson_files(paths: Iterable[str]) -> tuple[pa.Table, pa.Table]:
         pa.concat_tables(admins) if admins else empty_a,
         pa.concat_tables(gazes) if gazes else empty_g,
     )
+
+
+def features_from_points(
+    batch: pa.Table,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    props: Iterable[str] | None = None,
+) -> pa.Table:
+    """Point rows -> one GeoJSON Feature JSON string per row (``feature``
+    column) — the SINK half of the FeatureCollection round trip
+    (openstreetmap.rs:285-292 emits exactly this shape per result).
+
+    A distributed writer composes this with ``ds.write_json`` (one
+    Feature per line); a FeatureCollection envelope is a driver-side
+    ``{"type": "FeatureCollection", "features": [...]}`` wrap of a SMALL
+    result — never of a full corpus.
+    """
+    import json
+
+    lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
+    lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+    prop_cols = list(props) if props is not None else [c for c in batch.column_names if c not in (lon_col, lat_col)]
+    prop_data = {c: batch.column(c).to_pylist() for c in prop_cols}
+    feats = []
+    for i in range(batch.num_rows):
+        lo, la = float(lon[i]), float(lat[i])
+        geom = None if (np.isnan(lo) or np.isnan(la)) else {"type": "Point", "coordinates": [lo, la]}
+        feats.append(
+            json.dumps(
+                {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": {c: prop_data[c][i] for c in prop_cols},
+                },
+                ensure_ascii=False,
+                sort_keys=True,  # byte-stable output (SURVEY.md §7 hard part 2)
+            )
+        )
+    return batch.append_column("feature", pa.array(feats, type=pa.string()))
+
+
+def write_geojson_features(ds, out_dir: str, lon_col: str = "lon", lat_col: str = "lat", props=None):
+    """Distributed GeoJSON sink: one Feature JSON object per row, written
+    as partitioned JSON-lines files (streaming, resumable layout)."""
+
+    def to_features(batch: pa.Table) -> pa.Table:
+        out = features_from_points(batch, lon_col=lon_col, lat_col=lat_col, props=props)
+        return out.select(["feature"])
+
+    ds.map_batches(to_features, batch_format="pyarrow").write_json(out_dir)

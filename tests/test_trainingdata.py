@@ -376,6 +376,51 @@ class TestConnectedComponents:
         assert connected_components(pairs).count() == 0
 
 
+class TestGeoJSONSink:
+    def test_feature_rows_roundtrip(self):
+        import json
+
+        from geocoding_ray.sources.geojson import features_from_points
+
+        batch = pa.table(
+            {
+                "image_id": ["a", "b"],
+                "lon": [11.5884858, float("nan")],
+                "lat": [48.1700887, float("nan")],
+                "formatted": ["Schwabing, München", None],
+            }
+        )
+        out = features_from_points(batch).to_pylist()
+        f0 = json.loads(out[0]["feature"])
+        assert f0["type"] == "Feature"
+        assert f0["geometry"]["coordinates"] == [11.5884858, 48.1700887]  # lon-lat order
+        assert f0["properties"]["formatted"] == "Schwabing, München"
+        f1 = json.loads(out[1]["feature"])
+        assert f1["geometry"] is None and f1["properties"]["formatted"] is None
+
+    def test_distributed_write(self, ray_session, tmp_path):
+        import json
+        import os
+
+        import ray.data as rd
+
+        from geocoding_ray.sources.geojson import write_geojson_features
+
+        ds = rd.from_arrow(
+            pa.table({"lon": [1.0, 2.0, 3.0], "lat": [4.0, 5.0, 6.0], "doc_id": [1, 2, 3]})
+        )
+        out = str(tmp_path / "gj")
+        write_geojson_features(ds, out)
+        feats = []
+        for fn in sorted(os.listdir(out)):
+            with open(os.path.join(out, fn)) as f:
+                for line in f:
+                    if line.strip():
+                        feats.append(json.loads(line)["feature"])
+        parsed = sorted(json.loads(s)["properties"]["doc_id"] for s in feats)
+        assert parsed == [1, 2, 3]
+
+
 class TestGeoJSON:
     def _fc(self):
         return {
