@@ -128,6 +128,34 @@ def q_fingerprint(sf_dir: str):
 
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
 
+# BPE-ish token counting: a GPT-2-style pre-tokenizer regex (contraction
+# suffixes, letter runs, digit runs, punctuation runs, whitespace) —
+# both sides run the SAME RE2 pattern (pyarrow count_substring_regex /
+# DuckDB regexp_extract_all), so counts match exactly incl. unicode.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_bpe_token_count(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.fill_null(batch.column("text").combine_chunks() if isinstance(batch.column("text"), pa.ChunkedArray) else batch.column("text"), ""),
+            BPE_PATTERN,
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "n_bpe_tokens": n.cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS n_bpe_tokens
+FROM documents
+"""
+
 # ---------------------------------------------------------------------------
 # deterministic train/val split (a training-data staple: stable under
 # re-runs, resharding and parallelism because it hashes the KEY, never
