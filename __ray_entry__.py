@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup": tq.q_text_dup,                # exact shingle-Jaccard near-dup (block-pair plan)
         "train_split": tq.q_train_split,          # deterministic hash split (train/val)
         "events_window": tq.q_events_window,      # tumbling-window partial+final aggregate
+        "sliding_window": tq.q_sliding_window,    # sliding-window (1h/15min) partial+final aggregate
+        "grouped_median": tq.q_grouped_median,    # exact per-group discrete median
         "sessionize": tq.q_sessionize,            # gap-based session windows per user
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
         # --- rows-only (not SQL-expressible) ---
@@ -92,6 +94,8 @@ def oracle_sql() -> dict[str, str]:
         "text_dup": tq.SQL_TEXT_DUP,
         "train_split": tq.SQL_TRAIN_SPLIT,
         "events_window": tq.SQL_EVENTS_WINDOW,
+        "sliding_window": tq.SQL_SLIDING_WINDOW,
+        "grouped_median": tq.SQL_GROUPED_MEDIAN,
         "sessionize": tq.SQL_SESSIONIZE,
         "top_docs": tq.SQL_TOP_DOCS,
         # minhash_pairs / simhash: rows-only by design

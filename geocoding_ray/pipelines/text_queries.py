@@ -619,6 +619,89 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+SLIDE_WIN_US = 3600 * 1_000_000  # 1-hour window ...
+SLIDE_STEP_US = 900 * 1_000_000  # ... sliding every 15 minutes (4 windows per event)
+
+
+def q_sliding_window(sf_dir: str):
+    """SLIDING-window aggregate over the events log (the tumbling
+    ``events_window``'s generalization): each event replicates to the
+    ``win/step`` windows containing it, then the same partial+final
+    mergeable-stats plan.  Window starts are int64 epoch MICROSECONDS
+    (the native ts unit) so both engines agree exactly — no timezone or
+    float-seconds round-trips."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    k = SLIDE_WIN_US // SLIDE_STEP_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch.column("ts").cast(pa.int64())  # epoch microseconds
+        ep_np = (ep.combine_chunks() if isinstance(ep, pa.ChunkedArray) else ep).to_numpy(zero_copy_only=False)
+        base_np = (ep_np // SLIDE_STEP_US) * SLIDE_STEP_US
+        n = batch.num_rows
+        reps = np.repeat(np.arange(n, dtype=np.int64), k)
+        win = base_np[reps] - np.tile(np.arange(k, dtype=np.int64) * SLIDE_STEP_US, n)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type").take(pa.array(reps)),
+                "win_start": pa.array(win, type=pa.int64()),
+                "value": batch.column("value").take(pa.array(reps)),
+            }
+        )
+        g = t.group_by(["event_type", "win_start"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(["event_type", "win_start", "pn", "pmin", "pmax"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["event_type", "win_start"]).aggregate(
+        Sum("pn", alias_name="n_events"),
+        Min("pmin", alias_name="min_value"),
+        Max("pmax", alias_name="max_value"),
+    )
+
+
+SQL_SLIDING_WINDOW = f"""
+WITH x AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // {SLIDE_STEP_US}) * {SLIDE_STEP_US} - CAST(t.k AS BIGINT) * {SLIDE_STEP_US} AS win_start
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(k))
+SELECT event_type, win_start, count(value) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM x GROUP BY event_type, win_start
+"""
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact per-group discrete median (DuckDB ``quantile_disc(v, 0.5)``
+    picks the element at floor((n-1)/2) of the sorted values — same rule
+    here, so doubles match bit-exactly).  Grouped map_groups is fine at
+    event-type cardinality; a high-cardinality percentile would use a
+    sketch instead (rows-only by nature)."""
+    import ray.data as rd
+
+    def median(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+        m = v[(len(v) - 1) // 2] if len(v) else None
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "median_value": pa.array([m], type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return ds.groupby("event_type").map_groups(median, batch_format="pyarrow")
+
+
+SQL_GROUPED_MEDIAN = """
+SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF-pruned cosine top-k (the ANN scale path): fixed-seed Lloyd
     coarse quantizer built on the driver, database rows scored only when
