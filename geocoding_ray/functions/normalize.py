@@ -44,6 +44,39 @@ def tokenize(s: str) -> list[str]:
     return n.split(" ") if n else []
 
 
+_CCC_PATTERN: str | None = None
+
+
+def _ccc_pattern() -> str:
+    """RE2 character class matching exactly the code points with
+    canonical combining class > 0 (``unicodedata.combining(ch) > 0``) —
+    the scalar :func:`normalize_text` strip predicate.  Built once per
+    process (~0.2 s full-plane scan), cached; actors pay it once in
+    their first batch."""
+    global _CCC_PATTERN
+    if _CCC_PATTERN is None:
+        comb = unicodedata.combining
+        ranges: list[tuple[int, int]] = []
+        start = None
+        # combining classes only occur below 0x20000 (highest assigned:
+        # U+1E94A Adlam, ccc=230); scanning the two planes keeps startup
+        # cheap while staying exact for every assigned code point
+        for cp in range(0x20000):
+            if comb(chr(cp)) > 0:
+                if start is None:
+                    start = cp
+            elif start is not None:
+                ranges.append((start, cp - 1))
+                start = None
+        if start is not None:
+            ranges.append((start, 0x1FFFF))
+        parts = [
+            f"\\x{{{a:X}}}" if a == b else f"\\x{{{a:X}}}-\\x{{{b:X}}}" for a, b in ranges
+        ]
+        _CCC_PATTERN = "[" + "".join(parts) + "]"
+    return _CCC_PATTERN
+
+
 def normalize_arrow(arr):
     """Vectorized :func:`normalize_text` over an Arrow string array.
 
@@ -64,10 +97,12 @@ def normalize_arrow(arr):
     for src, dst in _FOLD.items():
         s = pc.replace_substring(s, src, dst)
     s = pc.utf8_normalize(s, form="NFKD")
-    # unicodedata.combining(ch) > 0 <=> canonical combining class > 0;
-    # after NFKD the marks present are the decomposed ones (ccc > 0),
-    # which \p{Mn} covers for every script the corpus carries
-    s = pc.replace_substring_regex(s, r"\p{Mn}", "")
+    # strip EXACTLY the code points the scalar path strips
+    # (unicodedata.combining(ch) > 0, i.e. canonical combining class > 0)
+    # — \p{Mn} is NOT the same set: Mn marks with ccc=0 (U+0901, many
+    # Indic/Thai signs) must survive, matching normalize_text byte for
+    # byte in every script (round-2 advice)
+    s = pc.replace_substring_regex(s, _ccc_pattern(), "")
     s = pc.utf8_lower(s)
     s = pc.replace_substring_regex(s, r"[^0-9a-z\s]+", " ")
     s = pc.replace_substring_regex(s, r"\s+", " ")

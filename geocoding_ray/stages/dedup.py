@@ -104,14 +104,60 @@ def bucket_candidate_pairs(group: "pa.Table") -> pa.Table:
     return pa.table({"a": pa.array(ids[ia], type=pa.int64()), "b": pa.array(ids[ib], type=pa.int64())})
 
 
+def verify_pairs_with_texts(batch: pa.Table, threshold: float = 0.8, shingle_k: int = SHINGLE_K) -> pa.Table:
+    """Stateless verify over JOINED pair rows (a, b, text_a, text_b):
+    exact shingle Jaccard, keep pairs >= ``threshold``.
+
+    The texts arrive as COLUMNS via a distributed hash-join of the pair
+    rows with the (candidate-filtered) docs table — no driver text dict,
+    no actor-resident corpus subset: each task only ever holds the texts
+    of the pairs in its own batch.  Shingling is one vectorized flat
+    pass per text column; the per-pair remainder is two ``np.unique``
+    slices + an intersect over LSH-bounded pair counts.
+    """
+    from ..functions.hashing import char_shingles_flat, string_byte_view
+    from ..functions.normalize import normalize_arrow
+
+    a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(a)
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if n == 0:
+        return empty
+    segs = []
+    for col in ("text_a", "text_b"):
+        data, off = string_byte_view(normalize_arrow(batch.column(col)))
+        segs.append(char_shingles_flat(data, off, shingle_k))
+    (ha, oa), (hb, ob) = segs
+    sims = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        sims[i] = jaccard(np.unique(ha[oa[i] : oa[i + 1]]), np.unique(hb[ob[i] : ob[i + 1]]))
+    keep = sims >= threshold
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(a[keep], type=pa.int64()),
+            "b": pa.array(b[keep], type=pa.int64()),
+            "jaccard": pa.array(sims[keep], type=pa.float64()),
+        }
+    )
+
+
 class JaccardVerify:
     """Actor stage: verify candidate pairs by exact shingle Jaccard.
 
-    ``texts_ref`` must hold ONLY the texts of docs appearing in
-    candidate pairs (see ``pipelines.text_queries.collect_candidate_texts``
-    — a distributed semi-join on the pair ids).  The actor's resident
-    set is therefore bounded by the LSH candidate count, never the
-    corpus size.
+    Small-scale / test kernel: ``texts_ref`` must hold ONLY the texts of
+    docs appearing in candidate pairs.  The PIPELINE path is
+    :func:`verify_pairs_with_texts` over a distributed pair<->docs join
+    (no driver dict at all); this class remains for driver-free unit
+    verification of the same rule.
     """
 
     _CACHE_CAP = 200_000

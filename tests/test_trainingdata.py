@@ -131,6 +131,59 @@ class TestDedupStages:
         assert (1, 2) in kept  # identical
         assert (1, 4) not in kept  # unrelated
 
+    def test_verify_pairs_with_texts_matches_dict_verify(self):
+        """The stateless join-shaped verify (texts as columns) agrees with
+        the dict-backed JaccardVerify kernel on every candidate pair."""
+        docs = _docs_with_dups()
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        ids = sorted(texts)
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        dict_out = dedup.JaccardVerify(texts, threshold=0.9)(
+            pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())})
+        )
+        joined = pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "text_a": pa.array([texts[x] for x in a], type=pa.string()),
+                "text_b": pa.array([texts[y] for y in b], type=pa.string()),
+            }
+        )
+        col_out = dedup.verify_pairs_with_texts(joined, threshold=0.9)
+        want = sorted((r["a"], r["b"], round(r["jaccard"], 12)) for r in dict_out.to_pylist())
+        got = sorted((r["a"], r["b"], round(r["jaccard"], 12)) for r in col_out.to_pylist())
+        assert got == want and len(got) > 0
+
+    def test_join_pair_texts_distributed(self, ray_session):
+        """join_pair_texts attaches both endpoint texts without a driver
+        text dict; pairs referencing every doc resolve correctly."""
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pqw
+        import ray.data as rd
+
+        from geocoding_ray.pipelines.text_queries import join_pair_texts
+
+        docs = _docs_with_dups()
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "documents.parquet")
+            pqw.write_table(docs, p)
+            pairs = rd.from_arrow(
+                pa.table({"a": pa.array([1, 2], type=pa.int64()), "b": pa.array([2, 3], type=pa.int64())})
+            )
+            out = join_pair_texts(pairs, p, num_partitions=2)
+            rows = {(r["a"], r["b"]): (r["text_a"], r["text_b"]) for r in out.take_all()}
+            texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+            assert rows[(1, 2)] == (texts[1], texts[2])
+            assert rows[(2, 3)] == (texts[2], texts[3])
+            empty = rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}))
+            assert join_pair_texts(empty, p) is None
+
     def test_bucket_pairs_cap(self):
         g = pa.table({"doc_id": pa.array(list(range(200)), type=pa.int64())})
         out = dedup.bucket_candidate_pairs(g)
