@@ -175,76 +175,84 @@ def make_query_keyer(stats_ref, hot_ref, n_salts: int, config: ForwardConfig, qu
     return key_queries
 
 
-def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
+def make_group_matcher(config: ForwardConfig):
     """Per (jtoken, salt) group: verify all-tokens, filter, score.
 
-    ``qid_dtype`` is the pandas dtype of the ORIGINAL query-id column:
-    the co-shuffled group carries null query_id on gazetteer rows, so
-    pandas silently widens int64 -> float64; we cast back on output so
-    the result schema matches the input (CORRECTNESS r01 hash fix).
+    Arrow-native group fn (round-2 VERDICT #8): the co-shuffled group
+    carries null ``query_id`` on gazetteer rows, which Arrow represents
+    losslessly (no pandas int64 -> float64 null-widening — the round-1
+    hash-fail class is gone by construction, and ids above 2^53 stay
+    exact).  All heavy work is numpy over zero-copy column views.
     """
-    import pandas as pd
+    import pyarrow.compute as pc
 
     bbox = config.bbox
-    origins = set(config.origins) if config.origins else None
-    ccodes = config.countrycodes
+    origins = list(config.origins) if config.origins else None
+    ccodes = list(config.countrycodes) if config.countrycodes else None
     limit = config.limit
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame(
+    def _empty(qid_type: pa.DataType) -> pa.Table:
+        return pa.table(
             {
-                "query_id": pd.Series(dtype=qid_dtype),
-                "place_id": pd.Series(dtype="int64"),
-                "name": pd.Series(dtype=object),
-                "lon": pd.Series(dtype="float64"),
-                "lat": pd.Series(dtype="float64"),
-                "importance": pd.Series(dtype="float64"),
-                "weight": pd.Series(dtype="int64"),
-                "rk": pd.Series(dtype="int64"),
+                "query_id": pa.array([], type=qid_type),
+                "place_id": pa.array([], type=pa.int64()),
+                "name": pa.array([], type=pa.string()),
+                "lon": pa.array([], type=pa.float64()),
+                "lat": pa.array([], type=pa.float64()),
+                "importance": pa.array([], type=pa.float64()),
+                "weight": pa.array([], type=pa.int64()),
+                "rk": pa.array([], type=pa.int64()),
             }
         )
 
-    def match_group(g: pd.DataFrame) -> pd.DataFrame:
-        qs = g[g["side"] == "q"]
-        ps = g[g["side"] == "g"]
-        if len(qs) == 0 or len(ps) == 0:
-            return _empty()
+    def match_group(g: pa.Table) -> pa.Table:
+        qid_type = g.column("query_id").type
+        side = g.column("side")
+        qs = g.filter(pc.equal(side, "q"))
+        ps = g.filter(pc.equal(side, "g"))
+        if qs.num_rows == 0 or ps.num_rows == 0:
+            return _empty(qid_type)
         # group-constant filters computed ONCE (not per query)
-        base_ok = np.ones(len(ps), dtype=bool)
+        base_ok = np.ones(ps.num_rows, dtype=bool)
         if origins is not None:
-            base_ok &= ps["origin"].isin(origins).to_numpy()
+            base_ok &= pc.is_in(ps.column("origin"), value_set=pa.array(origins, type=pa.string())).to_numpy(
+                zero_copy_only=False
+            )
         if ccodes is not None:
-            base_ok &= ps["country_code"].str.lower().isin(ccodes).to_numpy()
+            base_ok &= pc.is_in(
+                pc.utf8_lower(ps.column("country_code")), value_set=pa.array(ccodes, type=pa.string())
+            ).to_numpy(zero_copy_only=False)
         if bbox is not None:
-            plon = ps["lon"].to_numpy()
-            plat = ps["lat"].to_numpy()
+            plon = ps.column("lon").to_numpy(zero_copy_only=False)
+            plat = ps.column("lat").to_numpy(zero_copy_only=False)
             base_ok &= (plon >= bbox.minx) & (plon <= bbox.maxx) & (plat >= bbox.miny) & (plat <= bbox.maxy)
-        keep_p = np.nonzero(base_ok)[0]
-        if len(keep_p) == 0:
-            return _empty()
-        ps = ps.iloc[keep_p]
-        np_ = len(ps)
+        if not base_ok.all():
+            if not base_ok.any():
+                return _empty(qid_type)
+            ps = ps.filter(pa.array(base_ok))
+        np_ = ps.num_rows
         # vectorized verify: candidate x detail-token-hash incidence
         # matrix built once per group; each distinct query token set is
         # one column gather + row-wise all() — no per-candidate Python
         from ..functions.normalize import split_tokens_arrow
 
-        _, prow, ph, _ = split_tokens_arrow(pa.array(ps["detail"].tolist(), type=pa.string()))
+        _, prow, ph, _ = split_tokens_arrow(ps.column("detail"))
         vocab, colinv = np.unique(ph, return_inverse=True)
         m = np.zeros((np_, len(vocab)), dtype=bool)
         if len(prow):
             m[prow, colinv] = True
         # dedup identical query token-sets: within a (token, salt) group
         # captions repeat heavily, so match once per distinct qtokens
-        qtok = qs["qtokens"].to_numpy()
-        uniq, inv = np.unique(qtok, return_inverse=True)
-        imp = ps["importance"].to_numpy()
-        wgt = ps["weight"].to_numpy().astype("int64")
-        pid = ps["place_id"].to_numpy().astype("int64")
+        qtok_enc = pc.dictionary_encode(qs.column("qtokens").combine_chunks())
+        uniq = qtok_enc.dictionary
+        inv = qtok_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        imp = ps.column("importance").to_numpy(zero_copy_only=False)
+        wgt = ps.column("weight").to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = ps.column("place_id").to_numpy(zero_copy_only=False).astype(np.int64)
         # A query has exactly ONE join key, so ALL its candidates are in
         # this group — rank + limit here and skip any query_id re-shuffle.
         # Ranked once per DISTINCT caption (captions repeat heavily).
-        _, qrow, qh, _ = split_tokens_arrow(pa.array(uniq.tolist(), type=pa.string()))
+        _, qrow, qh, _ = split_tokens_arrow(uniq)
         qpos = np.searchsorted(vocab, qh) if len(vocab) else np.zeros(len(qh), dtype=np.int64)
         qknown = (
             (qpos < len(vocab)) & (vocab[np.minimum(qpos, max(len(vocab) - 1, 0))] == qh)
@@ -267,26 +275,24 @@ def make_group_matcher(config: ForwardConfig, qid_dtype="int64"):
                 if limit is not None:
                     idx = idx[:limit]
             match_idx.append(idx)
-        counts = np.array([len(match_idx[inv[i]]) for i in range(len(qs))], dtype=np.int64)
+        per_uniq = np.array([len(mi) for mi in match_idx], dtype=np.int64)
+        counts = per_uniq[inv]
         if counts.sum() == 0:
-            return _empty()
-        q_rep = np.repeat(np.arange(len(qs)), counts)
-        p_sel = np.concatenate([match_idx[inv[i]] for i in range(len(qs)) if counts[i]])
+            return _empty(qid_type)
+        q_rep = np.repeat(np.arange(qs.num_rows), counts)
+        p_sel = np.concatenate([match_idx[inv[i]] for i in range(qs.num_rows) if counts[i]])
         rk = np.concatenate([np.arange(1, c + 1, dtype=np.int64) for c in counts if c])
-        # query-side rows never have null ids: undo the pandas null-widening
-        qids = qs["query_id"].to_numpy()
-        if qids.dtype != np.dtype(qid_dtype):
-            qids = qids.astype(qid_dtype)
-        return pd.DataFrame(
+        p_take = pa.array(p_sel, type=pa.int64())
+        return pa.table(
             {
-                "query_id": qids[q_rep],
-                "place_id": pid[p_sel],
-                "name": ps["name"].to_numpy()[p_sel],
-                "lon": ps["lon"].to_numpy()[p_sel],
-                "lat": ps["lat"].to_numpy()[p_sel],
-                "importance": imp[p_sel],
-                "weight": wgt[p_sel],
-                "rk": rk,
+                "query_id": qs.column("query_id").take(pa.array(q_rep, type=pa.int64())),
+                "place_id": pa.array(pid[p_sel], type=pa.int64()),
+                "name": ps.column("name").take(p_take),
+                "lon": ps.column("lon").take(p_take),
+                "lat": ps.column("lat").take(p_take),
+                "importance": pa.array(imp[p_sel], type=pa.float64()),
+                "weight": pa.array(wgt[p_sel], type=pa.int64()),
+                "rk": pa.array(rk, type=pa.int64()),
             }
         )
 
@@ -364,10 +370,6 @@ def run_forward_shuffle(
 
     # ranking + limit happen inside match_group (a query's single join
     # key puts all its candidates in one group), so no query_id re-shuffle
-    try:
-        qid_pd = np.dtype(qid_type.to_pandas_dtype())
-    except (NotImplementedError, TypeError):
-        qid_pd = np.dtype(object)
     return both.groupby(["jtoken", "salt"]).map_groups(
-        make_group_matcher(config, qid_dtype=qid_pd), batch_format="pandas"
+        make_group_matcher(config), batch_format="pyarrow"
     )

@@ -786,12 +786,7 @@ def q_forward_shuffle_topk(sf_dir: str):
         hot_threshold=20,
     )
 
-    def project(batch):
-        import pandas as pd
-
-        return batch[["query_id", "rk", "place_id", "lon", "lat", "importance"]]
-
-    return ds.map_batches(project, batch_format="pandas")
+    return ds.select_columns(["query_id", "rk", "place_id", "lon", "lat", "importance"])
 
 
 def q_reverse_raster(sf_dir: str):

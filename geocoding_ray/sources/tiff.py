@@ -234,6 +234,108 @@ def _rat3_deg(data: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return out
 
 
+def _binary_col_view(binary_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (data, start, length) view of an Arrow (large_)binary
+    column — the shared front half of the vectorized payload readers."""
+    import pyarrow as pa
+
+    if isinstance(binary_col, pa.ChunkedArray):
+        binary_col = binary_col.combine_chunks()
+    arrow_off = binary_col.offset
+    if pa.types.is_large_binary(binary_col.type):
+        off_dtype = np.int64
+    elif pa.types.is_binary(binary_col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"expected a (large_)binary column, got {binary_col.type}")
+    offsets = np.frombuffer(
+        binary_col.buffers()[1], dtype=off_dtype, count=arrow_off + len(binary_col) + 1
+    ).astype(np.int64)
+    if arrow_off:
+        offsets = offsets[arrow_off : arrow_off + len(binary_col) + 1]
+    data = (
+        np.frombuffer(binary_col.buffers()[2], dtype=np.uint8)
+        if binary_col.buffers()[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, offsets[:-1], offsets[1:] - offsets[:-1]
+
+
+# IFD0 fixed entry offsets of the canonical layout (entries start at 10,
+# 12 bytes each; value word at entry+8)
+_FAST_STRIP_OFF_ENTRY = 10 + 5 * 12  # entry 5: StripOffsets
+_FAST_STRIP_BYTES_ENTRY = 10 + 8 * 12  # entry 8: StripByteCounts
+
+
+def payload_hash_arrow(binary_col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (content_hash, decode_ok) over a TIFF payload column.
+
+    The content hash is blake2b-8 of the decoded pixel bytes — for the
+    engine's lossless single-strip codec those ARE the strip bytes, so
+    rows matching the canonical :func:`encode_tiff` layout hash the
+    strip directly as a zero-copy numpy slice: no per-row IFD walk, no
+    ``to_pylist`` copy, no ``reshape(...).copy()``.  Non-canonical TIFFs
+    fall back to :func:`parse_pixels`.  blake2b per row is the only
+    per-row remainder (C-backed, over views).
+    """
+    data, start, length = _binary_col_view(binary_col)
+    n = len(start)
+    hashes = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    if n == 0:
+        return hashes, ok
+
+    fast = length >= _FAST_MIN_LEN
+    strip_off = np.zeros(n, dtype=np.int64)
+    strip_len = np.zeros(n, dtype=np.int64)
+    if fast.any():
+        s = start[fast]
+        sig = (
+            (data[s] == ord("I"))
+            & (data[s + 1] == ord("I"))
+            & (data[s + 2] == 42)
+            & (data[s + 3] == 0)
+            & (_u32(data, s + 4) == 8)
+            & (_u16(data, s + 8) == 10)
+            & (_u16(data, s + _FAST_STRIP_OFF_ENTRY) == _TAG_STRIP_OFFSETS)
+            & (_u16(data, s + _FAST_STRIP_BYTES_ENTRY) == _TAG_STRIP_BYTES)
+        )
+        fi = np.nonzero(fast)[0][sig]
+        if len(fi):
+            so = _u32(data, start[fi] + _FAST_STRIP_OFF_ENTRY + 8).astype(np.int64)
+            sl = _u32(data, start[fi] + _FAST_STRIP_BYTES_ENTRY + 8).astype(np.int64)
+            w = _u32(data, start[fi] + 10 + 8).astype(np.int64)  # entry 0: width
+            h = _u32(data, start[fi] + 10 + 12 + 8).astype(np.int64)  # entry 1: length
+            # same decodability predicate as parse_pixels (reshape h*w*3)
+            inside = (so + sl <= length[fi]) & (sl == w * h * 3)
+            fi = fi[inside]
+            strip_off[fi] = so[inside]
+            strip_len[fi] = sl[inside]
+            ok[fi] = True
+    import hashlib
+
+    for i in np.nonzero(ok)[0]:
+        s0 = start[i] + strip_off[i]
+        hashes[i] = np.int64(
+            np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(data[s0 : s0 + strip_len[i]], digest_size=8).digest(), "little"
+                )
+            )
+        )
+    for i in np.nonzero(~ok)[0]:
+        buf = data[start[i] : start[i] + length[i]].tobytes()
+        try:
+            pix = parse_pixels(buf)
+        except Exception:
+            continue
+        hashes[i] = np.int64(
+            np.uint64(int.from_bytes(hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little"))
+        )
+        ok[i] = True
+    return hashes, ok
+
+
 def parse_gps_arrow(binary_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized (lon, lat, ok) from an Arrow binary column.
 

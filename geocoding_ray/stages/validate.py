@@ -2,37 +2,29 @@
 (input_hint: "decoded-pixel allclose (PSNR>=40dB for lossy) + caption
 equality").
 
-Decodes every TIFF payload and recomputes the content hash; rows whose
-pixels fail to decode or whose hash disagrees with the stored ``phash``
-are flagged (never dropped silently).  For the engine's lossless codec
-the decoded pixels are byte-identical, so hash equality == PSNR infinity.
+Recomputes the content hash of every TIFF payload's decoded pixels and
+flags rows whose pixels fail to decode or whose hash disagrees with the
+stored ``phash`` (never dropped silently).  For the engine's lossless
+codec the decoded pixels are byte-identical to the strip, so hash
+equality == PSNR infinity — and the hash can be taken directly over the
+zero-copy strip view without decoding (``payload_hash_arrow``): the
+strip offsets are gathered fully vectorized for the canonical encoder
+layout, leaving blake2b as the only per-row work (round-2 VERDICT #6).
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
-from ..sources.tiff import parse_pixels
+from ..sources.tiff import payload_hash_arrow
 
 
 def validate_payload(batch: pa.Table) -> pa.Table:
-    bufs = batch.column("bytes").to_pylist()
-    stored = (
-        batch.column("phash").to_numpy(zero_copy_only=False)
-        if "phash" in batch.column_names
-        else np.zeros(len(bufs), dtype=np.int64)
-    )
-    ok = np.zeros(len(bufs), dtype=bool)
-    for i, buf in enumerate(bufs):
-        try:
-            pix = parse_pixels(buf)
-        except Exception:
-            continue
-        h = np.int64(
-            np.uint64(int.from_bytes(hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little"))
-        )
-        ok[i] = bool(h == stored[i]) or stored[i] == 0
+    hashes, decoded = payload_hash_arrow(batch.column("bytes"))
+    if "phash" in batch.column_names:
+        stored = batch.column("phash").to_numpy(zero_copy_only=False)
+    else:
+        stored = np.zeros(len(hashes), dtype=np.int64)
+    ok = decoded & ((hashes == stored) | (stored == 0))
     return batch.append_column("payload_ok", pa.array(ok))
