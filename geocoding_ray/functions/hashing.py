@@ -88,9 +88,14 @@ def char_shingles_flat(data: np.ndarray, byte_offsets: np.ndarray, k: int = 5) -
     if long_mask.any():
         base = int(_SHINGLE_BASE)
         pows = np.array([pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64)
-        win = np.lib.stride_tricks.sliding_window_view(data, min(k, len(data))).astype(np.uint64)
+        # k shifted 1-D multiply-adds keep temporaries O(m) — the
+        # previous (m, k) uint64 sliding-window temp was ~8k x the text
+        # buffer per batch (round-2 advice)
+        nw = len(data) - k + 1
+        h_all = np.zeros(max(nw, 0), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            h_all = (win * pows[None, :]).sum(axis=1)
+            for j in range(k):
+                h_all += data[j : nw + j].astype(np.uint64) * pows[j]
         # per-doc window ranges -> flat indices into h_all and out
         wc = np.where(long_mask, wcnt, 0)
         doc_of = np.repeat(np.arange(n), wc)

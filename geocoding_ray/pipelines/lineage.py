@@ -106,6 +106,13 @@ def run_resumable(
     for fn in os.listdir(ldir):
         if fn.startswith("part-") and fn.endswith(".json") and fn[5:-5] not in keys:
             os.remove(os.path.join(ldir, fn))
+            # also drop the matching DATA partition (+ any tmp leftover):
+            # a stale part-<key>/ would otherwise keep serving rows from
+            # the old shard list to consumers of the output dir
+            # (round-2 advice)
+            stale = fn[5:-5]
+            shutil.rmtree(_part_dir(out_dir, stale), ignore_errors=True)
+            shutil.rmtree(os.path.join(out_dir, "_tmp", f"part-{stale}"), ignore_errors=True)
     tmp_root = os.path.join(out_dir, "_tmp")
     done = completed_shards(out_dir, shard_paths)
     ran = []

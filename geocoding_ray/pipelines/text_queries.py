@@ -30,7 +30,15 @@ def q_dedup_exact(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         b = add_md5(batch).select(["text_md5", "doc_id"])
         g = b.group_by("text_md5").aggregate([("doc_id", "min"), ("doc_id", "count")])
-        return g.rename_columns(["text_md5", "pmin", "pcount"])
+        # select by NAME: key/aggregate column ORDER changed across
+        # pyarrow releases (round-2 advice)
+        return pa.table(
+            {
+                "text_md5": g.column("text_md5"),
+                "pmin": g.column("doc_id_min"),
+                "pcount": g.column("doc_id_count"),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -675,7 +683,17 @@ def q_events_window(sf_dir: str):
         g = t.group_by(["event_type", "hour"]).aggregate(
             [("value", "count"), ("value", "min"), ("value", "max")]
         )
-        return g.rename_columns(["event_type", "hour", "pn", "pmin", "pmax"])
+        # select by NAME, not position (round-2 advice: key-column order
+        # moved across pyarrow releases)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "hour": g.column("hour"),
+                "pn": g.column("value_count"),
+                "pmin": g.column("value_min"),
+                "pmax": g.column("value_max"),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -727,7 +745,15 @@ def q_sliding_window(sf_dir: str):
         g = t.group_by(["event_type", "win_start"]).aggregate(
             [("value", "count"), ("value", "min"), ("value", "max")]
         )
-        return g.rename_columns(["event_type", "win_start", "pn", "pmin", "pmax"])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "win_start": g.column("win_start"),
+                "pn": g.column("value_count"),
+                "pmin": g.column("value_min"),
+                "pmax": g.column("value_max"),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -749,26 +775,120 @@ FROM x GROUP BY event_type, win_start
 """
 
 
+GM_BUCKET_SHIFT = 48  # top 16 bits of the order-preserving key -> <=65536 buckets/group
+
+
+def _median_bucket(v: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 -> int64 bucket: the IEEE754 bit pattern
+    mapped monotone (sign-flip trick), truncated to its top 16 bits.
+    Equal doubles always share a bucket, so the within-bucket rank
+    selection below is exact."""
+    b = v.view(np.int64)
+    bu = b.view(np.uint64)
+    with np.errstate(over="ignore"):
+        u = np.where(b < 0, ~bu, bu ^ np.uint64(1 << 63))
+    return (u >> np.uint64(GM_BUCKET_SHIFT)).astype(np.int64)
+
+
 def q_grouped_median(sf_dir: str):
     """Exact per-group discrete median (DuckDB ``quantile_disc(v, 0.5)``
     picks the element at floor((n-1)/2) of the sorted values — same rule
-    here, so doubles match bit-exactly).  Grouped map_groups is fine at
-    event-type cardinality; a high-cardinality percentile would use a
-    sketch instead (rows-only by nature)."""
-    import ray.data as rd
+    here, so doubles match bit-exactly).
 
-    def median(g: pa.Table) -> pa.Table:
-        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
-        m = v[(len(v) - 1) // 2] if len(v) else None
+    Scale-safe two-pass plan (round-2 VERDICT #3 — no task ever funnels
+    a whole group):
+
+    1. distributed value HISTOGRAM: per-batch pyarrow partial counts
+       over (event_type, 16-bit order-preserving value bucket), merged
+       by a native Sum groupby; the driver receives only
+       cardinality x realized-buckets rows,
+    2. the driver picks, per group, the bucket containing global rank
+       floor((n-1)/2) and the rank offset within it; a second PRUNED
+       pass filters to exactly that bucket's rows (expected n/65536 per
+       group) and selects the element.
+
+    Degenerate case: millions of DISTINCT doubles sharing one 16-bit
+    prefix would need a second histogram level on the next 16 bits —
+    repeated-equal values are NOT degenerate (selection over equal
+    values is trivially exact)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        val = batch.column("value")
+        valid = pc.is_valid(val)
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+            val = batch.column("value")
+        v = val.to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bkt": pa.array(_median_bucket(v), type=pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "bkt"]).aggregate([("bkt", "count")])
+        # select by NAME (round-2 advice: positional renames break across
+        # pyarrow releases)
         return pa.table(
             {
-                "event_type": g.column("event_type").slice(0, 1),
-                "median_value": pa.array([m], type=pa.float64()),
+                "event_type": g.column("event_type"),
+                "bkt": g.column("bkt"),
+                "pn": g.column("bkt_count"),
             }
         )
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    return ds.groupby("event_type").map_groups(median, batch_format="pyarrow")
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "bkt"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()  # cardinality x realized buckets — driver-small
+    )
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_group.setdefault(r["event_type"], []).append((r["bkt"], int(r["n"])))
+    targets: dict[str, tuple[int, int]] = {}
+    for et, rows in per_group.items():
+        rows.sort()
+        total = sum(c for _, c in rows)
+        rank = (total - 1) // 2
+        acc = 0
+        for bkt, c in rows:
+            if acc + c > rank:
+                targets[et] = (bkt, rank - acc)
+                break
+            acc += c
+
+    def keep_target(batch: pa.Table) -> pa.Table:
+        val = batch.column("value")
+        valid = pc.is_valid(val)
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+            val = batch.column("value")
+        enc = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+        tb = np.array(
+            [targets.get(s, (np.iinfo(np.int64).min, 0))[0] for s in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = _median_bucket(val.to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(bkt == tb[idx]))
+
+    def pick(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False))
+        k = targets[et][1]
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "median_value": pa.array([v[k]], type=pa.float64()),
+            }
+        )
+
+    pruned = ds.map_batches(keep_target, batch_format="pyarrow")
+    return pruned.groupby("event_type").map_groups(pick, batch_format="pyarrow")
 
 
 SQL_GROUPED_MEDIAN = """
@@ -816,28 +936,81 @@ def q_sessionize(sf_dir: str):
     """Gap-based session windows per user: a new session starts when the
     gap to the previous event (ordered by ts, event_id) exceeds 30 min.
 
-    Ray plan: ``groupby(user_id).map_groups`` over the sorted group —
-    the ray-guide pattern for stream-shaped workloads (partition by key,
-    order by ts within partition).
-    """
-    import pandas as pd
+    Vectorized plan (round-2 VERDICT #4 — no per-user pandas call over
+    event rows):
+
+    1. distributed ``sort(user_id, ts, event_id)`` — ordered blocks,
+    2. ``map_batches`` partial sessionize: one numpy boundary scan
+       (diff + cumsum + reduceat) per batch; batch edges split sessions
+       artificially,
+    3. per-user merge of the PARTIAL SESSION rows (~session count, not
+       event count): adjacent partials whose gap <= 30 min fuse, then
+       session ids number the merged runs in start order.
+
+    The only per-group Python remaining is step 3 over session-cardinality
+    rows; all per-event work is vectorized."""
     import ray.data as rd
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gap = g["ts"].diff().dt.total_seconds() * 1_000_000
-        new_sess = gap.isna() | (gap > SESSION_GAP_US)
-        g["session_id"] = new_sess.cumsum().astype("int64")
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(n_events=("event_id", "count"), session_start=("ts", "min"), session_end=("ts", "max"))
-            .reset_index()
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    parts = ds.sort(["user_id", "ts", "event_id"]).map_batches(sessionize_partial, batch_format="pyarrow")
+    return parts.groupby("user_id").map_groups(sessionize_merge, batch_format="pyarrow")
+
+
+def sessionize_partial(batch: pa.Table) -> pa.Table:
+    """Vectorized partial sessionize of one SORTED (user_id, ts,
+    event_id) batch -> (user_id, s_start, s_end, pn) rows; batch edges
+    split sessions artificially (repaired by :func:`sessionize_merge`)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "s_start": pa.array([], type=pa.int64()),
+                "s_end": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)  # epoch us
+    new = np.ones(n, dtype=bool)
+    new[1:] = (uid[1:] != uid[:-1]) | (ep[1:] - ep[:-1] > SESSION_GAP_US)
+    starts = np.nonzero(new)[0]
+    ends = np.concatenate([starts[1:], [n]]) - 1
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "s_start": pa.array(ep[starts], type=pa.int64()),
+            "s_end": pa.array(ep[ends], type=pa.int64()),
+            "pn": pa.array(ends - starts + 1, type=pa.int64()),
+        }
+    )
+
+
+def sessionize_merge(g: pa.Table) -> pa.Table:
+    """Per-user merge of partial sessions: adjacent partials with gap
+    <= 30 min fuse (exactly the artificial batch splits), session ids
+    number the merged runs in start order."""
+    s = g.column("s_start").to_numpy(zero_copy_only=False)
+    e = g.column("s_end").to_numpy(zero_copy_only=False)
+    pn = g.column("pn").to_numpy(zero_copy_only=False)
+    order = np.lexsort((e, s))
+    s, e, pn = s[order], e[order], pn[order]
+    m = len(s)
+    new = np.ones(m, dtype=bool)
+    new[1:] = s[1:] - e[:-1] > SESSION_GAP_US
+    starts = np.nonzero(new)[0]
+    ends = np.concatenate([starts[1:], [m]]) - 1
+    k = len(starts)
+    n_events = np.add.reduceat(pn, starts)
+    return pa.table(
+        {
+            "user_id": g.column("user_id").slice(0, 1).to_numpy(zero_copy_only=False).repeat(k),
+            "session_id": pa.array(np.arange(1, k + 1, dtype=np.int64), type=pa.int64()),
+            "n_events": pa.array(n_events, type=pa.int64()),
+            "session_start": pa.array(s[starts], type=pa.int64()).cast(pa.timestamp("us")),
+            "session_end": pa.array(e[ends], type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
 
 
 SQL_SESSIONIZE = """

@@ -1,0 +1,107 @@
+"""Stream-shaped operator kernels: sessionization boundary repair and
+the two-pass grouped-median plan (round-3 scale rework)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from geocoding_ray.pipelines.text_queries import (
+    SESSION_GAP_US,
+    _median_bucket,
+    sessionize_merge,
+    sessionize_partial,
+)
+
+US = 1_000_000
+
+
+def _events(uid, minutes):
+    ts = pa.array((np.asarray(minutes, dtype=np.int64) * 60 * US), type=pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(range(len(minutes)), type=pa.int64()),
+            "user_id": pa.array([uid] * len(minutes), type=pa.int64()),
+            "ts": ts,
+        }
+    )
+
+
+class TestSessionizeKernels:
+    def test_partial_splits_on_gap_and_user(self):
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+                "ts": pa.array([0, 10 * 60 * US, 60 * 60 * US, 61 * 60 * US], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+        p = sessionize_partial(t)
+        # user 1: [0,10] then gap 50min > 30min -> new; user 2: own session
+        assert p.num_rows == 3
+        assert p.column("pn").to_pylist() == [2, 1, 1]
+
+    def test_batch_boundary_repair(self):
+        """A single true session split across arbitrary batch boundaries
+        merges back to ONE session identical to the unsplit result."""
+        minutes = [0, 10, 20, 25, 40, 55, 60]  # all gaps <= 30min: one session
+        full = _events(7, minutes)
+        whole = sessionize_merge(sessionize_partial(full))
+        for cut in range(1, len(minutes)):
+            p1 = sessionize_partial(full.slice(0, cut))
+            p2 = sessionize_partial(full.slice(cut))
+            merged = sessionize_merge(pa.concat_tables([p1, p2]))
+            assert merged.to_pylist() == whole.to_pylist(), f"cut={cut}"
+        assert whole.num_rows == 1
+        r = whole.to_pylist()[0]
+        assert r["n_events"] == len(minutes) and r["session_id"] == 1
+
+    def test_multi_session_numbering_after_split(self):
+        # sessions: [0..10], [50..60], [200]; split mid-second-session
+        minutes = [0, 10, 50, 55, 60, 200]
+        full = _events(3, minutes)
+        p1 = sessionize_partial(full.slice(0, 4))
+        p2 = sessionize_partial(full.slice(4))
+        merged = sessionize_merge(pa.concat_tables([p1, p2]))
+        assert merged.column("session_id").to_pylist() == [1, 2, 3]
+        assert merged.column("n_events").to_pylist() == [2, 3, 1]
+
+
+class TestMedianBucket:
+    def test_bucket_monotone_and_equal_preserving(self):
+        rng = np.random.RandomState(0)
+        # (-0.0 excluded: it compares equal to 0.0 so np.sort leaves the
+        # two bit patterns in either order; the bucket map puts -0.0 one
+        # below 0.0, which is a consistent total order, just not the one
+        # np.sort exposes for ties)
+        v = np.sort(np.concatenate([rng.randn(1000) * 1e6, [-np.inf, np.inf, 0.0, 1e-300]]))
+        b = _median_bucket(v)
+        assert (np.diff(b) >= 0).all()  # order-preserving
+        # equal doubles share a bucket
+        w = np.array([3.25, 3.25, -7.5, -7.5])
+        bw = _median_bucket(w)
+        assert bw[0] == bw[1] and bw[2] == bw[3]
+
+    def test_two_pass_selection_matches_sort(self):
+        """Histogram bucket + in-bucket rank reproduces the full-sort
+        floor((n-1)/2) selection on adversarial data (dups, negatives)."""
+        rng = np.random.RandomState(1)
+        v = np.concatenate([rng.randn(501), np.full(200, 1.5), np.full(100, -2.25)])
+        rng.shuffle(v)
+        want = np.sort(v)[(len(v) - 1) // 2]
+        bkt = _median_bucket(v)
+        # simulate: histogram -> target bucket + rank -> in-bucket pick
+        ub, counts = np.unique(bkt, return_counts=True)
+        rank = (len(v) - 1) // 2
+        acc = 0
+        for b_, c in zip(ub, counts):
+            if acc + c > rank:
+                tb, k = b_, rank - acc
+                break
+            acc += c
+        got = np.sort(v[bkt == tb])[k]
+        assert got == want
