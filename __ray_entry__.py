@@ -57,15 +57,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": tq.q_grouped_median,    # exact per-group discrete median
         "sessionize": tq.q_sessionize,            # gap-based session windows per user
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
+        "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
+        "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
+        "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
         "simhash": tq.q_simhash,
         "simhash_pairs": tq.q_simhash_pairs,      # banded SimHash near-dup pairs (Hamming verify)
-        "cell_assign": oq.q_cell_assign,          # deterministic tile/cell ids + quadkey render
         "ann_ivf": tq.q_ann_ivf,                  # IVF scale path (approximate by design)
         "embed_dup_ivf": tq.q_embed_dup_ivf,      # centroid-bucketed near-dup scale path (recall-tested)
-        "dedup_clusters": tq.q_dedup_clusters,    # near-dup connected components (label propagation)
-        "reverse_annotations": oq.q_reverse_annotations,  # O4 annotations: DMS/quadkey/mercator
+        "dedup_clusters": tq.q_dedup_clusters,    # near-dup connected components over LSH pairs
+        "reverse_annotations": oq.q_reverse_annotations,  # O4 annotations: DMS/MGRS/sun strings + mercator_y
     }
 
 
@@ -98,5 +100,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": tq.SQL_GROUPED_MEDIAN,
         "sessionize": tq.SQL_SESSIONIZE,
         "top_docs": tq.SQL_TOP_DOCS,
-        # minhash_pairs / simhash: rows-only by design
+        "cell_assign": oq.SQL_CELL_ASSIGN,
+        "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
+        "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
+        # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
+        # reverse_annotations strings: rows-only by design
     }

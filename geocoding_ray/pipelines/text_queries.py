@@ -1055,6 +1055,31 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_dedup_clusters_exact(sf_dir: str):
+    """Connected components over the SQL-GATED exact n-gram Jaccard pair
+    set (``text_dup``) — the same distributed label-propagation operator
+    as ``dedup_clusters``, but its input pair set has a DuckDB oracle,
+    so the cluster labels do too (recursive-CTE transitive closure,
+    round-2 VERDICT Next #5b)."""
+    from ..stages.dedup import connected_components
+
+    return connected_components(q_text_dup(sf_dir))
+
+
+SQL_DEDUP_CLUSTERS_EXACT = f"""
+WITH RECURSIVE
+pairs AS ({SQL_TEXT_DUP}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(u, v) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
