@@ -142,3 +142,101 @@ class TestForwardShuffleParity:
         ).take_all()
         key = lambda rows: sorted((r["query_id"], int(r["rk"]), int(r["place_id"])) for r in rows)
         assert key(a) == key(b)
+
+
+class TestSaltingStress:
+    """Round-3 (VERDICT Next #9): a token carried by >50% of the corpus
+    must neither change results vs the broadcast plan nor land on a
+    single reducer."""
+
+    def _tables(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        n_places, n_queries = 40, 240
+        places = [
+            {
+                "place_id": i,
+                "name": f"Metropolis {i}",
+                "detail": f"metropolis plc{i}",
+                "lon": float(i % 180),
+                "lat": float(i % 80),
+                "origin": "address",
+                "country_code": "c1",
+                "rank": 1,
+                "weight": 0,
+                "importance": (i * 2654435761 % 1000) / 1000.0,
+                "confidence": 9,
+                "label": f"Metropolis {i}",
+                "house_number": None,
+            }
+            for i in range(n_places)
+        ]
+        gaz = pa.Table.from_pylist(places)
+        # >50% of queries carry ONLY the hot token -> their join key IS it
+        caps = ["metropolis" if q % 3 != 2 else f"metropolis plc{q % 40}" for q in range(n_queries)]
+        imgs = pa.table(
+            {
+                "image_id": pa.array([f"q{q}" for q in range(n_queries)], type=pa.string()),
+                "caption": pa.array(caps, type=pa.string()),
+            }
+        )
+        gp = str(tmp_path / "gaz.parquet")
+        ip = str(tmp_path / "imgs.parquet")
+        pq.write_table(gaz, gp)
+        pq.write_table(imgs, ip)
+        return gp, ip, gaz, imgs
+
+    def test_hot_token_parity_with_broadcast(self, ray_session, tmp_path):
+        from geocoding_ray.stages.forward import ForwardJoiner, GazetteerIndex
+
+        gp, ip, gaz, imgs = self._tables(tmp_path)
+        cfg = ForwardConfig(ignore_oov=True, limit=3)
+        b_out = ForwardJoiner(GazetteerIndex(gaz), cfg, query_col="caption", id_col="image_id", explode=True)(imgs)
+        b_set = sorted(
+            (r["query_id"], int(r["rk"]), int(r["place_id"])) for r in b_out.to_pylist()
+        )
+        s_out = run_forward_shuffle(
+            ip, gp, cfg, query_col="caption", id_col="image_id", n_salts=4, hot_threshold=10
+        ).take_all()
+        s_set = sorted((r["query_id"], int(r["rk"]), int(r["place_id"])) for r in s_out)
+        assert s_set == b_set and len(s_set) > 0
+
+    def test_hot_token_query_load_spreads_over_salts(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from geocoding_ray.functions.hashing import polyhash_strings
+        from geocoding_ray.pipelines.forward_shuffle import (
+            explode_gazetteer,
+            make_query_keyer,
+            make_salter,
+        )
+
+        gp, ip, gaz, imgs = self._tables(tmp_path)
+        exploded = explode_gazetteer(gaz)
+        keys = exploded.column("jtoken").to_numpy(zero_copy_only=False)
+        vh, vc = np.unique(keys, return_counts=True)
+        hot_key = int(polyhash_strings(pa.array(["metropolis"], type=pa.string())).view(np.int64)[0])
+        hot = np.sort(vh[vc >= 10])
+        assert hot_key in hot  # the stress token IS hot
+        n_salts = 4
+        keyer = make_query_keyer((vh, vc.astype(np.int64)), hot, n_salts, ForwardConfig(ignore_oov=True), "caption", "image_id")
+        keyed = keyer(imgs)
+        jk = keyed.column("jtoken").to_numpy(zero_copy_only=False)
+        salts = keyed.column("salt").to_numpy(zero_copy_only=False)
+        hot_salts = salts[jk == hot_key]
+        # >50% of all queries joined on the hot key...
+        assert len(hot_salts) > imgs.num_rows // 2
+        # ...but no reducer group holds more than ~half of them, and at
+        # least 3 of the 4 salts are used
+        counts = np.bincount(hot_salts, minlength=n_salts)
+        assert (counts > 0).sum() >= 3
+        assert counts.max() <= int(0.5 * len(hot_salts))
+        # gazetteer side: hot rows replicate to every salt so each
+        # reducer can match independently
+        salted = make_salter(np.sort(np.array([hot_key], dtype=np.int64)), n_salts)(exploded)
+        gs = salted.filter(
+            pa.array(salted.column("jtoken").to_numpy(zero_copy_only=False) == hot_key)
+        )
+        assert sorted(set(gs.column("salt").to_pylist())) == list(range(n_salts))
