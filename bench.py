@@ -36,6 +36,32 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 IMAGES_PER_SF = 20_000_000
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += (i * i) & 1023
+    return x
+
+
+def probe_effective_cores(nproc: int = 32, iters: int = 6_000_000) -> float:
+    """Measured effective core count: same pure-Python burn single-proc
+    vs nproc forked procs.  This box advertises 32 CPUs but delivers
+    16-24 depending on host-neighbor load (documented in BASELINE.md);
+    recording the probe with every bench lets rounds be compared at
+    like-for-like capacity (round-2 VERDICT Next #2)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _burn(iters)
+    t1 = time.perf_counter() - t0
+    ctx = mp.get_context("fork")
+    with ctx.Pool(nproc) as p:
+        t2 = time.perf_counter()
+        p.map(_burn, [iters] * nproc)
+        t32 = time.perf_counter() - t2
+    return round(nproc * t1 / t32, 1)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -76,20 +102,26 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # best-of-N for the headline pipeline: single runs carry several
-    # seconds of scheduler/object-store noise, which swamps the
-    # N-vs-4N efficiency ratio
-    REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    spread: dict[str, list[float]] = {}
+    # MEDIAN-of-N per query by default (round-2 VERDICT #2: single runs
+    # on this host swing with neighbor load; the median + recorded
+    # spread makes rounds comparable).  --scaling keeps best-of: the
+    # efficiency ratio measures capability, and noise only ever slows a
+    # run down.
+    REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+    STAT = os.environ.get("GRAFT_BENCH_STAT", "median")
 
-    def timed(name, fn, repeats=1):
-        best = None
+    def timed(name, fn, repeats=None):
+        import statistics
+
+        samples = []
         n = 0
-        for _ in range(max(1, repeats)):
+        for _ in range(max(1, repeats if repeats is not None else REPEATS)):
             t0 = time.perf_counter()
             n = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples) if STAT == "best" else statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         rows[name] = int(n)
 
     # FIXED-size actor pool (autoscaling pools ramp from their minimum and
@@ -184,7 +216,7 @@ def run_bench() -> dict:
 
         return q_dedup_exact(SF_DIR).count()
 
-    timed("reverse_geocode", q_reverse, repeats=REPEATS)
+    timed("reverse_geocode", q_reverse)
     reverse_digest()  # untimed cross-parallelism identity check
     timed("forward_geocode", q_forward)
     timed("dedup_exact", q_dedup)
@@ -200,6 +232,12 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stat": STAT,
+        "repeats": REPEATS,
+        "spread": spread,
+        # always probed at 32 procs (host capacity), independent of the
+        # bench's own cpu budget, so rounds compare like for like
+        "effective_cores": probe_effective_cores(32),
         "rows": rows,
         "rows_per_s": rps,
         "digests": digests,
@@ -210,7 +248,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEATS="4")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEATS="4", GRAFT_BENCH_STAT="best")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
         ).stdout

@@ -23,7 +23,29 @@ _LICENSES = [
     {"name": "CC-BY-SA", "url": "https://creativecommons.org/licenses/by-sa/3.0/"},
     {"name": "ODbL", "url": "https://opendatacommons.org/licenses/odbl/summary/"},
 ]
+# static envelope strings (opencage.rs:538-542 example document)
+_STAY_INFORMED = {
+    "blog": "https://blog.opencagedata.com",
+    "twitter": "https://twitter.com/opencagedata",
+}
+_THANKS = "For using an OpenCage Data API"
 FREE_TIER_DAILY_LIMIT = 2500  # opencage.rs:5-9 documented free-tier quota
+
+_DAYS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def created_http(created_unix: int) -> str:
+    """RFC-1123 render of the ``timestamp.created_http`` field
+    (opencage.rs:544: "Mon, 09 Apr 2018 12:33:01 GMT") — fixed English
+    tables, never locale-dependent, so the string is byte-stable."""
+    from datetime import datetime, timezone
+
+    d = datetime.fromtimestamp(int(created_unix), tz=timezone.utc)
+    return (
+        f"{_DAYS[d.weekday()]}, {d.day:02d} {_MONTHS[d.month - 1]} {d.year} "
+        f"{d.hour:02d}:{d.minute:02d}:{d.second:02d} GMT"
+    )
 
 
 def opencage_envelope(
@@ -52,6 +74,11 @@ def opencage_envelope(
             "reset": int(created_unix) - (int(created_unix) % 86400) + 86400,
         },
         "status": status,
-        "timestamp": {"created_unix": UnixTime.from_seconds(created_unix).as_seconds()},
+        "stay_informed": dict(_STAY_INFORMED),
+        "thanks": _THANKS,
+        "timestamp": {
+            "created_http": created_http(created_unix),
+            "created_unix": UnixTime.from_seconds(created_unix).as_seconds(),
+        },
         "total_results": int(total_results),
     }

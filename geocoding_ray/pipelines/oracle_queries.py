@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .poolsize import auto_pool
+
 from ..config import ForwardConfig, ReverseConfig
 from ..sources.schemas import ADMIN_SCHEMA, COMPONENT_FIELDS, COMPONENT_LANG_FIELDS, GAZETTEER_SCHEMA
 from ..state import crs
@@ -159,7 +161,7 @@ def q_reverse_pip(sf_dir: str):
         ReverseJoiner,
         fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
 
@@ -312,7 +314,7 @@ def q_forward_nation(sf_dir: str):
         fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True)),
         fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
     return ds.select_columns(["query_id", "top_name", "top_lon", "top_lat"])
@@ -363,7 +365,7 @@ def q_forward_bbox(sf_dir: str):
         fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True, bbox=bb)),
         fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
 
@@ -458,7 +460,7 @@ def q_forward_topk(sf_dir: str):
         fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=False, limit=5)),
         fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id", "explode": True},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
     return ds.select_columns(["query_id", "rk", "place_id", "lon", "lat", "importance"])
@@ -513,7 +515,7 @@ def q_forward_cc(sf_dir: str):
         fn_constructor_args=(index_ref, cfg),
         fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id", "explode": True},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
     return ds.select_columns(["query_id", "rk", "place_id", "lon", "lat", "importance"])
@@ -611,7 +613,7 @@ def q_exif_roundtrip(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    return ds.map_batches(_TiffRoundtrip, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    return ds.map_batches(_TiffRoundtrip, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
 
 
 SQL_EXIF_ROUNDTRIP = """
@@ -653,7 +655,7 @@ def q_image_stats(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    return ds.map_batches(_ImageStats, batch_format="pyarrow", concurrency=2, num_cpus=1)
+    return ds.map_batches(_ImageStats, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
 
 
 SQL_IMAGE_STATS = """
@@ -687,7 +689,7 @@ def q_reverse_components(sf_dir: str):
         ReverseJoiner,
         fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
 
@@ -859,7 +861,7 @@ def q_reverse_raster(sf_dir: str):
         RasterLookup,
         fn_constructor_args=(raster_ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
     return ds.select_columns(["event_id", "raster_admin_id"])

@@ -9,6 +9,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .poolsize import auto_pool
+
 from ..stages.text import LANG_MARKERS, LANG_PRIORITY, STOPWORDS, fingerprint_md5, lang_id, quality_score, token_count
 
 # ---------------------------------------------------------------------------
@@ -241,7 +243,7 @@ def q_ann_topk(sf_dir: str):
         fn_constructor_args=(qref,),
         fn_constructor_kwargs={"k": ANN_K},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
     ds = ds.groupby("qid").map_groups(lambda g: final_topk_arrow(g, ANN_K), batch_format="pyarrow")
@@ -566,7 +568,7 @@ def q_minhash_pairs(sf_dir: str):
     # materialize the slim (band, band_hash, doc_id) rows ONCE: they are
     # consumed by both the bucket-count pass and the pair pass, and
     # re-deriving them would run the signature stage twice
-    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=2, num_cpus=1).materialize()
+    band_rows = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1).materialize()
 
     # Bucket prefilter: a native Count aggregate finds the (band, hash)
     # buckets with >=2 members — near-dup buckets are a tiny fraction, so
@@ -919,7 +921,7 @@ def q_ann_ivf(sf_dir: str):
         fn_constructor_args=(qref, cref),
         fn_constructor_kwargs={"k": ANN_K, "nprobe": 4},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_pool(),
         num_cpus=1,
     )
     ds = ds.groupby("qid").map_groups(lambda g: final_topk_arrow(g, ANN_K), batch_format="pyarrow")

@@ -42,13 +42,30 @@ class TestEnvelope:
 
         env = opencage_envelope(total_results=3, created_unix=1710892805, metrics={"rows": 100})
         # schema parity with OpencageResponse (opencage.rs:551-564)
-        assert set(env) == {"documentation", "licenses", "rate", "status", "timestamp", "total_results"}
+        assert set(env) == {
+            "documentation",
+            "licenses",
+            "rate",
+            "status",
+            "stay_informed",
+            "thanks",
+            "timestamp",
+            "total_results",
+        }
         assert env["status"] == {"code": 200, "message": "OK"}
         assert env["total_results"] == 3
         assert env["timestamp"]["created_unix"] == 1710892805
+        assert env["thanks"] == "For using an OpenCage Data API"  # opencage.rs:542
+        assert set(env["stay_informed"]) == {"blog", "twitter"}  # opencage.rs:538-541
         assert env["rate"]["limit"] == FREE_TIER_DAILY_LIMIT
         assert env["rate"]["remaining"] == FREE_TIER_DAILY_LIMIT - 100
         assert env["rate"]["reset"] % 86400 == 0
+
+    def test_created_http_reference_fixed_point(self):
+        # exact example string from opencage.rs:544
+        from geocoding_ray.functions.envelope import created_http
+
+        assert created_http(1523277181) == "Mon, 09 Apr 2018 12:33:01 GMT"
 
     def test_rate_floors_at_zero(self):
         from geocoding_ray.functions.envelope import opencage_envelope
