@@ -32,7 +32,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["reverse_pip", "reverse_raster", "forward_nation", "wgs84_to_lv03", "dedup_exact", "events_window"],
+    [
+        "reverse_pip",
+        "reverse_raster",
+        "forward_nation",
+        "wgs84_to_lv03",
+        "dedup_exact",
+        "events_window",
+        # round-3 gated additions (each also proves the 4-CPU-session
+        # pool sizing in conftest keeps the pipeline from starving)
+        "cell_assign",
+        "dedup_clusters_exact",
+        "reverse_annotations_num",
+        "grouped_median",
+        "sessionize",
+    ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
     import __ray_entry__ as em

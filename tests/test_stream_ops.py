@@ -105,3 +105,50 @@ class TestMedianBucket:
             acc += c
         got = np.sort(v[bkt == tb])[k]
         assert got == want
+
+
+class TestMedianRefinement:
+    """The histogram plan must refine (not funnel) when a 16-bit bucket
+    holds more rows than the per-task bound."""
+
+    def _write_events(self, tmp_path, rows):
+        import pyarrow.parquet as pqw
+
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+                "value": pa.array([r[1] for r in rows], type=pa.float64()),
+                "ts": pa.array([0] * len(rows), type=pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array([0] * len(rows), type=pa.int64()),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pqw.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    def test_dense_prefix_forces_refinement(self, ray_session, tmp_path):
+        from geocoding_ray.pipelines.text_queries import q_grouped_median
+
+        # 1001 DISTINCT doubles sharing their top 16 (and 32/48) key bits
+        vals = [1.0 + k * 1e-12 for k in range(1001)]
+        rows = [("dense", v) for v in vals] + [("plain", float(x)) for x in range(11)]
+        sf = self._write_events(tmp_path, rows)
+        out = {
+            r["event_type"]: r["median_value"]
+            for r in q_grouped_median(sf, _max_bucket_rows=64).take_all()
+        }
+        assert out["dense"] == np.sort(np.array(vals))[(len(vals) - 1) // 2]
+        assert out["plain"] == 5.0
+
+    def test_all_equal_degenerate_bucket_emits_directly(self, ray_session, tmp_path):
+        from geocoding_ray.pipelines.text_queries import q_grouped_median
+
+        rows = [("same", 7.5)] * 1001 + [("neg", -2.25)] * 7
+        sf = self._write_events(tmp_path, rows)
+        out = {
+            r["event_type"]: r["median_value"]
+            for r in q_grouped_median(sf, _max_bucket_rows=10).take_all()
+        }
+        assert out["same"] == 7.5 and out["neg"] == -2.25
