@@ -103,6 +103,47 @@ class TestLineageResume:
         lineage.run_resumable(make_ds, shards[:1], out)
         m = lineage.load_metrics(out)
         assert m["rows"] == pq.read_metadata(shards[0]).num_rows
+        # round-3 (ADVICE): the stale part-* DATA dirs must be gone too,
+        # so a consumer reading the output dir sees only current shards
+        kept = {f"part-{lineage.shard_key(shards[0])}"}
+        on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+        assert on_disk == kept, on_disk
+
+    def test_forward_path_resumable(self, ray_session, fixture_dir, tmp_path):
+        """North-rule resume applies to the forward join too: interrupt
+        after one shard, resume, output identical to a clean run."""
+        out_a = str(tmp_path / "fa")
+        out_b = str(tmp_path / "fb")
+        shards = sorted(
+            os.path.join(fixture_dir["images_dir"], f) for f in os.listdir(fixture_dir["images_dir"])
+        )
+
+        def make_ds(shard):
+            return run_forward(
+                shard, fixture_dir["gazetteer"], ForwardConfig(ignore_oov=True), concurrency=2
+            )
+
+        lineage.run_resumable(make_ds, shards, out_a)
+        lineage.run_resumable(make_ds, shards[:1], out_b)  # "crash" after shard 0
+        r = lineage.run_resumable(make_ds, shards, out_b)
+        assert 0 in r["skipped"]
+
+        def read_all(d):
+            import pyarrow.dataset as pads
+
+            files = []
+            for p in sorted(os.listdir(d)):
+                if p.startswith("part-"):
+                    pd_ = os.path.join(d, p)
+                    files.extend(os.path.join(pd_, f) for f in sorted(os.listdir(pd_)))
+            t = pads.dataset(files, format="parquet").to_table()
+            cols = [c for c in ("query_id", "place_id", "rk") if c in t.column_names]
+            df = t.select(cols).to_pandas()
+            return df.sort_values(cols, kind="stable").reset_index(drop=True)
+
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(read_all(out_a), read_all(out_b))
 
 
 class TestForwardShuffleParity:
