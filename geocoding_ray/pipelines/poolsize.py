@@ -12,11 +12,14 @@ from __future__ import annotations
 
 
 def auto_pool(frac: int = 4, lo: int = 2, hi: int = 8) -> int:
-    """cpus/frac clamped to [lo, hi] (2 in a 4-8 CPU session, 8 at 32)."""
+    """Pool size = cpus/frac clamped to [lo, hi], but never more than
+    HALF the session's CPUs — the upstream read stage must always have
+    room to schedule (pool 4 of 4 hangs, pool 2 of 4 is the measured
+    safe floor, so a 1-2 CPU session gets a pool of 1)."""
     try:
         import ray
 
         total = int(ray.cluster_resources().get("CPU", lo * frac))
     except Exception:
-        return lo
-    return max(lo, min(hi, total // frac))
+        total = lo * frac
+    return max(1, min(hi, max(total // frac, lo), total // 2))

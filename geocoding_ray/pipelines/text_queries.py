@@ -779,11 +779,16 @@ FROM x GROUP BY event_type, win_start
 
 GM_BUCKET_SHIFT = 48  # top 16 bits of the order-preserving key -> <=65536 buckets/group
 GM_MAX_BUCKET_ROWS = 1 << 20  # refine the histogram when a target bucket exceeds this
+GM_NULL_BKT = -1  # sentinel bucket for NULL values (real depth-1 keys are >= 0)
 
 
 def _median_u(v: np.ndarray) -> np.ndarray:
     """Order-preserving float64 -> uint64 key (IEEE754 sign-flip trick):
-    u(a) < u(b) <=> a < b, and equal doubles map to equal keys."""
+    u(a) < u(b) <=> a < b, and equal doubles map to equal keys.
+    ``v + 0.0`` first folds -0.0 into +0.0 so IEEE-equal signed zeros
+    share a key (they compare equal in every sort; which BIT PATTERN a
+    tie-rank selection returns is engine-defined on both sides)."""
+    v = v + 0.0
     b = v.view(np.int64)
     bu = b.view(np.uint64)
     with np.errstate(over="ignore"):
@@ -844,7 +849,21 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
         def hist_partial(batch: pa.Table) -> pa.Table:
             val = batch.column("value")
             valid = pc.is_valid(val)
+            null_part = None
             if not pc.all(valid).as_py():
+                if depth == 1:
+                    # count null rows under a sentinel bucket so a group
+                    # whose values are ALL null still surfaces (the SQL
+                    # oracle emits (event_type, NULL) for it)
+                    nt = pa.table({"event_type": batch.filter(pc.invert(valid)).column("event_type")})
+                    ng = nt.group_by("event_type").aggregate([("event_type", "count")])
+                    null_part = pa.table(
+                        {
+                            "event_type": ng.column("event_type"),
+                            "bkt": pa.array([GM_NULL_BKT] * ng.num_rows, type=pa.int64()),
+                            "pn": ng.column("event_type_count"),
+                        }
+                    )
                 batch = batch.filter(valid)
                 val = batch.column("value")
             v = val.to_numpy(zero_copy_only=False)
@@ -867,13 +886,14 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
             g = t.group_by(["event_type", "bkt"]).aggregate([("bkt", "count")])
             # select by NAME (round-2 advice: positional renames break
             # across pyarrow releases)
-            return pa.table(
+            out = pa.table(
                 {
                     "event_type": g.column("event_type"),
                     "bkt": g.column("bkt"),
                     "pn": g.column("bkt_count"),
                 }
             )
+            return pa.concat_tables([out, null_part]) if null_part is not None else out
 
         return (
             ds.map_batches(hist_partial, batch_format="pyarrow")
@@ -884,7 +904,7 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
 
     # iterative refinement: rank chases the target bucket down the key bits
     resolved: dict[str, tuple[int, int, int]] = {}  # et -> (depth, bucket, rank)
-    direct: dict[str, float] = {}  # et -> median (all-equal degenerate bucket)
+    direct: dict[str, float | None] = {}  # et -> median (degenerate / all-null group)
     ranks: dict[str, int] = {}
     pending_prefix: dict | None = None
     depth = 1
@@ -895,6 +915,10 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
             per_group.setdefault(r["event_type"], []).append((r["bkt"], int(r["n"])))
         next_prefix: dict[str, int] = {}
         for et, rows in per_group.items():
+            rows = [rc for rc in rows if rc[0] != GM_NULL_BKT]
+            if not rows:  # group exists but every value is NULL
+                direct[et] = None
+                continue
             rows.sort()
             rank = ranks.get(et, (sum(c for _, c in rows) - 1) // 2)
             acc = 0

@@ -111,10 +111,14 @@ def verify_pairs_with_texts(batch: pa.Table, threshold: float = 0.8, shingle_k: 
     The texts arrive as COLUMNS via a distributed hash-join of the pair
     rows with the (candidate-filtered) docs table — no driver text dict,
     no actor-resident corpus subset: each task only ever holds the texts
-    of the pairs in its own batch.  Shingling is one vectorized flat
-    pass per text column; the per-pair remainder is two ``np.unique``
-    slices + an intersect over LSH-bounded pair counts.
+    of the pairs in its own batch.  Texts are dictionary-encoded first
+    so each DISTINCT text is normalized + shingled exactly once per
+    batch (an m-doc dup cluster contributes m(m-1)/2 pair rows but only
+    m shingle computations); the per-pair remainder is an intersect
+    over LSH-bounded pair counts.
     """
+    import pyarrow.compute as pc
+
     from ..functions.hashing import char_shingles_flat, string_byte_view
     from ..functions.normalize import normalize_arrow
 
@@ -130,14 +134,21 @@ def verify_pairs_with_texts(batch: pa.Table, threshold: float = 0.8, shingle_k: 
     )
     if n == 0:
         return empty
-    segs = []
-    for col in ("text_a", "text_b"):
-        data, off = string_byte_view(normalize_arrow(batch.column(col)))
-        segs.append(char_shingles_flat(data, off, shingle_k))
-    (ha, oa), (hb, ob) = segs
+    both = pa.concat_arrays(
+        [
+            batch.column("text_a").combine_chunks().cast(pa.string()),
+            batch.column("text_b").combine_chunks().cast(pa.string()),
+        ]
+    )
+    enc = pc.dictionary_encode(both)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ia, ib = idx[:n], idx[n:]
+    data, off = string_byte_view(normalize_arrow(enc.dictionary))
+    h, ho = char_shingles_flat(data, off, shingle_k)
+    sets = [np.unique(h[ho[d] : ho[d + 1]]) for d in range(len(enc.dictionary))]
     sims = np.empty(n, dtype=np.float64)
     for i in range(n):
-        sims[i] = jaccard(np.unique(ha[oa[i] : oa[i + 1]]), np.unique(hb[ob[i] : ob[i + 1]]))
+        sims[i] = jaccard(sets[ia[i]], sets[ib[i]])
     keep = sims >= threshold
     if not keep.any():
         return empty

@@ -152,3 +152,23 @@ class TestMedianRefinement:
             for r in q_grouped_median(sf, _max_bucket_rows=10).take_all()
         }
         assert out["same"] == 7.5 and out["neg"] == -2.25
+
+    def test_all_null_group_emits_null_median(self, ray_session, tmp_path):
+        import pyarrow.parquet as pqw
+
+        from geocoding_ray.pipelines.text_queries import q_grouped_median
+
+        t = pa.table(
+            {
+                "event_id": pa.array(range(6), type=pa.int64()),
+                "event_type": pa.array(["nulls"] * 3 + ["vals"] * 3, type=pa.string()),
+                "value": pa.array([None, None, None, 1.0, 2.0, 3.0], type=pa.float64()),
+                "ts": pa.array([0] * 6, type=pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array([0] * 6, type=pa.int64()),
+            }
+        )
+        d = tmp_path / "sfnull"
+        d.mkdir(exist_ok=True)
+        pqw.write_table(t, str(d / "events.parquet"))
+        out = {r["event_type"]: r["median_value"] for r in q_grouped_median(str(d)).take_all()}
+        assert out == {"nulls": None, "vals": 2.0}
