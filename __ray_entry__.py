@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_topk": oq.q_forward_topk,        # O11: grouped top-k / limit / forward_full explode
         "forward_cc": oq.q_forward_cc,            # S4: OpenCage countrycode restriction via from_params
         "forward_shuffle": oq.q_forward_shuffle_topk,  # shuffle-join physical plan, same oracle as forward_topk
+        "reverse_shuffle": oq.q_reverse_shuffle_pip,   # cell co-shuffle reverse plan, same oracle as reverse_pip
         "reverse_components": oq.q_reverse_components,  # O4 reverse_full: component hierarchy
         "reverse_raster": oq.q_reverse_raster,    # raster<->vector: burned grid, O(1) lookup
         "wgs84_to_lv03": oq.q_lv03,               # S1: CRS polynomial
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_topk": oq.SQL_FORWARD_TOPK,
         "forward_cc": oq.SQL_FORWARD_CC,
         "forward_shuffle": oq.SQL_FORWARD_TOPK,  # same oracle — different physical plan
+        "reverse_shuffle": oq.SQL_REVERSE_PIP,   # same oracle — cell co-shuffle plan
         "reverse_components": oq.SQL_REVERSE_COMPONENTS,
         "reverse_raster": oq.SQL_REVERSE_RASTER,
         "wgs84_to_lv03": oq.SQL_LV03,

@@ -199,6 +199,27 @@ FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
 """
 
 
+def q_reverse_shuffle_pip(sf_dir: str):
+    """The cell co-shuffle reverse plan (admin side too large to
+    broadcast) on the same synthesized points as ``reverse_pip`` —
+    gated by the SAME SQL oracle, proving the broadcast and shuffle
+    physical plans agree (the reverse-side counterpart of
+    ``forward_shuffle``)."""
+    import ray.data as rd
+
+    from .reverse_shuffle import run_reverse_shuffle
+
+    def synth(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    pts = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return run_reverse_shuffle(pts, _rect_admin_table(), cell_level=4)
+
+
 def q_reverse_knn(sf_dir: str):
     """O12 semantics (tolerance kNN), planar metric for oracle exactness."""
     import ray.data as rd

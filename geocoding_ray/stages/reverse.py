@@ -40,6 +40,63 @@ from ..state.rtree import STRtree
 _KNN_CELL_LEVEL = 10  # ~39 km lon cells at equator; disk radius 1 covers ~39 km reach
 
 
+def locate_winner(
+    rings: PackedRings,
+    tree: STRtree,
+    level_rank: np.ndarray,
+    area: np.ndarray,
+    admin_id: np.ndarray,
+    lon: np.ndarray,
+    lat: np.ndarray,
+) -> np.ndarray:
+    """Per point: index of the winning containing polygon, or -1.
+
+    Winner = max level_rank, then min area, then min admin_id — the
+    deepest-wins total order (SURVEY.md §7 hard part 3).  Shared by the
+    broadcast :class:`AdminIndex` and the cell co-shuffle group matcher
+    (``pipelines/reverse_shuffle.py``), so both physical plans apply the
+    identical rule.
+    """
+    n = len(lon)
+    win = np.full(n, -1, dtype=np.int64)
+    if n == 0 or rings.n_polys == 0:
+        return win
+    p_idx, a_idx = tree.query_points(lon, lat)
+    if len(p_idx) == 0:
+        return win
+    # verify candidates with exact PIP, grouped by polygon for
+    # vectorized ring tests
+    hit_p: list[np.ndarray] = []
+    hit_a: list[np.ndarray] = []
+    order = np.argsort(a_idx, kind="stable")
+    a_sorted = a_idx[order]
+    p_sorted = p_idx[order]
+    bounds = np.searchsorted(a_sorted, np.unique(a_sorted), side="left")
+    uniq = np.unique(a_sorted)
+    bounds = np.append(bounds, len(a_sorted))
+    for k, poly in enumerate(uniq):
+        pts = p_sorted[bounds[k] : bounds[k + 1]]
+        inside = rings.contains(int(poly), lon[pts], lat[pts])
+        if inside.any():
+            hit_p.append(pts[inside])
+            hit_a.append(np.full(int(inside.sum()), poly, dtype=np.int64))
+    if not hit_p:
+        return win
+    hp = np.concatenate(hit_p)
+    ha = np.concatenate(hit_a)
+    # total order: (-level_rank, area, admin_id) ascending per point
+    key_rank = -level_rank[ha].astype(np.int64)
+    key_area = area[ha]
+    key_id = admin_id[ha].astype(np.int64)
+    sel = np.lexsort((key_id, key_area, key_rank, hp))
+    hp_s = hp[sel]
+    ha_s = ha[sel]
+    first = np.ones(len(hp_s), dtype=bool)
+    first[1:] = hp_s[1:] != hp_s[:-1]
+    win[hp_s[first]] = ha_s[first]
+    return win
+
+
 class AdminIndex:
     """Immutable reverse-join build side: polygons + places.
 
@@ -102,44 +159,9 @@ class AdminIndex:
 
         Winner = max level_rank, then min area, then min admin_id.
         """
-        n = len(lon)
-        win = np.full(n, -1, dtype=np.int64)
-        if n == 0 or self.rings.n_polys == 0:
-            return win
-        p_idx, a_idx = self.tree.query_points(lon, lat)
-        if len(p_idx) == 0:
-            return win
-        # verify candidates with exact PIP, grouped by polygon for
-        # vectorized ring tests
-        hit_p: list[np.ndarray] = []
-        hit_a: list[np.ndarray] = []
-        order = np.argsort(a_idx, kind="stable")
-        a_sorted = a_idx[order]
-        p_sorted = p_idx[order]
-        bounds = np.searchsorted(a_sorted, np.unique(a_sorted), side="left")
-        uniq = np.unique(a_sorted)
-        bounds = np.append(bounds, len(a_sorted))
-        for k, poly in enumerate(uniq):
-            pts = p_sorted[bounds[k] : bounds[k + 1]]
-            inside = self.rings.contains(int(poly), lon[pts], lat[pts])
-            if inside.any():
-                hit_p.append(pts[inside])
-                hit_a.append(np.full(int(inside.sum()), poly, dtype=np.int64))
-        if not hit_p:
-            return win
-        hp = np.concatenate(hit_p)
-        ha = np.concatenate(hit_a)
-        # total order: (-level_rank, area, admin_id) ascending per point
-        key_rank = -self.level_rank[ha].astype(np.int64)
-        key_area = self.area[ha]
-        key_id = self.admin_id[ha].astype(np.int64)
-        sel = np.lexsort((key_id, key_area, key_rank, hp))
-        hp_s = hp[sel]
-        ha_s = ha[sel]
-        first = np.ones(len(hp_s), dtype=bool)
-        first[1:] = hp_s[1:] != hp_s[:-1]
-        win[hp_s[first]] = ha_s[first]
-        return win
+        return locate_winner(
+            self.rings, self.tree, self.level_rank, self.area, self.admin_id, lon, lat
+        )
 
     # ---- kNN fallback ----------------------------------------------------
 

@@ -74,6 +74,14 @@ def encode(lon, lat, level: int) -> np.ndarray:
     return (np.uint64(level) << np.uint64(_LEVEL_SHIFT)) | morton
 
 
+def cell_from_xy(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
+    """Integer column/row at ``level`` -> cell id (vectorized)."""
+    morton = _spread(np.asarray(x, dtype=np.uint64)) | (
+        _spread(np.asarray(y, dtype=np.uint64)) << np.uint64(1)
+    )
+    return (np.uint64(level) << np.uint64(_LEVEL_SHIFT)) | morton
+
+
 def decode_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """cell id -> (level, x, y)."""
     cell = np.atleast_1d(np.asarray(cell, dtype=np.uint64))

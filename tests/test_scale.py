@@ -281,3 +281,32 @@ class TestSaltingStress:
             pa.array(salted.column("jtoken").to_numpy(zero_copy_only=False) == hot_key)
         )
         assert sorted(set(gs.column("salt").to_pylist())) == list(range(n_salts))
+
+
+class TestReverseShuffleParity:
+    """The cell co-shuffle reverse plan must equal the broadcast plan at
+    ANY partitioning level (polygons straddle cell boundaries)."""
+
+    def test_cell_level_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geocoding_ray.pipelines.oracle_queries import _pip_lonlat, _rect_admin_table
+        from geocoding_ray.pipelines.reverse_shuffle import run_reverse_shuffle
+
+        eid = np.arange(500, dtype=np.int64)
+        lon, lat = _pip_lonlat(eid)
+        admin = _rect_admin_table()
+
+        def run(level):
+            pts = rd.from_arrow(
+                pa.table({"event_id": pa.array(eid), "lon": pa.array(lon), "lat": pa.array(lat)})
+            )
+            rows = run_reverse_shuffle(pts, admin, cell_level=level).take_all()
+            return sorted((r["event_id"], r["admin_id"], r["formatted"], r["match_kind"]) for r in rows)
+
+        base = run(2)
+        assert len(base) == len(eid)
+        for level in (4, 6):
+            assert run(level) == base, f"cell_level={level} diverged"
