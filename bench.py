@@ -268,6 +268,11 @@ def run_scaling() -> None:
     r_hi = run(hi)
     t_lo = r_lo["queries"]["reverse_geocode"]
     t_hi = r_hi["queries"]["reverse_geocode"]
+    # host capacity during each leg (the box swings 16-24 effective
+    # cores with neighbor load; an efficiency reading is only meaningful
+    # when both legs saw comparable capacity — see BASELINE.md)
+    cores_lo = r_lo.get("effective_cores")
+    cores_hi = r_hi.get("effective_cores")
     n = r_lo["rows"]["reverse_geocode"]
     eff = (t_lo / t_hi) / (hi / lo)
     same_output = r_lo.get("digests") == r_hi.get("digests")
@@ -284,6 +289,8 @@ def run_scaling() -> None:
                 "rows_per_s_lo": round(n / t_lo, 1),
                 "rows_per_s_hi": round(n / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
+                "effective_cores_lo": cores_lo,
+                "effective_cores_hi": cores_hi,
                 "total_sec_lo": r_lo["value"],
                 "total_sec_hi": r_hi["value"],
             }
