@@ -187,8 +187,11 @@ def make_group_matcher(config: ForwardConfig):
     import pyarrow.compute as pc
 
     bbox = config.bbox
-    origins = list(config.origins) if config.origins else None
-    ccodes = list(config.countrycodes) if config.countrycodes else None
+    # `is not None`, NOT truthiness: an EMPTY origins/countrycodes set
+    # means "filter everything out" in the broadcast plan
+    # (stages/forward.py:162-167) and the shuffle plan must agree
+    origins = list(config.origins) if config.origins is not None else None
+    ccodes = list(config.countrycodes) if config.countrycodes is not None else None
     limit = config.limit
 
     def _empty(qid_type: pa.DataType) -> pa.Table:

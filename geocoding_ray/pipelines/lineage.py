@@ -106,13 +106,19 @@ def run_resumable(
     for fn in os.listdir(ldir):
         if fn.startswith("part-") and fn.endswith(".json") and fn[5:-5] not in keys:
             os.remove(os.path.join(ldir, fn))
-            # also drop the matching DATA partition (+ any tmp leftover):
-            # a stale part-<key>/ would otherwise keep serving rows from
-            # the old shard list to consumers of the output dir
-            # (round-2 advice)
-            stale = fn[5:-5]
-            shutil.rmtree(_part_dir(out_dir, stale), ignore_errors=True)
-            shutil.rmtree(os.path.join(out_dir, "_tmp", f"part-{stale}"), ignore_errors=True)
+    # drop stale DATA partitions by scanning the part-* dirs themselves —
+    # not just manifests: a crash between the part rename and the
+    # manifest write leaves a committed-looking dir with NO manifest,
+    # which must also go when its shard leaves the list (round-3 review)
+    for dn in os.listdir(out_dir):
+        if dn.startswith("part-") and dn[5:] not in keys:
+            shutil.rmtree(os.path.join(out_dir, dn), ignore_errors=True)
+            shutil.rmtree(os.path.join(out_dir, "_tmp", dn), ignore_errors=True)
+    tmp_dir = os.path.join(out_dir, "_tmp")
+    if os.path.isdir(tmp_dir):
+        for dn in os.listdir(tmp_dir):
+            if dn.startswith("part-") and dn[5:] not in keys:
+                shutil.rmtree(os.path.join(tmp_dir, dn), ignore_errors=True)
     tmp_root = os.path.join(out_dir, "_tmp")
     done = completed_shards(out_dir, shard_paths)
     ran = []

@@ -136,6 +136,14 @@ def _knn_lonlat(event_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+def _synth_pip_points(batch: pa.Table) -> pa.Table:
+    """events -> (event_id, lon, lat) via the shared _pip_lonlat formula
+    (the one synthesized-point schema every reverse-family query uses)."""
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    lon, lat = _pip_lonlat(eid)
+    return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
+
+
 # ---------------------------------------------------------------------------
 # Queries (each returns a lazy ray.data.Dataset)
 # ---------------------------------------------------------------------------
@@ -150,13 +158,8 @@ def q_reverse_pip(sf_dir: str):
 
     index_ref = ray.put(AdminIndex(_rect_admin_table(), None))
 
-    def synth(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        lon, lat = _pip_lonlat(eid)
-        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_pip_points, batch_format="pyarrow")
     ds = ds.map_batches(
         ReverseJoiner,
         fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
@@ -209,13 +212,8 @@ def q_reverse_shuffle_pip(sf_dir: str):
 
     from .reverse_shuffle import run_reverse_shuffle
 
-    def synth(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        lon, lat = _pip_lonlat(eid)
-        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
-
     pts = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"]).map_batches(
-        synth, batch_format="pyarrow"
+        _synth_pip_points, batch_format="pyarrow"
     )
     return run_reverse_shuffle(pts, _rect_admin_table(), cell_level=4)
 
@@ -699,13 +697,8 @@ def q_reverse_components(sf_dir: str):
 
     index_ref = ray.put(AdminIndex(_rect_admin_table(), None))
 
-    def synth(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        lon, lat = _pip_lonlat(eid)
-        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_pip_points, batch_format="pyarrow")
     ds = ds.map_batches(
         ReverseJoiner,
         fn_constructor_args=(index_ref, ReverseConfig(knn_fallback=False)),
@@ -871,13 +864,8 @@ def q_reverse_raster(sf_dir: str):
     raster = build_raster(AdminIndex(_rect_admin_table(), None), level=10)
     raster_ref = ray.put(raster)
 
-    def synth(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        lon, lat = _pip_lonlat(eid)
-        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_pip_points, batch_format="pyarrow")
     ds = ds.map_batches(
         RasterLookup,
         fn_constructor_args=(raster_ref,),
@@ -923,11 +911,6 @@ def q_reverse_annotations_num(sf_dir: str):
 
     from ..stages.annotations import annotate_points
 
-    def synth(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        lon, lat = _pip_lonlat(eid)
-        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
-
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -940,7 +923,7 @@ def q_reverse_annotations_num(sf_dir: str):
         )
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_pip_points, batch_format="pyarrow")
     ds = ds.map_batches(annotate_points, batch_format="pyarrow")
     return ds.map_batches(project, batch_format="pyarrow")
 
@@ -976,13 +959,8 @@ def q_reverse_annotations(sf_dir: str):
 
     from ..stages.annotations import annotate_points
 
-    def synth(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        lon, lat = _pip_lonlat(eid)
-        return pa.table({"event_id": batch.column("event_id"), "lon": pa.array(lon), "lat": pa.array(lat)})
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
-    ds = ds.map_batches(synth, batch_format="pyarrow")
+    ds = ds.map_batches(_synth_pip_points, batch_format="pyarrow")
     ds = ds.map_batches(annotate_points, batch_format="pyarrow")
     return ds.select_columns(
         [

@@ -50,7 +50,11 @@ _ADMIN_COLS = ("admin_id", "level_rank", "area", "formatted", "rings")
 
 def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
     """Admin rows -> one row per covering cell of the polygon bbox at
-    ``cell_level`` (fully vectorized repeat/arange arithmetic)."""
+    ``cell_level`` (fully vectorized repeat/arange arithmetic).
+
+    Antimeridian: a bbox with ``minx > maxx`` (Fiji-style wrap) splits
+    into two lon spans — [minx, 180] and [-180, maxx] — before the
+    count arithmetic, so the uint64 column math never underflows."""
     n = batch.num_rows
     minx = batch.column("minx").to_numpy(zero_copy_only=False)
     miny = batch.column("miny").to_numpy(zero_copy_only=False)
@@ -58,16 +62,34 @@ def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
     maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
     x0, y0 = cells.lonlat_to_xy(minx, miny, cell_level)
     x1, y1 = cells.lonlat_to_xy(maxx, maxy, cell_level)
-    nx = (x1 - x0 + np.uint64(1)).astype(np.int64)
-    ny = (y1 - y0 + np.uint64(1)).astype(np.int64)
+    x0 = x0.astype(np.int64)
+    x1 = x1.astype(np.int64)
+    y0 = y0.astype(np.int64)
+    y1 = y1.astype(np.int64)
+    nmax = (1 << cell_level) - 1
+    wrap = x1 < x0
+    if wrap.any():
+        w = np.nonzero(wrap)[0]
+        # segment 1 (original rows): [x0, nmax]; segment 2 (appended
+        # pseudo-rows): [0, x1]
+        seg_row = np.concatenate([np.arange(n, dtype=np.int64), w])
+        seg_x0 = np.concatenate([x0, np.zeros(len(w), dtype=np.int64)])
+        seg_x1 = np.concatenate([np.where(wrap, nmax, x1), x1[w]])
+        seg_y0 = np.concatenate([y0, y0[w]])
+        seg_y1 = np.concatenate([y1, y1[w]])
+    else:
+        seg_row = np.arange(n, dtype=np.int64)
+        seg_x0, seg_x1, seg_y0, seg_y1 = x0, x1, y0, y1
+    nx = seg_x1 - seg_x0 + 1
+    ny = seg_y1 - seg_y0 + 1
     cnt = nx * ny
     total = int(cnt.sum())
-    rep = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    rep = np.repeat(np.arange(len(seg_row), dtype=np.int64), cnt)
     within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
     dx = within % nx[rep]
     dy = within // nx[rep]
-    cell = cells.cell_from_xy(x0.astype(np.int64)[rep] + dx, y0.astype(np.int64)[rep] + dy, cell_level)
-    out = batch.select(list(_ADMIN_COLS)).take(pa.array(rep, type=pa.int64()))
+    cell = cells.cell_from_xy(seg_x0[rep] + dx, seg_y0[rep] + dy, cell_level)
+    out = batch.select(list(_ADMIN_COLS)).take(pa.array(seg_row[rep], type=pa.int64()))
     return out.append_column("cell", pa.array(cell.view(np.int64), type=pa.int64()))
 
 

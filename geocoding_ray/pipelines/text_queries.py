@@ -522,10 +522,25 @@ def join_pair_texts(pairs_ds, docs_path: str, num_partitions: int = 8):
     import ray
     import ray.data as rd
 
-    rows = pairs_ds.select_columns(["a", "b"]).take_all()  # ids only — slim
-    if not rows:
+    def distinct_ids(batch: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    batch.column("a").to_numpy(zero_copy_only=False),
+                    batch.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    # distinct candidate ids computed PER BLOCK distributed, so the
+    # driver receives slim int64 id rows bounded by the distinct
+    # candidate count — never the full m(m-1)/2 pair rows (round-3
+    # review)
+    id_rows = pairs_ds.map_batches(distinct_ids, batch_format="pyarrow").take_all()
+    if not id_rows:
         return None
-    cand = np.unique(np.array([[r["a"], r["b"]] for r in rows], dtype=np.int64).ravel())
+    cand = np.unique(np.fromiter((r["doc_id"] for r in id_rows), dtype=np.int64, count=len(id_rows)))
     cand_ref = ray.put(pa.array(cand, type=pa.int64()))
 
     def keep_cand(batch: pa.Table) -> pa.Table:

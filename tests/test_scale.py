@@ -310,3 +310,38 @@ class TestReverseShuffleParity:
         assert len(base) == len(eid)
         for level in (4, 6):
             assert run(level) == base, f"cell_level={level} diverged"
+
+    def test_antimeridian_bbox_splits(self, ray_session):
+        """A Fiji-style wrap bbox (minx > maxx) splits into two lon spans
+        instead of underflowing the uint64 cell arithmetic."""
+        import numpy as np
+        import pyarrow as pa
+
+        from geocoding_ray.pipelines.reverse_shuffle import explode_admin_cells
+        from geocoding_ray.sources.schemas import ADMIN_SCHEMA, COMPONENT_FIELDS, COMPONENT_LANG_FIELDS
+        from geocoding_ray.state import cells as _cells
+
+        row = {
+            "admin_id": 1, "name": "Fiji", "level": "country", "level_rank": 1,
+            "rings": [[[179.0, -20.0], [-179.0, -20.0], [-179.0, -15.0], [179.0, -15.0], [179.0, -20.0]]],
+            "minx": 179.0, "miny": -20.0, "maxx": -179.0, "maxy": -15.0,
+            "area": 10.0, "formatted": "Fiji",
+        }
+        for f in COMPONENT_FIELDS + COMPONENT_LANG_FIELDS:
+            row[f] = None
+        t = pa.Table.from_pylist([row], schema=ADMIN_SCHEMA)
+        out = explode_admin_cells(t, 4)
+        _, x, _ = _cells.decode_xy(out.column("cell").to_numpy(zero_copy_only=False).view(np.uint64))
+        assert set(x.tolist()) == {0, 15}  # west edge + east edge cells
+
+    def test_empty_countrycodes_matches_broadcast(self, ray_session, tmp_path):
+        """An EMPTY countrycodes set filters everything in BOTH plans
+        (`is not None` semantics, round-3 review)."""
+        gp, ip, gaz, imgs = TestSaltingStress()._tables(tmp_path)
+        from geocoding_ray.stages.forward import ForwardJoiner, GazetteerIndex
+
+        cfg = ForwardConfig(ignore_oov=True, limit=3, countrycode=",")
+        assert cfg.countrycodes is not None and len(cfg.countrycodes) == 0
+        b_out = ForwardJoiner(GazetteerIndex(gaz), cfg, query_col="caption", id_col="image_id", explode=True)(imgs)
+        s_out = run_forward_shuffle(ip, gp, cfg, query_col="caption", id_col="image_id").take_all()
+        assert b_out.num_rows == 0 and len(s_out) == 0
