@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": tq.q_events_window,      # tumbling-window partial+final aggregate
         "sliding_window": tq.q_sliding_window,    # sliding-window (1h/15min) partial+final aggregate
         "grouped_median": tq.q_grouped_median,    # exact per-group discrete median
+        "grouped_p90": tq.q_grouped_p90,          # exact per-group discrete p90 (same histogram plan)
         "sessionize": tq.q_sessionize,            # gap-based session windows per user
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
         "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": tq.SQL_EVENTS_WINDOW,
         "sliding_window": tq.SQL_SLIDING_WINDOW,
         "grouped_median": tq.SQL_GROUPED_MEDIAN,
+        "grouped_p90": tq.SQL_GROUPED_P90,
         "sessionize": tq.SQL_SESSIONIZE,
         "top_docs": tq.SQL_TOP_DOCS,
         "cell_assign": oq.SQL_CELL_ASSIGN,

@@ -830,8 +830,21 @@ def _u_to_float(u: int) -> float:
 
 
 def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
-    """Exact per-group discrete median (DuckDB ``quantile_disc(v, 0.5)``
-    picks the element at floor((n-1)/2) of the sorted values — same rule
+    """Exact per-group discrete median — ``grouped_quantile`` at q=0.5
+    (``ceil(0.5*n)-1`` == ``floor((n-1)/2)``, the quantile_disc rule)."""
+    return grouped_quantile(sf_dir, 0.5, "median_value", _max_bucket_rows)
+
+
+def q_grouped_p90(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
+    """Exact per-group discrete 90th percentile — the same scale-safe
+    histogram plan at q=0.9 (probe-verified: DuckDB ``quantile_disc``
+    selects sorted index ``ceil(q*n)-1``)."""
+    return grouped_quantile(sf_dir, 0.9, "p90_value", _max_bucket_rows)
+
+
+def grouped_quantile(sf_dir: str, q: float, out_col: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
+    """Exact per-group discrete quantile (DuckDB ``quantile_disc(v, q)``
+    picks the element at sorted index ``ceil(q*n) - 1`` — same rule
     here, so doubles match bit-exactly).
 
     Scale-safe histogram plan (round-2 VERDICT #3 — no task ever funnels
@@ -935,7 +948,8 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
                 direct[et] = None
                 continue
             rows.sort()
-            rank = ranks.get(et, (sum(c for _, c in rows) - 1) // 2)
+            total = sum(c for _, c in rows)
+            rank = ranks.get(et, max(0, int(np.ceil(q * total)) - 1))
             acc = 0
             for bkt, c in rows:
                 if acc + c > rank:
@@ -963,7 +977,7 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
             pa.table(
                 {
                     "event_type": pa.array(ets, type=pa.string()),
-                    "median_value": pa.array([direct[e] for e in ets], type=pa.float64()),
+                    out_col: pa.array([direct[e] for e in ets], type=pa.float64()),
                 }
             )
         )
@@ -975,7 +989,7 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
             else pa.table(
                 {
                     "event_type": pa.array([], type=pa.string()),
-                    "median_value": pa.array([], type=pa.float64()),
+                    out_col: pa.array([], type=pa.float64()),
                 }
             )
         )
@@ -1006,7 +1020,7 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
         return pa.table(
             {
                 "event_type": g.column("event_type").slice(0, 1),
-                "median_value": pa.array([v[k]], type=pa.float64()),
+                out_col: pa.array([v[k]], type=pa.float64()),
             }
         )
 
@@ -1022,6 +1036,12 @@ def q_grouped_median(sf_dir: str, _max_bucket_rows: int = GM_MAX_BUCKET_ROWS):
 
 SQL_GROUPED_MEDIAN = """
 SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+SQL_GROUPED_P90 = """
+SELECT event_type, quantile_disc(value, 0.9) AS p90_value
 FROM events GROUP BY event_type
 """
 
