@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": tq.q_grouped_median,    # exact per-group discrete median
         "grouped_p90": tq.q_grouped_p90,          # exact per-group discrete p90 (same histogram plan)
         "sessionize": tq.q_sessionize,            # gap-based session windows per user
+        "asof_last_click": tq.q_asof_last_click,  # as-of/LOCF join along the per-user stream
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
         "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median": tq.SQL_GROUPED_MEDIAN,
         "grouped_p90": tq.SQL_GROUPED_P90,
         "sessionize": tq.SQL_SESSIONIZE,
+        "asof_last_click": tq.SQL_ASOF_LAST_CLICK,
         "top_docs": tq.SQL_TOP_DOCS,
         "cell_assign": oq.SQL_CELL_ASSIGN,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,

@@ -1180,6 +1180,170 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+ASOF_MARK = "click"  # the observation stream carried forward
+
+
+def q_asof_last_click(sf_dir: str):
+    """As-of join along the event stream (last-observation-carried-
+    forward): for every event, the timestamp of the most recent 'click'
+    event of the same user at or before it in (ts, event_id) order.
+
+    Scale plan (the sessionize pattern — no per-user call over event
+    rows):
+
+    1. distributed ``sort(user_id, ts, event_id)``,
+    2. ``map_batches`` vectorized in-batch carry-forward
+       (segment-keyed ``np.maximum.accumulate``); rows preceding their
+       batch's first click stay UNRESOLVED,
+    3. per-user repair over slim rows only: each batch emits one
+       summary row per user segment (its last click, if any) and the
+       unresolved rows; ``groupby(user).map_groups`` forward-fills
+       clicks ACROSS segments — rows touched ~ (#segments + #unresolved)
+       per user, never the event count.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    parts = ds.sort(["user_id", "ts", "event_id"]).map_batches(asof_partial, batch_format="pyarrow").materialize()
+    resolved = parts.map_batches(asof_finish_resolved, batch_format="pyarrow")
+    repaired = (
+        parts.filter(expr="kind > 0")
+        .groupby("user_id")
+        .map_groups(asof_repair_user, batch_format="pyarrow")
+    )
+    return resolved.union(repaired)
+
+
+_ASOF_TS = pa.timestamp("us")
+
+
+def asof_partial(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    empty = pa.table(
+        {
+            "kind": pa.array([], type=pa.int8()),
+            "user_id": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "ep": pa.array([], type=pa.int64()),
+            "last_ep": pa.array([], type=pa.int64()),
+            "seg_ep": pa.array([], type=pa.int64()),
+            "seg_eid": pa.array([], type=pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    click = pc.equal(batch.column("event_type"), ASOF_MARK).to_numpy(zero_copy_only=False)
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    seg = np.cumsum(new_user) - 1  # per-batch user segment index
+    i = np.arange(n, dtype=np.int64)
+    # segment-keyed carry-forward: acc carries the latest click
+    # POSITION within the segment; positions from earlier segments
+    # can never win because the segment id dominates the key
+    key = seg * np.int64(n + 1) + np.where(click, i + 1, 0)
+    acc = np.maximum.accumulate(key)
+    pos = acc % np.int64(n + 1)
+    has = (acc // np.int64(n + 1) == seg) & (pos > 0)
+    last_ep = np.where(has, ep[np.maximum(pos - 1, 0)], np.int64(-1))
+    seg_starts = np.nonzero(new_user)[0]
+    seg_ep = ep[seg_starts][seg]  # segment's first (ts, event_id)
+    seg_eid = eid[seg_starts][seg]
+    kind = np.where(has, np.int8(0), np.int8(1))  # resolved / unresolved
+    # one summary per segment: the segment's LAST click (if any)
+    seg_ends = np.concatenate([seg_starts[1:], [n]]) - 1
+    seg_last = last_ep[seg_ends]  # -1 when the segment has no click
+    rows = pa.table(
+        {
+            "kind": pa.array(kind, type=pa.int8()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "ep": pa.array(ep, type=pa.int64()),
+            "last_ep": pa.array(last_ep, type=pa.int64()),
+            "seg_ep": pa.array(seg_ep, type=pa.int64()),
+            "seg_eid": pa.array(seg_eid, type=pa.int64()),
+        }
+    )
+    summaries = pa.table(
+        {
+            "kind": pa.array(np.full(len(seg_starts), 2, dtype=np.int8), type=pa.int8()),
+            "user_id": pa.array(uid[seg_starts], type=pa.int64()),
+            "event_id": pa.array(np.zeros(len(seg_starts), dtype=np.int64), type=pa.int64()),
+            "ep": pa.array(np.zeros(len(seg_starts), dtype=np.int64), type=pa.int64()),
+            "last_ep": pa.array(seg_last, type=pa.int64()),
+            "seg_ep": pa.array(ep[seg_starts], type=pa.int64()),
+            "seg_eid": pa.array(eid[seg_starts], type=pa.int64()),
+        }
+    )
+    return pa.concat_tables([rows, summaries])
+
+def asof_finish_resolved(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    b = batch.filter(pc.equal(batch.column("kind"), 0))
+    return pa.table(
+        {
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts": b.column("ep").cast(_ASOF_TS),
+            "last_click_ts": b.column("last_ep").cast(_ASOF_TS),
+        }
+    )
+
+def asof_repair_user(g: pa.Table) -> pa.Table:
+    kind = g.column("kind").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=_ASOF_TS),
+            "last_click_ts": pa.array([], type=_ASOF_TS),
+        }
+    )
+    rows = g.filter(pa.array(kind == 1))
+    if rows.num_rows == 0:
+        return empty
+    summ = g.filter(pa.array(kind == 2))
+    s_ep = summ.column("seg_ep").to_numpy(zero_copy_only=False)
+    s_eid = summ.column("seg_eid").to_numpy(zero_copy_only=False)
+    s_last = summ.column("last_ep").to_numpy(zero_copy_only=False)
+    order = np.lexsort((s_eid, s_ep))
+    s_last = s_last[order]
+    # carry the latest click ts from STRICTLY PRIOR segments (click
+    # ts are non-decreasing along the user's stream, so a running
+    # max equals the most recent click)
+    prior = np.concatenate([[np.int64(-1)], np.maximum.accumulate(s_last)])[:-1]
+    seg_of = {
+        (int(e), int(d)): k for k, (e, d) in enumerate(zip(s_ep[order], s_eid[order]))
+    }
+    r_ep = rows.column("seg_ep").to_numpy(zero_copy_only=False)
+    r_eid = rows.column("seg_eid").to_numpy(zero_copy_only=False)
+    fill = np.array([prior[seg_of[(int(e), int(d))]] for e, d in zip(r_ep, r_eid)], dtype=np.int64)
+    last = pa.array(np.where(fill < 0, None, fill), type=pa.int64(), from_pandas=True)
+    return pa.table(
+        {
+            "event_id": rows.column("event_id"),
+            "user_id": rows.column("user_id"),
+            "ts": rows.column("ep").cast(_ASOF_TS),
+            "last_click_ts": last.cast(_ASOF_TS),
+        }
+    )
+
+
+
+SQL_ASOF_LAST_CLICK = f"""
+SELECT event_id, user_id, ts,
+       max(CASE WHEN event_type = '{ASOF_MARK}' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS last_click_ts
+FROM events
+"""
+
+
 def q_top_docs(sf_dir: str):
     """Global deterministic top-k via distributed sort + limit
     (n_chars desc, doc_id asc)."""

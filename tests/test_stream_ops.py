@@ -172,3 +172,68 @@ class TestMedianRefinement:
         pqw.write_table(t, str(d / "events.parquet"))
         out = {r["event_type"]: r["median_value"] for r in q_grouped_median(str(d)).take_all()}
         assert out == {"nulls": None, "vals": 2.0}
+
+
+class TestAsofKernels:
+    """As-of carry-forward: in-batch resolution + cross-batch repair
+    must reproduce the unsplit answer at every cut position."""
+
+    def _events(self, uid, rows):
+        # rows: list of (minute, event_type)
+        return pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                "user_id": pa.array([uid] * len(rows), type=pa.int64()),
+                "ts": pa.array([m * 60 * US for m, _ in rows], type=pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array([t for _, t in rows], type=pa.string()),
+            }
+        )
+
+    def _run_split(self, full, cuts):
+        from geocoding_ray.pipelines.text_queries import (
+            asof_finish_resolved,
+            asof_partial,
+            asof_repair_user,
+        )
+
+        pieces = []
+        prev = 0
+        for c in list(cuts) + [full.num_rows]:
+            if c > prev:
+                pieces.append(asof_partial(full.slice(prev, c - prev)))
+                prev = c
+        parts = pa.concat_tables(pieces)
+        resolved = asof_finish_resolved(parts)
+        torepair = parts.filter(
+            pa.array(parts.column("kind").to_numpy(zero_copy_only=False) > 0)
+        )
+        out = resolved.to_pylist()
+        # group repair rows by user (single user here)
+        if torepair.num_rows:
+            out += asof_repair_user(torepair).to_pylist()
+        return sorted((r["event_id"], r["last_click_ts"]) for r in out)
+
+    def test_every_cut_matches_unsplit(self):
+        rows = [
+            (0, "view"), (5, "click"), (9, "view"), (12, "view"),
+            (20, "click"), (21, "view"), (30, "view"), (31, "click"), (40, "view"),
+        ]
+        full = self._events(1, rows)
+        want = self._run_split(full, [])
+        # sanity: expected carry-forward values
+        import datetime
+
+        by_eid = dict(want)
+        assert by_eid[0] is None  # before any click
+        assert by_eid[2] == datetime.datetime(1970, 1, 1, 0, 5)  # after click@5
+        assert by_eid[8] == datetime.datetime(1970, 1, 1, 0, 31)
+        for cut in range(1, len(rows)):
+            assert self._run_split(full, [cut]) == want, f"cut={cut}"
+        # two cuts
+        assert self._run_split(full, [2, 6]) == want
+
+    def test_user_with_no_clicks_all_null(self):
+        rows = [(0, "view"), (10, "view"), (99, "purchase")]
+        full = self._events(7, rows)
+        got = self._run_split(full, [1])
+        assert all(v is None for _, v in got) and len(got) == 3
