@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": tq.q_sessionize,            # gap-based session windows per user
         "asof_last_click": tq.q_asof_last_click,  # as-of/LOCF join along the per-user stream
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
+        "top_events_per_type": tq.q_top_events_per_type,  # grouped top-k (partial-topk shuffle shrink)
         "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": tq.SQL_SESSIONIZE,
         "asof_last_click": tq.SQL_ASOF_LAST_CLICK,
         "top_docs": tq.SQL_TOP_DOCS,
+        "top_events_per_type": tq.SQL_TOP_EVENTS_PER_TYPE,
         "cell_assign": oq.SQL_CELL_ASSIGN,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,

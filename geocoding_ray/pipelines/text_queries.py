@@ -1180,6 +1180,61 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+GROUP_TOPK_K = 3
+
+
+def q_top_events_per_type(sf_dir: str):
+    """Grouped top-k: the K highest-value events per event_type
+    (ties -> lower event_id), with rank.
+
+    Scale plan: per-batch PARTIAL top-k per group (vectorized lexsort +
+    first-K-per-group mask) shrinks the shuffle to <= K rows per group
+    per batch; the final ``map_groups`` merges <= K x #blocks slim rows
+    per group — never the group's event count."""
+    import ray.data as rd
+
+    K = GROUP_TOPK_K
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(et.combine_chunks())
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, -val, g))
+        gs = g[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        # rank within group = position since the group's first row
+        starts = np.nonzero(first)[0]
+        rank = np.arange(len(gs)) - np.repeat(starts, np.diff(np.append(starts, len(gs))))
+        keep = order[rank < K]
+        return batch.select(["event_type", "event_id", "value"]).take(pa.array(np.sort(keep), type=pa.int64()))
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val))[:K]
+        out = g.take(pa.array(order, type=pa.int64()))
+        return out.append_column("rk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), type=pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return ds.groupby("event_type").map_groups(final_topk, batch_format="pyarrow")
+
+
+SQL_TOP_EVENTS_PER_TYPE = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events)
+SELECT event_type, event_id, value, rk FROM r WHERE rk <= {GROUP_TOPK_K}
+"""
+
+
 ASOF_MARK = "click"  # the observation stream carried forward
 
 
