@@ -345,3 +345,29 @@ class TestReverseShuffleParity:
         b_out = ForwardJoiner(GazetteerIndex(gaz), cfg, query_col="caption", id_col="image_id", explode=True)(imgs)
         s_out = run_forward_shuffle(ip, gp, cfg, query_col="caption", id_col="image_id").take_all()
         assert b_out.num_rows == 0 and len(s_out) == 0
+
+
+class TestCLI:
+    def test_reverse_cli_resumable(self, ray_session, fixture_dir, tmp_path, monkeypatch):
+        """python -m geocoding_ray reverse --resumable runs and resumes
+        (in-process: the CLI's guarded init reuses the test session)."""
+        from geocoding_ray.__main__ import main
+
+        out = str(tmp_path / "cli_out")
+        args = [
+            "reverse",
+            "--images", fixture_dir["images_dir"],
+            "--admin", fixture_dir["admin"],
+            "--gazetteer", fixture_dir["gazetteer"],
+            "--out", out,
+            "--resumable", "--validate", "--concurrency", "2",
+        ]
+        assert main(args) == 0
+        assert main(args) == 0  # resume no-op
+        import glob
+
+        import pyarrow.dataset as pads
+
+        files = [f for p in sorted(glob.glob(out + "/part-*")) for f in sorted(glob.glob(p + "/*"))]
+        t = pads.dataset(files, format="parquet").to_table()
+        assert t.num_rows > 0 and "payload_ok" in t.column_names
