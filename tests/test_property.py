@@ -94,3 +94,108 @@ class TestBoundsProperties:
         s = InputBounds.new((a, b), (c, d)).render()
         parts = [float(x) for x in s.split(",")]
         assert parts == [a, b, c, d]
+
+
+import pyarrow as pa
+
+
+class TestStreamKernelProperties:
+    """Round-3 stream kernels vs brute force under random inputs and
+    random batch cuts (the repair paths must be split-invariant)."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        gaps=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=40),
+        cut=st.integers(min_value=0, max_value=40),
+    )
+    def test_sessionize_split_invariant(self, gaps, cut):
+        from geocoding_ray.pipelines.text_queries import (
+            SESSION_GAP_US,
+            sessionize_merge,
+            sessionize_partial,
+        )
+
+        minutes = np.cumsum(np.array(gaps, dtype=np.int64))
+        n = len(minutes)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "user_id": pa.array([1] * n, type=pa.int64()),
+                "ts": pa.array(minutes * 60 * 1_000_000, type=pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+        whole = sessionize_merge(sessionize_partial(t)).to_pylist()
+        c = min(cut, n)
+        parts = [sessionize_partial(t.slice(0, c)), sessionize_partial(t.slice(c))]
+        parts = [p for p in parts if p.num_rows]
+        split = sessionize_merge(pa.concat_tables(parts)).to_pylist()
+        assert split == whole
+        # brute force: session count == boundaries with gap > 30 min
+        gap_min = np.diff(minutes)
+        want_sessions = 1 + int((gap_min > SESSION_GAP_US // (60 * 1_000_000)).sum())
+        assert len(whole) == want_sessions
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        kinds=st.lists(st.booleans(), min_size=1, max_size=40),
+        cut=st.integers(min_value=0, max_value=40),
+    )
+    def test_asof_split_invariant_vs_brute(self, kinds, cut):
+        from geocoding_ray.pipelines.text_queries import (
+            asof_finish_resolved,
+            asof_partial,
+            asof_repair_user,
+        )
+
+        n = len(kinds)
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), type=pa.int64()),
+                "user_id": pa.array([3] * n, type=pa.int64()),
+                "ts": pa.array(np.arange(n, dtype=np.int64) * 60_000_000, type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": pa.array(["click" if k else "view" for k in kinds], type=pa.string()),
+            }
+        )
+        c = min(cut, n)
+        pieces = [asof_partial(t.slice(0, c)), asof_partial(t.slice(c))]
+        parts = pa.concat_tables([p for p in pieces if p.num_rows])
+        out = asof_finish_resolved(parts).to_pylist()
+        rest = parts.filter(pa.array(parts.column("kind").to_numpy(zero_copy_only=False) > 0))
+        if rest.num_rows:
+            out += asof_repair_user(rest).to_pylist()
+        got = {r["event_id"]: r["last_click_ts"] for r in out}
+        # brute force carry-forward
+        last = None
+        for i, k in enumerate(kinds):
+            if k:
+                last = i
+            want = None if last is None else np.datetime64(last * 60_000_000, "us").astype("datetime64[us]").item()
+            assert got[i] == want, (i, got[i], want)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(lambda v: round(v, 3)),
+            min_size=1,
+            max_size=60,
+        ),
+        q=st.sampled_from([0.1, 0.25, 0.5, 0.9, 0.95]),
+    )
+    def test_quantile_bucket_selection_matches_sort(self, vals, q):
+        from geocoding_ray.pipelines.text_queries import _median_key
+
+        v = np.array(vals, dtype=np.float64)
+        n = len(v)
+        rank = max(0, int(np.ceil(q * n)) - 1)
+        want = np.sort(v)[rank]
+        bkt = _median_key(v, 1)
+        ub, counts = np.unique(bkt, return_counts=True)
+        acc = 0
+        for b_, c in zip(ub, counts):
+            if acc + c > rank:
+                got = np.sort(v[bkt == b_])[rank - acc]
+                break
+            acc += c
+        assert got == want
