@@ -267,27 +267,23 @@ _FAST_STRIP_OFF_ENTRY = 10 + 5 * 12  # entry 5: StripOffsets
 _FAST_STRIP_BYTES_ENTRY = 10 + 8 * 12  # entry 8: StripByteCounts
 
 
-def payload_hash_arrow(binary_col) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized (content_hash, decode_ok) over a TIFF payload column.
+def fast_layout_arrow(binary_col):
+    """Vectorized canonical-layout probe over a TIFF payload column.
 
-    The content hash is blake2b-8 of the decoded pixel bytes — for the
-    engine's lossless single-strip codec those ARE the strip bytes, so
-    rows matching the canonical :func:`encode_tiff` layout hash the
-    strip directly as a zero-copy numpy slice: no per-row IFD walk, no
-    ``to_pylist`` copy, no ``reshape(...).copy()``.  Non-canonical TIFFs
-    fall back to :func:`parse_pixels`.  blake2b per row is the only
-    per-row remainder (C-backed, over views).
+    Returns ``(data, start, ok, w, h, strip_off, strip_len)`` — zero-copy
+    buffer views plus per-row geometry for rows matching the canonical
+    :func:`encode_tiff` layout (``ok`` False rows need the generic
+    parser).  Shared by :func:`payload_hash_arrow` and the image-op
+    stages so none of them walk IFDs per row.
     """
     data, start, length = _binary_col_view(binary_col)
     n = len(start)
-    hashes = np.zeros(n, dtype=np.int64)
     ok = np.zeros(n, dtype=bool)
-    if n == 0:
-        return hashes, ok
-
-    fast = length >= _FAST_MIN_LEN
+    w = np.zeros(n, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
     strip_off = np.zeros(n, dtype=np.int64)
     strip_len = np.zeros(n, dtype=np.int64)
+    fast = length >= _FAST_MIN_LEN
     if fast.any():
         s = start[fast]
         sig = (
@@ -304,14 +300,35 @@ def payload_hash_arrow(binary_col) -> tuple[np.ndarray, np.ndarray]:
         if len(fi):
             so = _u32(data, start[fi] + _FAST_STRIP_OFF_ENTRY + 8).astype(np.int64)
             sl = _u32(data, start[fi] + _FAST_STRIP_BYTES_ENTRY + 8).astype(np.int64)
-            w = _u32(data, start[fi] + 10 + 8).astype(np.int64)  # entry 0: width
-            h = _u32(data, start[fi] + 10 + 12 + 8).astype(np.int64)  # entry 1: length
-            # same decodability predicate as parse_pixels (reshape h*w*3)
-            inside = (so + sl <= length[fi]) & (sl == w * h * 3)
-            fi = fi[inside]
-            strip_off[fi] = so[inside]
-            strip_len[fi] = sl[inside]
+            wv = _u32(data, start[fi] + 10 + 8).astype(np.int64)  # entry 0: width
+            hv = _u32(data, start[fi] + 10 + 12 + 8).astype(np.int64)  # entry 1: length
+            good = (so + sl <= length[fi]) & (sl == wv * hv * 3)
+            fi = fi[good]
+            w[fi] = wv[good]
+            h[fi] = hv[good]
+            strip_off[fi] = so[good]
+            strip_len[fi] = sl[good]
             ok[fi] = True
+    return data, start, ok, w, h, strip_off, strip_len
+
+
+def payload_hash_arrow(binary_col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (content_hash, decode_ok) over a TIFF payload column.
+
+    The content hash is blake2b-8 of the decoded pixel bytes — for the
+    engine's lossless single-strip codec those ARE the strip bytes, so
+    rows matching the canonical :func:`encode_tiff` layout hash the
+    strip directly as a zero-copy numpy slice: no per-row IFD walk, no
+    ``to_pylist`` copy, no ``reshape(...).copy()``.  Non-canonical TIFFs
+    fall back to :func:`parse_pixels`.  blake2b per row is the only
+    per-row remainder (C-backed, over views).
+    """
+    data, start, ok, _w, _h, strip_off, strip_len = fast_layout_arrow(binary_col)
+    n = len(start)
+    hashes = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return hashes, ok
+    _, _, length = _binary_col_view(binary_col)
     import hashlib
 
     for i in np.nonzero(ok)[0]:

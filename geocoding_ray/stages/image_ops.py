@@ -47,25 +47,59 @@ class ImageDecode:
         raise NotImplementedError(f"no codec for fmt={fmt!r} in this environment")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bufs = batch.column("bytes").to_pylist()
-        fmts = batch.column("fmt").to_pylist()
-        n = len(bufs)
+        from ..sources.tiff import fast_layout_arrow
+
+        col = batch.column("bytes")
+        n = batch.num_rows
         mean_r = np.full(n, np.nan)
         mean_g = np.full(n, np.nan)
         mean_b = np.full(n, np.nan)
         ok = np.zeros(n, dtype=bool)
         phash = np.zeros(n, dtype=np.int64)
-        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
-            pix = self._decode(buf, fmt)
-            if pix is None:
-                continue
-            ok[i] = True
-            mean_r[i] = float(pix[:, :, 0].mean())
-            mean_g[i] = float(pix[:, :, 1].mean())
-            mean_b[i] = float(pix[:, :, 2].mean())
-            phash[i] = np.int64(
-                np.uint64(int.from_bytes(hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little"))
-            )
+        # canonical-layout fast path: zero-copy strip means grouped by
+        # (w, h) — one fancy-indexed gather per distinct shape, no
+        # per-row decode; blake2b over the strip view is the per-row
+        # remainder (strip bytes == decoded pixel bytes, lossless codec)
+        data, start, fok, w, h, so, sl = fast_layout_arrow(col)
+        is_tiff = np.array(
+            [f == "tiff" for f in batch.column("fmt").to_pylist()], dtype=bool
+        )
+        fast = fok & is_tiff
+        if fast.any():
+            shapes = np.unique(np.stack([w[fast], h[fast]]), axis=1).T
+            for wv, hv in shapes:
+                grp = np.nonzero(fast & (w == wv) & (h == hv))[0]
+                base = (start[grp] + so[grp])[:, None]
+                idx = base + np.arange(wv * hv * 3, dtype=np.int64)[None, :]
+                pix = data[idx].reshape(len(grp), hv * wv, 3).astype(np.float64)
+                mean_r[grp] = pix[:, :, 0].mean(axis=1)
+                mean_g[grp] = pix[:, :, 1].mean(axis=1)
+                mean_b[grp] = pix[:, :, 2].mean(axis=1)
+            for i in np.nonzero(fast)[0]:
+                s0 = start[i] + so[i]
+                phash[i] = np.int64(
+                    np.uint64(
+                        int.from_bytes(
+                            hashlib.blake2b(data[s0 : s0 + sl[i]], digest_size=8).digest(), "little"
+                        )
+                    )
+                )
+            ok[fast] = True
+        slow = np.nonzero(~fast)[0]
+        if len(slow):
+            bufs = col.to_pylist()
+            fmts = batch.column("fmt").to_pylist()
+            for i in slow:
+                pix = self._decode(bufs[i], fmts[i])
+                if pix is None:
+                    continue
+                ok[i] = True
+                mean_r[i] = float(pix[:, :, 0].mean())
+                mean_g[i] = float(pix[:, :, 1].mean())
+                mean_b[i] = float(pix[:, :, 2].mean())
+                phash[i] = np.int64(
+                    np.uint64(int.from_bytes(hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little"))
+                )
         out = batch.drop_columns(["bytes"])  # pixels stop here
         out = out.append_column("decode_ok", pa.array(ok))
         out = out.append_column("mean_r", pa.array(mean_r, type=pa.float64()))
@@ -87,23 +121,45 @@ class ImageResize:
         self.th = target_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bufs = batch.column("bytes").to_pylist()
-        out_bytes = []
-        for buf in bufs:
-            try:
-                pix = parse_pixels(buf)
-            except Exception:
-                out_bytes.append(None)
-                continue
-            h, w = pix.shape[:2]
-            yi = (np.arange(self.th) * h // self.th).clip(0, h - 1)
-            xi = (np.arange(self.tw) * w // self.tw).clip(0, w - 1)
-            out_bytes.append(pix[yi][:, xi].tobytes())
+        from ..sources.tiff import fast_layout_arrow
+
+        col = batch.column("bytes")
+        n = batch.num_rows
+        out_bytes: list = [None] * n
+        # canonical-layout fast path: the nearest-neighbor SAMPLE PATTERN
+        # for a (w, h) shape is one flat index array into the strip, so a
+        # whole same-shape group resizes as a single gather — pixels are
+        # sampled straight out of the zero-copy payload buffer without
+        # ever materializing the full image
+        data, start, fok, w, h, so, _sl = fast_layout_arrow(col)
+        if fok.any():
+            shapes = np.unique(np.stack([w[fok], h[fok]]), axis=1).T
+            for wv, hv in shapes:
+                grp = np.nonzero(fok & (w == wv) & (h == hv))[0]
+                yi = (np.arange(self.th, dtype=np.int64) * hv // self.th).clip(0, hv - 1)
+                xi = (np.arange(self.tw, dtype=np.int64) * wv // self.tw).clip(0, wv - 1)
+                pat = ((yi[:, None] * wv + xi[None, :]) * 3)[:, :, None] + np.arange(3, dtype=np.int64)
+                idx = (start[grp] + so[grp])[:, None] + pat.ravel()[None, :]
+                res = data[idx]
+                for k, i in enumerate(grp):
+                    out_bytes[i] = res[k].tobytes()
+        slow = np.nonzero(~fok)[0]
+        if len(slow):
+            bufs = col.to_pylist()
+            for i in slow:
+                try:
+                    pix = parse_pixels(bufs[i])
+                except Exception:
+                    continue
+                hh, ww = pix.shape[:2]
+                yi = (np.arange(self.th) * hh // self.th).clip(0, hh - 1)
+                xi = (np.arange(self.tw) * ww // self.tw).clip(0, ww - 1)
+                out_bytes[i] = pix[yi][:, xi].tobytes()
         keep = [c for c in batch.column_names if c != "bytes"]
         out = batch.select(keep)
         out = out.append_column("resized_rgb", pa.array(out_bytes, type=pa.binary()))
-        out = out.append_column("rw", pa.array(np.full(len(bufs), self.tw, dtype=np.int32), type=pa.int32()))
-        out = out.append_column("rh", pa.array(np.full(len(bufs), self.th, dtype=np.int32), type=pa.int32()))
+        out = out.append_column("rw", pa.array(np.full(n, self.tw, dtype=np.int32), type=pa.int32()))
+        out = out.append_column("rh", pa.array(np.full(n, self.th, dtype=np.int32), type=pa.int32()))
         return out
 
 
