@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_click": tq.q_asof_last_click,  # as-of/LOCF join along the per-user stream
         "top_docs": tq.q_top_docs,                # distributed sort + global top-k
         "top_events_per_type": tq.q_top_events_per_type,  # grouped top-k (partial-topk shuffle shrink)
+        "distinct_users": tq.q_distinct_users,    # exact grouped COUNT DISTINCT (pair-dedup shuffle)
         "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": tq.q_ann_ivf,                  # IVF scale path (approximate by design)
         "embed_dup_ivf": tq.q_embed_dup_ivf,      # centroid-bucketed near-dup scale path (recall-tested)
         "dedup_clusters": tq.q_dedup_clusters,    # near-dup connected components over LSH pairs
+        "distinct_users_hll": tq.q_distinct_users_hll,  # HyperLogLog sketch path (error-tested vs exact)
         "reverse_annotations": oq.q_reverse_annotations,  # O4 annotations: DMS/MGRS/sun strings + mercator_y
     }
 
@@ -108,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_last_click": tq.SQL_ASOF_LAST_CLICK,
         "top_docs": tq.SQL_TOP_DOCS,
         "top_events_per_type": tq.SQL_TOP_EVENTS_PER_TYPE,
+        "distinct_users": tq.SQL_DISTINCT_USERS,
         "cell_assign": oq.SQL_CELL_ASSIGN,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,

@@ -1180,6 +1180,123 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact per-group COUNT DISTINCT: per-batch pair dedup (pyarrow
+    group_by) -> one slim (event_type, user_id) shuffle deduplicates
+    globally -> per-batch partial counts -> native Sum merge.  The
+    shuffle moves at most one row per distinct pair per batch, never
+    the event stream; the one-pass approximate path is
+    :func:`q_distinct_users_hll`."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        g = batch.select(["event_type", "user_id"]).group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("event_type", "count")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "pn": g.column("event_type_count"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = (
+        ds.map_batches(pair_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["event_type", "user_id"])
+    )
+    return (
+        pairs.map_batches(partial_count, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+HLL_P = 12  # 4096 registers; expected relative error ~1.04/sqrt(4096) ~ 1.6%
+
+
+def hll_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch HyperLogLog partial: max register value per
+    (event_type, register).  Fully vectorized (polyhash -> top-p-bit
+    register, leading-zero rank via log2 on the remaining bits) and
+    EXACTLY MERGEABLE by a native Max aggregate — the one-pass
+    COUNT-DISTINCT scale path (sketch state: 4096 slim rows per group
+    per batch, independent of the stream size)."""
+    from ..functions.hashing import polyhash_strings
+
+    et = batch.column("event_type")
+    uid = batch.column("user_id").cast(pa.string())
+    uid = uid.combine_chunks() if isinstance(uid, pa.ChunkedArray) else uid
+    h = polyhash_strings(uid)
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)  # pad tail with 1s
+    # rank = leading zeros of `rest` + 1, via the float64 exponent
+    # (exact for the top 52 bits, and the padded tail bounds rank
+    # <= 64 - p + 1 so the exponent range is safe)
+    with np.errstate(divide="ignore"):
+        lz = np.where(rest == 0, 64, 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64))
+    rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.int64)
+    t = pa.table({"event_type": et, "reg": pa.array(reg, type=pa.int64()), "rank": pa.array(rank, type=pa.int64())})
+    g = t.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
+    return pa.table(
+        {
+            "event_type": g.column("event_type"),
+            "reg": g.column("reg"),
+            "rank": g.column("rank_max"),
+        }
+    )
+
+
+def hll_estimate(g: pa.Table) -> pa.Table:
+    """Per-group register merge -> cardinality estimate (the classic
+    Flajolet HLL formula with the small-range linear-counting
+    correction)."""
+    m = 1 << HLL_P
+    reg = g.column("reg").to_numpy(zero_copy_only=False)
+    rank = g.column("rank").to_numpy(zero_copy_only=False)
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, reg, rank)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return pa.table(
+        {
+            "event_type": g.column("event_type").slice(0, 1),
+            "n_users_approx": pa.array([float(est)], type=pa.float64()),
+        }
+    )
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog COUNT DISTINCT (rows-only: approximate by design;
+    error vs the exact path is asserted in tests).  One pass + one slim
+    register shuffle — at 100 TB the exact path's distinct-pair shuffle
+    grows with the key cardinality, the sketch stays 4096 rows/group."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    regs = (
+        ds.map_batches(hll_partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+    return regs.groupby("event_type").map_groups(hll_estimate, batch_format="pyarrow")
+
+
 GROUP_TOPK_K = 3
 
 

@@ -607,3 +607,44 @@ class TestLSHRecallVsExact:
         for r in pairs:
             d = int(hamming64(np.array([fp[r["a"]]]), np.array([fp[r["b"]]]))[0])
             assert d == r["hamming"] and d <= SIMHASH_MAX_HAMMING
+
+
+class TestDistinctCount:
+    SF = "/root/testdata/sf0.001"
+
+    def test_hll_within_error_of_exact(self, ray_session):
+        from geocoding_ray.pipelines.text_queries import q_distinct_users, q_distinct_users_hll
+
+        exact = {r["event_type"]: r["n_users"] for r in q_distinct_users(self.SF).take_all()}
+        approx = {r["event_type"]: r["n_users_approx"] for r in q_distinct_users_hll(self.SF).take_all()}
+        assert set(exact) == set(approx) and exact
+        for k in exact:
+            assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, exact[k], approx[k])
+
+    def test_hll_partials_merge_exactly(self):
+        """Sketch mergeability: partial registers from split batches,
+        merged by max, give the identical estimate to one pass."""
+        import pyarrow as pa
+
+        from geocoding_ray.pipelines.text_queries import hll_estimate, hll_partial
+
+        n = 500
+        t = pa.table(
+            {
+                "event_type": pa.array(["x"] * n, type=pa.string()),
+                "user_id": pa.array([i % 137 for i in range(n)], type=pa.int64()),
+            }
+        )
+        whole = hll_partial(t)
+        p1 = hll_partial(t.slice(0, 200))
+        p2 = hll_partial(t.slice(200))
+        merged = pa.concat_tables([p1, p2])
+        # max-merge the registers
+        g = merged.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
+        merged_regs = pa.table(
+            {"event_type": g.column("event_type"), "reg": g.column("reg"), "rank": g.column("rank_max")}
+        )
+        est_whole = hll_estimate(whole).column("n_users_approx")[0].as_py()
+        est_merged = hll_estimate(merged_regs).column("n_users_approx")[0].as_py()
+        assert est_whole == est_merged
+        assert abs(est_whole - 137) / 137 <= 0.05
