@@ -23,11 +23,14 @@ import sys
 
 
 def _session():
+    """Returns (ray, created): ``created`` is True only when THIS call
+    started the session — the caller must then shut it down."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-    return ray
+    if ray.is_initialized():
+        return ray, False
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return ray, True
 
 
 def _shards(images: str) -> list[str]:
@@ -139,13 +142,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
-    ray = _session()
+    ray, created = _session()
     try:
         return a.fn(a)
     finally:
-        # only shut down a session THIS process created standalone;
-        # inside tests/driver the session belongs to the caller
-        if os.environ.get("GEOCODING_RAY_KEEP_SESSION") != "1" and __name__ == "__main__":
+        # only shut down a session THIS call created — inside tests or
+        # the driver the session belongs to the caller
+        if created and os.environ.get("GEOCODING_RAY_KEEP_SESSION") != "1":
             ray.shutdown()
 
 

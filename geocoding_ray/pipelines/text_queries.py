@@ -1191,8 +1191,13 @@ def q_distinct_users(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def pair_dedup(batch: pa.Table) -> pa.Table:
-        g = batch.select(["event_type", "user_id"]).group_by(["event_type", "user_id"]).aggregate([])
-        return g
+        import pyarrow.compute as pc
+
+        # count(DISTINCT user_id) ignores NULLs — drop them up front
+        valid = pc.is_valid(batch.column("user_id"))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
+        return batch.select(["event_type", "user_id"]).group_by(["event_type", "user_id"]).aggregate([])
 
     def partial_count(batch: pa.Table) -> pa.Table:
         g = batch.group_by("event_type").aggregate([("event_type", "count")])
@@ -1235,6 +1240,11 @@ def hll_partial(batch: pa.Table) -> pa.Table:
     per batch, independent of the stream size)."""
     from ..functions.hashing import polyhash_strings
 
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(batch.column("user_id"))  # NULL ids don't count
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)
     et = batch.column("event_type")
     uid = batch.column("user_id").cast(pa.string())
     uid = uid.combine_chunks() if isinstance(uid, pa.ChunkedArray) else uid
@@ -1313,10 +1323,15 @@ def q_top_events_per_type(sf_dir: str):
     K = GROUP_TOPK_K
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # NULL values cannot rank (the oracle filters them identically)
+        valid = pc.is_valid(batch.column("value"))
+        if not pc.all(valid).as_py():
+            batch = batch.filter(valid)
         et = batch.column("event_type")
         val = batch.column("value").to_numpy(zero_copy_only=False)
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        import pyarrow.compute as pc
 
         enc = pc.dictionary_encode(et.combine_chunks())
         g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1347,7 +1362,7 @@ WITH r AS (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value DESC, event_id ASC) AS rk
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT event_type, event_id, value, rk FROM r WHERE rk <= {GROUP_TOPK_K}
 """
 

@@ -270,11 +270,13 @@ _FAST_STRIP_BYTES_ENTRY = 10 + 8 * 12  # entry 8: StripByteCounts
 def fast_layout_arrow(binary_col):
     """Vectorized canonical-layout probe over a TIFF payload column.
 
-    Returns ``(data, start, ok, w, h, strip_off, strip_len)`` — zero-copy
-    buffer views plus per-row geometry for rows matching the canonical
-    :func:`encode_tiff` layout (``ok`` False rows need the generic
-    parser).  Shared by :func:`payload_hash_arrow` and the image-op
-    stages so none of them walk IFDs per row.
+    Returns ``(data, start, length, ok, w, h, strip_off, strip_len)`` —
+    zero-copy buffer views plus per-row geometry for rows matching the
+    canonical :func:`encode_tiff` layout (``ok`` False rows need the
+    generic parser; degenerate zero-area images are excluded so every
+    consumer hits the generic path's error handling for them).  Shared
+    by :func:`payload_hash_arrow` and the image-op stages so none of
+    them walk IFDs per row.
     """
     data, start, length = _binary_col_view(binary_col)
     n = len(start)
@@ -302,14 +304,14 @@ def fast_layout_arrow(binary_col):
             sl = _u32(data, start[fi] + _FAST_STRIP_BYTES_ENTRY + 8).astype(np.int64)
             wv = _u32(data, start[fi] + 10 + 8).astype(np.int64)  # entry 0: width
             hv = _u32(data, start[fi] + 10 + 12 + 8).astype(np.int64)  # entry 1: length
-            good = (so + sl <= length[fi]) & (sl == wv * hv * 3)
+            good = (so + sl <= length[fi]) & (sl == wv * hv * 3) & (wv > 0) & (hv > 0)
             fi = fi[good]
             w[fi] = wv[good]
             h[fi] = hv[good]
             strip_off[fi] = so[good]
             strip_len[fi] = sl[good]
             ok[fi] = True
-    return data, start, ok, w, h, strip_off, strip_len
+    return data, start, length, ok, w, h, strip_off, strip_len
 
 
 def payload_hash_arrow(binary_col) -> tuple[np.ndarray, np.ndarray]:
@@ -323,12 +325,11 @@ def payload_hash_arrow(binary_col) -> tuple[np.ndarray, np.ndarray]:
     fall back to :func:`parse_pixels`.  blake2b per row is the only
     per-row remainder (C-backed, over views).
     """
-    data, start, ok, _w, _h, strip_off, strip_len = fast_layout_arrow(binary_col)
+    data, start, length, ok, _w, _h, strip_off, strip_len = fast_layout_arrow(binary_col)
     n = len(start)
     hashes = np.zeros(n, dtype=np.int64)
     if n == 0:
         return hashes, ok
-    _, _, length = _binary_col_view(binary_col)
     import hashlib
 
     for i in np.nonzero(ok)[0]:
