@@ -166,14 +166,16 @@ def make_cell_matcher(id_col: str, id_type: pa.DataType):
     return match_cell
 
 
-def run_reverse_shuffle(points_ds, admin_tbl: pa.Table, cell_level: int = 4, id_col: str = "event_id"):
+def run_reverse_shuffle(points_ds, admin_side, cell_level: int = 4, id_col: str = "event_id"):
     """Cell co-shuffle reverse join.
 
-    ``points_ds``: Dataset with (id_col, lon, lat).  ``admin_tbl``: the
-    admin table (driver-side Arrow here; at real scale this side would
-    be a Dataset read and ``explode_admin_cells`` a map_batches stage —
-    the group matcher is identical).  Returns per-point rows
-    (id, admin_id, formatted, match_kind) — the broadcast plan's schema.
+    ``points_ds``: Dataset with (id_col, lon, lat).  ``admin_side``: the
+    admin table — a driver-side ``pa.Table`` for a small world, or a
+    ``ray.data.Dataset`` when the polygon set is itself too large to
+    hold anywhere (the true both-sides-large shape: the explode then
+    runs as a distributed ``map_batches`` stage).  Returns per-point
+    rows (id, admin_id, formatted, match_kind) — the broadcast plan's
+    schema.
     """
     import ray.data as rd
 
@@ -184,7 +186,21 @@ def run_reverse_shuffle(points_ds, admin_tbl: pa.Table, cell_level: int = 4, id_
     if id_type is None:
         raise ValueError(f"points dataset lacks id column {id_col!r}")
 
-    admin_cells = explode_admin_cells(admin_tbl, cell_level)
+    if isinstance(admin_side, pa.Table):
+        admin_cells = explode_admin_cells(admin_side, cell_level)
+        admin_schema = admin_cells.schema
+        gaz_raw = rd.from_arrow(admin_cells)
+    else:
+        gaz_raw = admin_side.map_batches(
+            lambda b: explode_admin_cells(b, cell_level), batch_format="pyarrow"
+        )
+        # resolve column types on the DRIVER (never .schema() inside a
+        # closure); explode preserves the source admin column types
+        src = admin_side.schema()
+        admin_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(src.names, src.types) if n in _ADMIN_COLS]
+            + [pa.field("cell", pa.int64())]
+        )
 
     def tag_admin(b: pa.Table) -> pa.Table:
         b = b.append_column("side", pa.array(["g"] * b.num_rows, type=pa.string()))
@@ -192,14 +208,16 @@ def run_reverse_shuffle(points_ds, admin_tbl: pa.Table, cell_level: int = 4, id_
         b = b.append_column("lon", pa.nulls(b.num_rows, type=pa.float64()))
         return b.append_column("lat", pa.nulls(b.num_rows, type=pa.float64()))
 
+    admin_types = {c: admin_schema.field(c).type for c in _ADMIN_COLS}
+
     def tag_points(b: pa.Table) -> pa.Table:
         b = b.append_column("side", pa.array(["q"] * b.num_rows, type=pa.string()))
         for c in _ADMIN_COLS:
-            b = b.append_column(c, pa.nulls(b.num_rows, type=admin_cells.schema.field(c).type))
+            b = b.append_column(c, pa.nulls(b.num_rows, type=admin_types[c]))
         return b
 
     cols = ["cell", "side", id_col, "lon", "lat"] + list(_ADMIN_COLS)
-    gaz_side = rd.from_arrow(tag_admin(admin_cells)).select_columns(cols)
+    gaz_side = gaz_raw.map_batches(tag_admin, batch_format="pyarrow").select_columns(cols)
     pt_side = (
         points_ds.map_batches(lambda b: key_points(b, cell_level, id_col), batch_format="pyarrow")
         .map_batches(tag_points, batch_format="pyarrow")

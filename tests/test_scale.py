@@ -371,3 +371,22 @@ class TestCLI:
         files = [f for p in sorted(glob.glob(out + "/part-*")) for f in sorted(glob.glob(p + "/*"))]
         t = pads.dataset(files, format="parquet").to_table()
         assert t.num_rows > 0 and "payload_ok" in t.column_names
+
+    def test_dataset_admin_side_matches_table_side(self, ray_session):
+        """The both-sides-large shape (admin as a Dataset, explode as a
+        distributed stage) returns exactly the driver-table plan's rows."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geocoding_ray.pipelines.oracle_queries import _pip_lonlat, _rect_admin_table
+        from geocoding_ray.pipelines.reverse_shuffle import run_reverse_shuffle
+
+        eid = np.arange(300, dtype=np.int64)
+        lon, lat = _pip_lonlat(eid)
+        pts = pa.table({"event_id": pa.array(eid), "lon": pa.array(lon), "lat": pa.array(lat)})
+        admin = _rect_admin_table()
+        key = lambda rows: sorted((r["event_id"], r["admin_id"], r["match_kind"]) for r in rows)
+        a = key(run_reverse_shuffle(rd.from_arrow(pts), admin, cell_level=4).take_all())
+        b = key(run_reverse_shuffle(rd.from_arrow(pts), rd.from_arrow(admin), cell_level=4).take_all())
+        assert a == b and len(a) == 300
