@@ -113,13 +113,11 @@ def run_resumable(
     for dn in os.listdir(out_dir):
         if dn.startswith("part-") and dn[5:] not in keys:
             shutil.rmtree(os.path.join(out_dir, dn), ignore_errors=True)
-            shutil.rmtree(os.path.join(out_dir, "_tmp", dn), ignore_errors=True)
-    tmp_dir = os.path.join(out_dir, "_tmp")
-    if os.path.isdir(tmp_dir):
-        for dn in os.listdir(tmp_dir):
-            if dn.startswith("part-") and dn[5:] not in keys:
-                shutil.rmtree(os.path.join(tmp_dir, dn), ignore_errors=True)
     tmp_root = os.path.join(out_dir, "_tmp")
+    if os.path.isdir(tmp_root):
+        for dn in os.listdir(tmp_root):
+            if dn.startswith("part-") and dn[5:] not in keys:
+                shutil.rmtree(os.path.join(tmp_root, dn), ignore_errors=True)
     done = completed_shards(out_dir, shard_paths)
     ran = []
     for i, shard in enumerate(shard_paths):

@@ -67,7 +67,11 @@ def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
     y0 = y0.astype(np.int64)
     y1 = y1.astype(np.int64)
     nmax = (1 << cell_level) - 1
-    wrap = x1 < x0
+    # wrap is a LON-space property (minx > maxx), not a cell-space one:
+    # a wrap bbox whose two edges quantize into the same cell column
+    # still spans every other column, so testing x1 < x0 would drop
+    # most of the cover
+    wrap = minx > maxx
     if wrap.any():
         w = np.nonzero(wrap)[0]
         # segment 1 (original rows): [x0, nmax]; segment 2 (appended

@@ -1193,27 +1193,36 @@ def q_distinct_users(sf_dir: str):
     def pair_dedup(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # count(DISTINCT user_id) ignores NULLs — drop them up front
-        valid = pc.is_valid(batch.column("user_id"))
-        if not pc.all(valid).as_py():
-            batch = batch.filter(valid)
-        return batch.select(["event_type", "user_id"]).group_by(["event_type", "user_id"]).aggregate([])
+        # count(DISTINCT user_id) ignores NULLs, but an event_type whose
+        # user_ids are ALL null must still surface with n_users=0 (the
+        # SQL oracle emits the group).  Encode NULL as (uid=0, v=0) so
+        # the shuffle keys stay null-free and the sentinel row keeps the
+        # group alive while contributing 0 to the count.
+        uid = batch.column("user_id")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "uid": pc.fill_null(uid, 0),
+                "v": pc.is_valid(uid).cast(pa.int64()),
+            }
+        )
+        return t.group_by(["event_type", "uid", "v"]).aggregate([])
 
     def partial_count(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("event_type").aggregate([("event_type", "count")])
+        g = batch.group_by("event_type").aggregate([("v", "sum")])
         return pa.table(
             {
                 "event_type": g.column("event_type"),
-                "pn": g.column("event_type_count"),
+                "pn": g.column("v_sum"),
             }
         )
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     pairs = (
         ds.map_batches(pair_dedup, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
+        .groupby(["event_type", "uid", "v"])
         .aggregate(Count(alias_name="_n"))
-        .select_columns(["event_type", "user_id"])
+        .select_columns(["event_type", "uid", "v"])
     )
     return (
         pairs.map_batches(partial_count, batch_format="pyarrow")

@@ -134,10 +134,13 @@ class ImageResize:
                 yi = (np.arange(self.th, dtype=np.int64) * hv // self.th).clip(0, hv - 1)
                 xi = (np.arange(self.tw, dtype=np.int64) * wv // self.tw).clip(0, wv - 1)
                 pat = ((yi[:, None] * wv + xi[None, :]) * 3)[:, :, None] + np.arange(3, dtype=np.int64)
-                idx = (start[grp] + so[grp])[:, None] + pat.ravel()[None, :]
-                res = data[idx]
+                pat_flat = pat.ravel()
+                # per-row gather keeps the index temporary O(th*tw*3)
+                # instead of a whole-group int64 matrix (8 bytes per
+                # sampled output byte; round-3 review)
+                s0 = start[grp] + so[grp]
                 for k, i in enumerate(grp):
-                    out_bytes[i] = res[k].tobytes()
+                    out_bytes[i] = data[s0[k] + pat_flat].tobytes()
         slow = np.nonzero(~fok)[0]
         if len(slow):
             # materialize ONLY the non-canonical rows

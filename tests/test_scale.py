@@ -334,6 +334,18 @@ class TestReverseShuffleParity:
         _, x, _ = _cells.decode_xy(out.column("cell").to_numpy(zero_copy_only=False).view(np.uint64))
         assert set(x.tolist()) == {0, 15}  # west edge + east edge cells
 
+        # wrap whose two lon edges quantize into the SAME cell column
+        # (minx=1, maxx=0 both land in x=8 at level 4): the bbox spans
+        # ~359 deg so the cover must still be ALL 16 columns — wrap is a
+        # lon-space test, not a cell-space one
+        row2 = dict(row)
+        row2["rings"] = [[[1.0, -20.0], [0.0, -20.0], [0.0, -15.0], [1.0, -15.0], [1.0, -20.0]]]
+        row2["minx"], row2["maxx"] = 1.0, 0.0
+        t2 = pa.Table.from_pylist([row2], schema=ADMIN_SCHEMA)
+        out2 = explode_admin_cells(t2, 4)
+        _, x2, _ = _cells.decode_xy(out2.column("cell").to_numpy(zero_copy_only=False).view(np.uint64))
+        assert set(x2.tolist()) == set(range(16))
+
     def test_empty_countrycodes_matches_broadcast(self, ray_session, tmp_path):
         """An EMPTY countrycodes set filters everything in BOTH plans
         (`is not None` semantics, round-3 review)."""

@@ -648,3 +648,28 @@ class TestDistinctCount:
         est_merged = hll_estimate(merged_regs).column("n_users_approx")[0].as_py()
         assert est_whole == est_merged
         assert abs(est_whole - 137) / 137 <= 0.05
+
+    def test_all_null_group_surfaces_with_zero(self, ray_session, tmp_path):
+        """count(DISTINCT user_id) ignores NULLs but the GROUP still
+        appears: an event_type whose every user_id is NULL must emit
+        n_users=0 (round-3 review; mirrors the grouped_median fix)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["a"] * 4 + ["b"] * 3 + ["c"] * 2),
+                "user_id": pa.array([1, 2, 2, None, None, None, None, 7, 1], type=pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+
+        from geocoding_ray.pipelines.text_queries import SQL_DISTINCT_USERS, q_distinct_users
+
+        got = {r["event_type"]: r["n_users"] for r in q_distinct_users(str(tmp_path)).take_all()}
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+        want = {et: n for et, n in con.execute(SQL_DISTINCT_USERS).fetchall()}
+        con.close()
+        assert got == want == {"a": 2, "b": 0, "c": 2}
