@@ -1251,7 +1251,12 @@ def hll_partial(batch: pa.Table) -> pa.Table:
 
     import pyarrow.compute as pc
 
-    valid = pc.is_valid(batch.column("user_id"))  # NULL ids don't count
+    # NULL ids don't count, but their GROUPS do: every event_type in
+    # the batch also emits a rank-0 sentinel register, so a group whose
+    # ids are all NULL still surfaces (estimate 0 via linear counting)
+    # — the same parity rule as the exact path's (uid=0, v=0) sentinel
+    all_ets = pc.unique(batch.column("event_type").combine_chunks())
+    valid = pc.is_valid(batch.column("user_id"))
     if not pc.all(valid).as_py():
         batch = batch.filter(valid)
     et = batch.column("event_type")
@@ -1268,11 +1273,12 @@ def hll_partial(batch: pa.Table) -> pa.Table:
     rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.int64)
     t = pa.table({"event_type": et, "reg": pa.array(reg, type=pa.int64()), "rank": pa.array(rank, type=pa.int64())})
     g = t.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
+    k = len(all_ets)
     return pa.table(
         {
-            "event_type": g.column("event_type"),
-            "reg": g.column("reg"),
-            "rank": g.column("rank_max"),
+            "event_type": pa.concat_arrays([g.column("event_type").combine_chunks(), all_ets]),
+            "reg": pa.concat_arrays([g.column("reg").combine_chunks(), pa.array(np.zeros(k, dtype=np.int64))]),
+            "rank": pa.concat_arrays([g.column("rank_max").combine_chunks(), pa.array(np.zeros(k, dtype=np.int64))]),
         }
     )
 

@@ -649,6 +649,30 @@ class TestDistinctCount:
         assert est_whole == est_merged
         assert abs(est_whole - 137) / 137 <= 0.05
 
+    def test_hll_all_null_group_estimates_zero(self):
+        """HLL parity with the exact path's NULL-group rule: an
+        event_type whose ids are all NULL survives as rank-0 sentinel
+        registers and estimates 0."""
+        import pyarrow as pa
+
+        from geocoding_ray.pipelines.text_queries import hll_estimate, hll_partial
+
+        t = pa.table(
+            {
+                "event_type": pa.array(["live", "ghost", "ghost"]),
+                "user_id": pa.array([7, None, None], type=pa.int64()),
+            }
+        )
+        p = hll_partial(t)
+        ests = {}
+        for et in ("live", "ghost"):
+            import pyarrow.compute as pc
+
+            g = p.filter(pc.equal(p.column("event_type"), et))
+            assert g.num_rows > 0, et
+            ests[et] = hll_estimate(g).column("n_users_approx")[0].as_py()
+        assert ests["ghost"] == 0.0 and ests["live"] >= 1.0
+
     def test_all_null_group_surfaces_with_zero(self, ray_session, tmp_path):
         """count(DISTINCT user_id) ignores NULLs but the GROUP still
         appears: an event_type whose every user_id is NULL must emit
