@@ -62,6 +62,72 @@ def probe_effective_cores(nproc: int = 32, iters: int = 6_000_000) -> float:
     return round(nproc * t1 / t32, 1)
 
 
+def _read_steal() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from the aggregate /proc/stat cpu
+    line.  Steal is hypervisor time taken by host neighbors — the direct
+    measurement of the contention that the CPU-burn probe samples only
+    at one instant."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def probe_mem_bw(mb: int = 256) -> float:
+    """Single-thread memcpy bandwidth in GB/s (best of 3 after a
+    first-touch warm pass).  ~8.5 GB/s on this box when clean; drops
+    under host DRAM contention — the failure mode the CPU-burn probe
+    demonstrably misses (BENCH_r03: probe said 25.7 effective cores yet
+    the payload-decode pipeline ran 2x slow)."""
+    import numpy as np
+
+    n = mb * 1024 * 1024
+    src = np.ones(n, dtype=np.uint8)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm: first-touch page faults dominate pass 1
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        best = max(best, mb / 1024 / dt)
+    return round(best, 2)
+
+
+# A repeat counts as a clean measurement window when host steal stayed
+# under 3% and single-thread DRAM bandwidth stayed above 5.5 GB/s
+# (clean box: <1% steal, ~8.5 GB/s — measured 2026-08-17, BASELINE.md).
+CLEAN_STEAL_PCT_MAX = 3.0
+CLEAN_BW_GBPS_MIN = 5.5
+
+
+def _is_clean(rec: dict) -> bool:
+    return rec["steal_pct"] <= CLEAN_STEAL_PCT_MAX and rec["bw_gbps"] >= CLEAN_BW_GBPS_MIN
+
+
+_CPU_S_RE = None
+
+
+def _stats_cpu_s(stats: str) -> float | None:
+    """Sum of remote CPU seconds across operators from ``ds.stats()``.
+    BASELINE.md stamps the reverse pipeline at ~53 CPU-s for 2M rows;
+    a repeat whose wall time is high but whose CPU-s matches the stamp
+    was starved (external contention), while inflated CPU-s means the
+    per-task work itself slowed (DRAM contention) — either way the
+    excess is explained in-json."""
+    global _CPU_S_RE
+    import re
+
+    if _CPU_S_RE is None:
+        _CPU_S_RE = re.compile(r"Remote cpu time:.*?([\d.]+)(us|ms|s|m)\b total")
+    mult = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0}
+    vals = [float(v) * mult[u] for v, u in _CPU_S_RE.findall(stats)]
+    return round(sum(vals), 1) if vals else None
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -103,6 +169,8 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     spread: dict[str, list[float]] = {}
+    contention: dict[str, list[dict]] = {}
+    clean: dict[str, float | None] = {}
     # MEDIAN-of-N per query by default (round-2 VERDICT #2: single runs
     # on this host swing with neighbor load; the median + recorded
     # spread makes rounds comparable).  --scaling keeps best-of: the
@@ -110,19 +178,48 @@ def run_bench() -> dict:
     # run down.
     REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     STAT = os.environ.get("GRAFT_BENCH_STAT", "median")
+    # round-3 VERDICT Next #1: when no repeat landed in a clean host
+    # window, keep sampling (bounded) so every bench run contains at
+    # least one contention-classified measurement the grader can trust.
+    MAX_EXTRA = int(os.environ.get("GRAFT_BENCH_MAX_EXTRA", "3"))
 
     def timed(name, fn, repeats=None):
         import statistics
 
-        samples = []
+        samples: list[float] = []
+        recs: list[dict] = []
         n = 0
-        for _ in range(max(1, repeats if repeats is not None else REPEATS)):
+        want = max(1, repeats if repeats is not None else REPEATS)
+        budget = want + (MAX_EXTRA if want > 1 else 0)
+        while len(samples) < want or (
+            len(samples) < budget and sum(_is_clean(r) for r in recs) < min(2, want)
+        ):
+            load1 = os.getloadavg()[0]
+            s0, t0j = _read_steal()
             t0 = time.perf_counter()
             n = fn()
-            samples.append(time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            s1, t1j = _read_steal()
+            steal_pct = round(100.0 * (s1 - s0) / max(1, t1j - t0j), 2)
+            samples.append(wall)
+            recs.append(
+                {
+                    "sec": round(wall, 3),
+                    "steal_pct": steal_pct,
+                    "bw_gbps": probe_mem_bw(),
+                    "load1": load1,
+                }
+            )
         timings[name] = round(min(samples) if STAT == "best" else statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         rows[name] = int(n)
+        contention[name] = recs
+        clean_samples = [r["sec"] for r in recs if _is_clean(r)]
+        clean[name] = (
+            round(min(clean_samples) if STAT == "best" else statistics.median(clean_samples), 3)
+            if clean_samples
+            else None
+        )
 
     # FIXED-size actor pool (autoscaling pools ramp from their minimum and
     # dominate short jobs); with a fixed pool Ray fuses the parquet read
@@ -161,11 +258,22 @@ def run_bench() -> dict:
             concurrency=pool, batch_size=None, validate=True, index_ref=index_ref,
         )
 
+    reverse_cpu_s: list[float] = []
+
     def q_reverse():
-        # timed path: single fused actor-pipeline operator + count.
+        # timed path: single fused actor-pipeline operator, consumed via
+        # iter_internal_ref_bundles so stats attach to THIS dataset
+        # (count() executes a plan copy and leaves stats() empty).
         # (Appending the digest stage here un-fuses the plan and doubles
         # wall time; the digest is computed once, untimed, below.)
-        return _reverse_ds().count()
+        ds = _reverse_ds()
+        n = 0
+        for b in ds.iter_internal_ref_bundles():
+            n += b.num_rows()
+        cpu = _stats_cpu_s(ds.stats())
+        if cpu is not None:
+            reverse_cpu_s.append(cpu)
+        return n
 
     def reverse_digest():
         import numpy as np
@@ -238,6 +346,27 @@ def run_bench() -> dict:
         "stat": STAT,
         "repeats": REPEATS,
         "spread": spread,
+        # Per-repeat host-contention record (round-3 VERDICT Next #1):
+        # steal_pct = hypervisor CPU theft DURING the repeat window,
+        # bw_gbps = single-thread memcpy bandwidth right after it,
+        # load1 = 1-min load average at its start (catches a concurrent
+        # process on this guest).  "clean" is the median over repeats
+        # that pass the thresholds below — the number comparable across
+        # rounds regardless of when neighbors hammer the host.
+        "contention": contention,
+        "clean_criteria": {
+            "steal_pct_max": CLEAN_STEAL_PCT_MAX,
+            "bw_gbps_min": CLEAN_BW_GBPS_MIN,
+        },
+        "clean": clean,
+        # Remote CPU-seconds of the fused reverse operator per repeat vs
+        # the stamped compute budget (BASELINE.md): wall*pool >> cpu_s
+        # means tasks starved (external CPU theft); cpu_s inflated vs
+        # the stamp means per-task work slowed (DRAM contention).
+        "reverse_cpu_s": reverse_cpu_s,
+        # stamped compute budget at sf0.1 / 2,000,005 rows; scale
+        # linearly for other sf tiers (~6 CPU-s at sf0.01)
+        "reverse_cpu_s_stamp": round(53.2 * sf / 0.1, 1),
         # always probed at 32 procs (host capacity), independent of the
         # bench's own cpu budget, so rounds compare like for like
         "effective_cores": probe_effective_cores(32),
@@ -268,6 +397,24 @@ def run_scaling() -> None:
     r_hi = run(hi)
     t_lo = r_lo["queries"]["reverse_geocode"]
     t_hi = r_hi["queries"]["reverse_geocode"]
+
+    def _cont_summary(r: dict) -> dict:
+        recs = r.get("contention", {}).get("reverse_geocode", [])
+        if not recs:
+            return {}
+        import statistics
+
+        return {
+            "steal_pct_med": round(statistics.median(x["steal_pct"] for x in recs), 2),
+            "bw_gbps_med": round(statistics.median(x["bw_gbps"] for x in recs), 2),
+            "clean_repeats": sum(_is_clean(x) for x in recs),
+        }
+
+    # clean-window efficiency: best clean repeat per leg when both legs
+    # caught one (the capacity-matched number; the raw eff stays primary)
+    c_lo = r_lo.get("clean", {}).get("reverse_geocode")
+    c_hi = r_hi.get("clean", {}).get("reverse_geocode")
+    eff_clean = round((c_lo / c_hi) / (hi / lo), 3) if c_lo and c_hi else None
     # host capacity during each leg (the box swings 16-24 effective
     # cores with neighbor load; an efficiency reading is only meaningful
     # when both legs saw comparable capacity — see BASELINE.md)
@@ -289,8 +436,13 @@ def run_scaling() -> None:
                 "rows_per_s_lo": round(n / t_lo, 1),
                 "rows_per_s_hi": round(n / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_clean": eff_clean,
                 "effective_cores_lo": cores_lo,
                 "effective_cores_hi": cores_hi,
+                "contention_lo": _cont_summary(r_lo),
+                "contention_hi": _cont_summary(r_hi),
+                "reverse_cpu_s_lo": r_lo.get("reverse_cpu_s"),
+                "reverse_cpu_s_hi": r_hi.get("reverse_cpu_s"),
                 "total_sec_lo": r_lo["value"],
                 "total_sec_hi": r_hi["value"],
             }
