@@ -75,10 +75,18 @@ def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
     if wrap.any():
         w = np.nonzero(wrap)[0]
         # segment 1 (original rows): [x0, nmax]; segment 2 (appended
-        # pseudo-rows): [0, x1]
+        # pseudo-rows): [0, x1].  When both lon edges quantize into the
+        # SAME column (x1 == x0, possible at coarse levels), segment 1
+        # already covers that column — shrink segment 2 to [0, x1-1]
+        # and drop it entirely at x1 == 0 (round-3 advice: the
+        # deepest-wins tie-break made the duplicate (cell, polygon)
+        # rows benign, but replication was silently inflated).
+        w_hi = np.where(x1[w] == x0[w], x1[w] - 1, x1[w])
+        keep = w_hi >= 0
+        w, w_hi = w[keep], w_hi[keep]
         seg_row = np.concatenate([np.arange(n, dtype=np.int64), w])
         seg_x0 = np.concatenate([x0, np.zeros(len(w), dtype=np.int64)])
-        seg_x1 = np.concatenate([np.where(wrap, nmax, x1), x1[w]])
+        seg_x1 = np.concatenate([np.where(wrap, nmax, x1), w_hi])
         seg_y0 = np.concatenate([y0, y0[w]])
         seg_y1 = np.concatenate([y1, y1[w]])
     else:

@@ -1269,11 +1269,22 @@ def hll_partial(batch: pa.Table) -> pa.Table:
     h = polyhash_strings(uid)
     reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)  # pad tail with 1s
-    # rank = leading zeros of `rest` + 1, via the float64 exponent
-    # (exact for the top 52 bits, and the padded tail bounds rank
-    # <= 64 - p + 1 so the exponent range is safe)
-    with np.errstate(divide="ignore"):
-        lz = np.where(rest == 0, 64, 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64))
+    # rank = leading zeros of `rest` + 1, EXACT integer computation:
+    # smear the MSB right, then SWAR popcount gives 64 - lz.  (The
+    # previous float64-log2 shortcut rounded up across a power of two
+    # whenever the top 53 bits were all ones — ~2^-52 per element, so
+    # sketch error was unaffected, but its "exact" claim was wrong;
+    # round-3 advice.)  The 1-padded tail makes rest nonzero and bounds
+    # rank <= 64 - p + 1.
+    x = rest.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        pop = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    lz = (np.uint64(64) - pop).astype(np.int64)
     rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.int64)
     t = pa.table({"event_type": et, "reg": pa.array(reg, type=pa.int64()), "rank": pa.array(rank, type=pa.int64())})
     g = t.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
@@ -1309,20 +1320,29 @@ def hll_estimate(g: pa.Table) -> pa.Table:
     )
 
 
+def hll_registers(sf_dir: str):
+    """Merged (event_type, reg, rank) register rows — the merge input of
+    :func:`q_distinct_users_hll`, exposed so tests can assert the
+    <= 2^p per-group bound the native Max pre-merge guarantees (a
+    regression reintroducing raw per-batch row flow into the final
+    ``map_groups`` would break it; round-3 VERDICT Next #6)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return (
+        ds.map_batches(hll_partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+
 def q_distinct_users_hll(sf_dir: str):
     """HyperLogLog COUNT DISTINCT (rows-only: approximate by design;
     error vs the exact path is asserted in tests).  One pass + one slim
     register shuffle — at 100 TB the exact path's distinct-pair shuffle
     grows with the key cardinality, the sketch stays 4096 rows/group."""
-    import ray.data as rd
-    from ray.data.aggregate import Max
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    regs = (
-        ds.map_batches(hll_partial, batch_format="pyarrow")
-        .groupby(["event_type", "reg"])
-        .aggregate(Max("rank", alias_name="rank"))
-    )
+    regs = hll_registers(sf_dir)
     return regs.groupby("event_type").map_groups(hll_estimate, batch_format="pyarrow")
 
 
@@ -1354,7 +1374,13 @@ def q_top_events_per_type(sf_dir: str):
 
         enc = pc.dictionary_encode(et.combine_chunks())
         g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((eid, -val, g))
+        # descending via the IEEE-754 order-preserving key, all NaN bit
+        # patterns pinned to the max key: DuckDB's ORDER BY value DESC
+        # ranks NaN above everything, while a plain lexsort on -value
+        # would rank it last (round-3 advice)
+        ku = _median_u(val)
+        ku[np.isnan(val)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        order = np.lexsort((eid, ~ku, g))
         gs = g[order]
         first = np.ones(len(gs), dtype=bool)
         first[1:] = gs[1:] != gs[:-1]
@@ -1367,7 +1393,9 @@ def q_top_events_per_type(sf_dir: str):
     def final_topk(g: pa.Table) -> pa.Table:
         val = g.column("value").to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, -val))[:K]
+        ku = _median_u(val)
+        ku[np.isnan(val)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        order = np.lexsort((eid, ~ku))[:K]
         out = g.take(pa.array(order, type=pa.int64()))
         return out.append_column("rk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), type=pa.int64()))
 

@@ -170,26 +170,90 @@ def features_from_points(
     """
     import json
 
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
     lon = batch.column(lon_col).to_numpy(zero_copy_only=False)
     lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
     prop_cols = list(props) if props is not None else [c for c in batch.column_names if c not in (lon_col, lat_col)]
-    prop_data = {c: batch.column(c).to_pylist() for c in prop_cols}
-    feats = []
-    for i in range(batch.num_rows):
-        lo, la = float(lon[i]), float(lat[i])
-        geom = None if (np.isnan(lo) or np.isnan(la)) else {"type": "Point", "coordinates": [lo, la]}
-        feats.append(
-            json.dumps(
-                {
-                    "type": "Feature",
-                    "geometry": geom,
-                    "properties": {c: prop_data[c][i] for c in prop_cols},
-                },
+
+    # Vectorized assembly (round-3 VERDICT Next #7): every structural
+    # piece is a pyarrow string kernel; the only per-row Python is the
+    # rare-row fallback (control chars / exponent-notation floats),
+    # asserted byte-identical to json.dumps in tests.
+    fallback = np.zeros(n, dtype=bool)
+
+    def _float_strs(values: np.ndarray, nulls: np.ndarray) -> pa.Array:
+        # json.dumps float repr: Arrow's shortest-roundtrip cast agrees
+        # except for integral values (Arrow drops the ".0") and the
+        # exponent regimes (|v| < 1e-4 or >= 1e16, NaN/inf, -0.0) —
+        # integral values are rendered int + ".0", the rest fall back
+        v = np.where(nulls, 0.0, values)
+        finite = np.isfinite(v)
+        negzero = (v == 0) & np.signbit(v)
+        integral = finite & (v == np.floor(v)) & (np.abs(v) < 1e16) & ~negzero
+        expo = finite & ~integral & (negzero | ((v != 0) & ((np.abs(v) < 1e-4) | (np.abs(v) >= 1e16))))
+        fallback[(~finite | expo) & ~nulls] |= True
+        plain = pc.cast(pa.array(np.where(integral, 0.5, v)), pa.string())
+        ints = pc.binary_join_element_wise(
+            pc.cast(pa.array(np.where(integral, v, 0.0).astype(np.int64)), pa.string()), ".0", ""
+        )
+        out = pc.if_else(pa.array(integral), ints, plain)
+        return pc.if_else(pa.array(nulls), pa.scalar("null"), out)
+
+    def _value_strs(col) -> pa.Array:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        t = col.type
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(t):
+            return _float_strs(col.to_numpy(zero_copy_only=False), nulls)
+        if pa.types.is_integer(t):
+            return pc.if_else(pa.array(nulls), pa.scalar("null"), pc.cast(col, pa.string()))
+        if pa.types.is_boolean(t):
+            s = pc.if_else(col, pa.scalar("true"), pa.scalar("false"))
+            return pc.if_else(pa.array(nulls), pa.scalar("null"), s)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            esc = pc.replace_substring(col, "\\", "\\\\")
+            esc = pc.replace_substring(esc, '"', '\\"')
+            for lit, rep in (("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"), ("\b", "\\b"), ("\f", "\\f")):
+                esc = pc.replace_substring(esc, lit, rep)
+            quoted = pc.binary_join_element_wise('"', esc, '"', "")
+            # remaining control chars need \uXXXX forms -> per-row path
+            ctl = pc.match_substring_regex(col, r"[\x00-\x08\x0b\x0e-\x1f]")
+            fallback[pc.fill_null(ctl, False).to_numpy(zero_copy_only=False)] |= True
+            return pc.if_else(pa.array(nulls), pa.scalar("null"), quoted)
+        # exotic types (lists/structs): per-row json.dumps
+        fallback[:] = True
+        return pa.array(["null"] * n, type=pa.string())
+
+    valid = ~(np.isnan(lon) | np.isnan(lat))
+    lon_s = _float_strs(lon, ~valid)
+    lat_s = _float_strs(lat, ~valid)
+    geom = pc.binary_join_element_wise('{"coordinates": [', lon_s, ", ", lat_s, '], "type": "Point"}', "")
+    geom = pc.if_else(pa.array(valid), geom, pa.scalar("null"))
+
+    pieces: list = ['{"geometry": ', geom, ', "properties": {']
+    for k, c in enumerate(sorted(prop_cols)):  # sort_keys order
+        if k:
+            pieces.append(", ")
+        pieces.append(json.dumps(c, ensure_ascii=False) + ": ")
+        pieces.append(_value_strs(batch.column(c)))
+    pieces.append('}, "type": "Feature"}')
+    feats = pc.binary_join_element_wise(*pieces, "")
+
+    if fallback.any():
+        out = np.array(feats.to_pylist(), dtype=object)
+        prop_data = {c: batch.column(c).to_pylist() for c in prop_cols}
+        for i in np.nonzero(fallback)[0]:
+            lo, la = float(lon[i]), float(lat[i])
+            g = None if (np.isnan(lo) or np.isnan(la)) else {"type": "Point", "coordinates": [lo, la]}
+            out[i] = json.dumps(
+                {"type": "Feature", "geometry": g, "properties": {c: prop_data[c][i] for c in prop_cols}},
                 ensure_ascii=False,
                 sort_keys=True,  # byte-stable output (SURVEY.md §7 hard part 2)
             )
-        )
-    return batch.append_column("feature", pa.array(feats, type=pa.string()))
+        feats = pa.array(out.tolist(), type=pa.string())
+    return batch.append_column("feature", feats)
 
 
 def write_geojson_features(ds, out_dir: str, lon_col: str = "lon", lat_col: str = "lat", props=None):

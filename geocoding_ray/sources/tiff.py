@@ -295,6 +295,16 @@ def fast_layout_arrow(binary_col):
             & (data[s + 3] == 0)
             & (_u32(data, s + 4) == 8)
             & (_u16(data, s + 8) == 10)
+            # entries 0/1 must really be LONG ImageWidth/ImageLength —
+            # without the tag+type check a malformed 10-entry TIFF whose
+            # entry-0/1 value words happened to satisfy sl == w*h*3
+            # would be hashed/resized with wrong geometry instead of
+            # reaching the generic parser's error handling (round-3
+            # advice)
+            & (_u16(data, s + 10) == _TAG_WIDTH)
+            & (_u16(data, s + 10 + 2) == _TYPE_LONG)
+            & (_u16(data, s + 10 + 12) == _TAG_LENGTH)
+            & (_u16(data, s + 10 + 12 + 2) == _TYPE_LONG)
             & (_u16(data, s + _FAST_STRIP_OFF_ENTRY) == _TAG_STRIP_OFFSETS)
             & (_u16(data, s + _FAST_STRIP_BYTES_ENTRY) == _TAG_STRIP_BYTES)
         )

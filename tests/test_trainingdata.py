@@ -451,6 +451,45 @@ class TestGeoJSONSink:
         f1 = json.loads(out[1]["feature"])
         assert f1["geometry"] is None and f1["properties"]["formatted"] is None
 
+    def test_vectorized_bytes_identical_to_json_dumps(self):
+        """The kernel-assembled feature lines must be byte-identical to
+        per-row json.dumps(sort_keys, ensure_ascii=False) — including
+        escape sequences, unicode, integral/exponent floats, NaN
+        coordinates, nulls, ints and bools (round-3 VERDICT Next #7)."""
+        import json
+
+        from geocoding_ray.sources.geojson import features_from_points
+
+        batch = pa.table(
+            {
+                "lon": [11.5884858, float("nan"), 180.0, -0.5, 1e-5, 7.25],
+                "lat": [48.1700887, 1.0, -90.0, 0.0001, 1.5e17, -33.0],
+                "s": ['quote " backslash \\', "tab\tnl\nctl\x01", "münchén ¿ 東京", None, "", "plain"],
+                "i": pa.array([1, None, -7, 2**40, 0, 5], type=pa.int64()),
+                "f": pa.array([2.5, 3.0, None, float("nan"), 1e16, -0.0], type=pa.float64()),
+                "b": pa.array([True, False, None, True, False, None], type=pa.bool_()),
+            }
+        )
+        got = [r["feature"] for r in features_from_points(batch).to_pylist()]
+        lon = batch.column("lon").to_pylist()
+        lat = batch.column("lat").to_pylist()
+        import math
+
+        for i in range(batch.num_rows):
+            lo, la = lon[i], lat[i]
+            geom = (
+                None
+                if (math.isnan(lo) or math.isnan(la))
+                else {"type": "Point", "coordinates": [lo, la]}
+            )
+            props = {c: batch.column(c).to_pylist()[i] for c in ("s", "i", "f", "b")}
+            want = json.dumps(
+                {"type": "Feature", "geometry": geom, "properties": props},
+                ensure_ascii=False,
+                sort_keys=True,
+            )
+            assert got[i] == want, f"row {i}:\n got {got[i]!r}\nwant {want!r}"
+
     def test_distributed_write(self, ray_session, tmp_path):
         import json
         import os
