@@ -364,9 +364,11 @@ def run_bench() -> dict:
         # means tasks starved (external CPU theft); cpu_s inflated vs
         # the stamp means per-task work slowed (DRAM contention).
         "reverse_cpu_s": reverse_cpu_s,
-        # stamped compute budget at sf0.1 / 2,000,005 rows; scale
-        # linearly for other sf tiers (~6 CPU-s at sf0.01)
-        "reverse_cpu_s_stamp": round(53.2 * sf / 0.1, 1),
+        # stamped compute budget at sf0.1 / 2,000,005 rows (round-4
+        # clean-window measurement; the round-2 figure was 53.2 before
+        # the vectorized validate/render landed); scale linearly for
+        # other sf tiers (~4 CPU-s at sf0.01)
+        "reverse_cpu_s_stamp": round(42.0 * sf / 0.1, 1),
         # always probed at 32 procs (host capacity), independent of the
         # bench's own cpu budget, so rounds compare like for like
         "effective_cores": probe_effective_cores(32),
