@@ -1244,6 +1244,21 @@ FROM events GROUP BY event_type
 HLL_P = 12  # 4096 registers; expected relative error ~1.04/sqrt(4096) ~ 1.6%
 
 
+def _lz64(x: np.ndarray) -> np.ndarray:
+    """Exact leading-zero count of uint64 values: smear the MSB right,
+    then SWAR popcount gives 64 - lz.  Pure integer ops — correct for
+    every bit pattern (property-tested against ``int.bit_length``)."""
+    x = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        pop = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return (np.uint64(64) - pop).astype(np.int64)
+
+
 def hll_partial(batch: pa.Table) -> pa.Table:
     """Per-batch HyperLogLog partial: max register value per
     (event_type, register).  Fully vectorized (polyhash -> top-p-bit
@@ -1269,23 +1284,13 @@ def hll_partial(batch: pa.Table) -> pa.Table:
     h = polyhash_strings(uid)
     reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)  # pad tail with 1s
-    # rank = leading zeros of `rest` + 1, EXACT integer computation:
-    # smear the MSB right, then SWAR popcount gives 64 - lz.  (The
-    # previous float64-log2 shortcut rounded up across a power of two
-    # whenever the top 53 bits were all ones — ~2^-52 per element, so
-    # sketch error was unaffected, but its "exact" claim was wrong;
-    # round-3 advice.)  The 1-padded tail makes rest nonzero and bounds
-    # rank <= 64 - p + 1.
-    x = rest.copy()
-    for s in (1, 2, 4, 8, 16, 32):
-        x |= x >> np.uint64(s)
-    with np.errstate(over="ignore"):
-        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        pop = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
-    lz = (np.uint64(64) - pop).astype(np.int64)
-    rank = np.minimum(lz + 1, 64 - HLL_P + 1).astype(np.int64)
+    # rank = leading zeros of `rest` + 1, EXACT (see _lz64; the previous
+    # float64-log2 shortcut rounded up across a power of two whenever
+    # the top 53 bits were all ones — ~2^-52 per element, so sketch
+    # error was unaffected, but its "exact" claim was wrong; round-3
+    # advice).  The 1-padded tail makes rest nonzero and bounds rank
+    # <= 64 - p + 1.
+    rank = np.minimum(_lz64(rest) + 1, 64 - HLL_P + 1).astype(np.int64)
     t = pa.table({"event_type": et, "reg": pa.array(reg, type=pa.int64()), "rank": pa.array(rank, type=pa.int64())})
     g = t.group_by(["event_type", "reg"]).aggregate([("rank", "max")])
     k = len(all_ets)

@@ -199,3 +199,77 @@ class TestStreamKernelProperties:
                 break
             acc += c
         assert got == want
+
+
+class TestGeoJSONFeatureProperty:
+    @settings(max_examples=100, deadline=None)
+    @given(
+        lons=st.lists(
+            st.one_of(st.floats(allow_nan=True, allow_infinity=False, width=64), st.just(float("nan"))),
+            min_size=1,
+            max_size=8,
+        ),
+        texts=st.lists(st.one_of(st.none(), st.text(max_size=24)), min_size=8, max_size=8),
+        ints=st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), min_size=8, max_size=8),
+        floats=st.lists(
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)),
+            min_size=8,
+            max_size=8,
+        ),
+    )
+    def test_feature_lines_match_json_dumps(self, lons, texts, ints, floats):
+        """The kernel-assembled GeoJSON feature line equals per-row
+        json.dumps(sort_keys, ensure_ascii=False) for ARBITRARY floats
+        (any magnitude/sign, NaN coords), arbitrary unicode/control-char
+        strings, big ints and nulls."""
+        import json
+        import math
+
+        import pyarrow as pa
+
+        from geocoding_ray.sources.geojson import features_from_points
+
+        n = len(lons)
+        batch = pa.table(
+            {
+                "lon": pa.array(lons, type=pa.float64()),
+                "lat": pa.array(list(reversed(lons)), type=pa.float64()),
+                "s": pa.array(texts[:n], type=pa.string()),
+                "i": pa.array(ints[:n], type=pa.int64()),
+                "f": pa.array(floats[:n], type=pa.float64()),
+            }
+        )
+        got = [r["feature"] for r in features_from_points(batch).to_pylist()]
+        cols = {c: batch.column(c).to_pylist() for c in ("s", "i", "f")}
+        lon_l = batch.column("lon").to_pylist()
+        lat_l = batch.column("lat").to_pylist()
+        for k in range(n):
+            lo, la = lon_l[k], lat_l[k]
+            geom = (
+                None
+                if (math.isnan(lo) or math.isnan(la))
+                else {"type": "Point", "coordinates": [lo, la]}
+            )
+            want = json.dumps(
+                {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": {c: cols[c][k] for c in ("s", "i", "f")},
+                },
+                ensure_ascii=False,
+                sort_keys=True,
+            )
+            assert got[k] == want
+
+
+class TestHLLRankExact:
+    @settings(max_examples=200, deadline=None)
+    @given(v=st.integers(min_value=1, max_value=(1 << 64) - 1))
+    def test_swar_lz_equals_bit_length(self, v):
+        """The production _lz64 (smear + SWAR popcount) is exact for
+        every uint64 — including the all-ones-prefix values where the
+        old float64-log2 path rounded across a power of two."""
+        from geocoding_ray.pipelines.text_queries import _lz64
+
+        lz = int(_lz64(np.array([v], dtype=np.uint64))[0])
+        assert lz == 64 - int(v).bit_length()

@@ -345,6 +345,11 @@ class TestReverseShuffleParity:
         out2 = explode_admin_cells(t2, 4)
         _, x2, _ = _cells.decode_xy(out2.column("cell").to_numpy(zero_copy_only=False).view(np.uint64))
         assert set(x2.tolist()) == set(range(16))
+        # and with NO duplicated (cell, polygon) rows: when both edges
+        # quantize into the same column, segment 2 shrinks to [0, x1-1]
+        # (round-3 advice — the duplicate was benign but inflated
+        # replication)
+        assert out2.num_rows == len(set(out2.column("cell").to_pylist()))
 
     def test_empty_countrycodes_matches_broadcast(self, ray_session, tmp_path):
         """An EMPTY countrycodes set filters everything in BOTH plans
