@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wgs84_to_lv03": oq.q_lv03,               # S1: CRS polynomial
         "exif_roundtrip": oq.q_exif_roundtrip,    # input-contract: GPS-in-payload extract
         "image_stats": oq.q_image_stats,          # multimodal decode stage (real TIFF)
+        "audio_features": oq.q_audio_features,    # multimodal audio: real RIFF/PCM decode + int features
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "wgs84_to_lv03": oq.SQL_LV03,
         "exif_roundtrip": oq.SQL_EXIF_ROUNDTRIP,
         "image_stats": oq.SQL_IMAGE_STATS,
+        "audio_features": oq.SQL_AUDIO_FEATURES,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "bpe_token_count": tq.SQL_BPE_TOKEN_COUNT,

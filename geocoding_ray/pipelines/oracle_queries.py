@@ -686,6 +686,76 @@ FROM events
 """
 
 
+class _AudioStats:
+    """Actor stage: synthesize a PCM16 WAV whose samples come from pure
+    integer arithmetic (``s(n) = ((n*k + event_id*7919) % 65536) -
+    32768`` with ``k = 1 + event_id % 32`` and ``N = 1024 +
+    (event_id % 7) * 128`` samples at 16 kHz), then run the REAL
+    RIFF/PCM decode + feature stage (``stages/audio.py``).  Every
+    compared feature (peak, sum of squares, zero crossings) is integer
+    arithmetic over the same closed-form generator, so DuckDB
+    reproduces the whole decode-extract path bit-exactly."""
+
+    def __init__(self):
+        from ..sources.wav import encode_wav
+        from ..stages.audio import AudioFeatures
+
+        self.encode = encode_wav
+        self.features = AudioFeatures()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = []
+        for e in eid:
+            k = 1 + (e % 32)
+            nn = 1024 + (e % 7) * 128
+            n = np.arange(nn, dtype=np.int64)
+            s = (((n * k + e * 7919) % 65536) - 32768).astype(np.int16)
+            bufs.append(self.encode(s, rate=16000))
+        feat_in = pa.table(
+            {"event_id": batch.column("event_id"), "bytes": pa.array(bufs, type=pa.binary())}
+        )
+        out = self.features(feat_in)
+        return out.select(
+            ["event_id", "audio_ok", "sample_rate", "n_samples", "peak_abs", "sum_sq", "zero_crossings"]
+        )
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal AUDIO path, oracle-gated end to end (round 4 — the
+    audio stub became a real RIFF/PCM codec): deterministic WAV
+    payloads -> real container parse + PCM decode -> vectorized integer
+    feature extraction, payload dropped at the stage boundary."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(_AudioStats, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
+
+
+SQL_AUDIO_FEATURES = """
+WITH params AS (
+  SELECT event_id,
+         1 + (event_id % 32) AS k,
+         1024 + (event_id % 7) * 128 AS nn
+  FROM events),
+samples AS (
+  SELECT p.event_id, g.n,
+         ((g.n * p.k + p.event_id * 7919) % 65536) - 32768 AS s,
+         CASE WHEN g.n > 0
+              THEN (((g.n - 1) * p.k + p.event_id * 7919) % 65536) - 32768 END AS sp
+  FROM params p, generate_series(0, 1791) AS g(n)   -- max nn = 1024 + 6*128
+  WHERE g.n < p.nn)
+SELECT event_id, TRUE AS audio_ok,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       COUNT(*) AS n_samples,
+       CAST(MAX(ABS(s)) AS INTEGER) AS peak_abs,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN n > 0 AND ((sp < 0) != (s < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+         AS zero_crossings
+FROM samples GROUP BY event_id
+"""
+
+
 def q_reverse_components(sf_dir: str):
     """O4 ``reverse_full`` projection: the full address-component
     hierarchy of the winning polygon (openstreetmap.rs:322-337 fields),

@@ -2,11 +2,13 @@
 
 Payloads are opaque ``binary`` columns with typed metadata (w, h, fmt)
 per the input contract.  The Ray-side plumbing — schemas, actor pools,
-batch sizing for wide binary rows — is real and tested; codecs for
-formats whose libraries are absent in this sandbox (JPEG/PNG/audio/video)
-are STUBBED behind ``NotImplementedError`` or a deterministic fake, as
-the build brief requires.  The engine's own uncompressed TIFF decodes
-for real (sources/tiff.py).
+batch sizing for wide binary rows — is real and tested.  Codecs:
+uncompressed TIFF (sources/tiff.py), PNG (sources/png.py — stdlib
+zlib, round 4) and WAV/PCM audio (sources/wav.py + stages/audio.py,
+round 4) decode for REAL; only formats whose codecs genuinely need
+absent libraries (JPEG's DCT, mp3/ogg, video containers) remain
+STUBBED behind ``NotImplementedError`` or a deterministic fake, as the
+build brief permits.
 
 Memory note (SURVEY.md §4.2): stages that touch pixels use a small
 ``batch_size`` (bytes dominate block size); downstream columns drop the
@@ -40,8 +42,15 @@ class ImageDecode:
                 return parse_pixels(buf)
             except Exception:
                 return None
+        if fmt == "png":
+            from ..sources.png import decode_png
+
+            try:
+                return decode_png(buf)
+            except Exception:
+                return None
         if self.fake_missing:
-            # STUB: no JPEG/PNG codec in this sandbox — deterministic fake
+            # STUB: no JPEG codec in this sandbox — deterministic fake
             h = hashlib.blake2b(buf, digest_size=3).digest()
             return np.full((1, 1, 3), np.frombuffer(h, dtype=np.uint8).reshape(1, 1, 3))
         raise NotImplementedError(f"no codec for fmt={fmt!r} in this environment")
@@ -143,11 +152,14 @@ class ImageResize:
                     out_bytes[i] = data[s0[k] + pat_flat].tobytes()
         slow = np.nonzero(~fok)[0]
         if len(slow):
+            from ..sources.png import decode_png
+
             # materialize ONLY the non-canonical rows
             bufs = dict(zip(slow.tolist(), col.take(pa.array(slow, type=pa.int64())).to_pylist()))
             for i in slow:
                 try:
-                    pix = parse_pixels(bufs[i])
+                    buf = bufs[i]
+                    pix = decode_png(buf) if buf[:8] == b"\x89PNG\r\n\x1a\n" else parse_pixels(buf)
                     hh, ww = pix.shape[:2]
                     yi = (np.arange(self.th) * hh // self.th).clip(0, hh - 1)
                     xi = (np.arange(self.tw) * ww // self.tw).clip(0, ww - 1)

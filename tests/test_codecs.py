@@ -1,0 +1,162 @@
+"""PNG and WAV codec tests (round 4 — the multimodal stubs became real
+stdlib-only codecs: sources/png.py, sources/wav.py, stages/audio.py)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geocoding_ray.sources.png import _SIG, _chunk, decode_png, encode_png
+from geocoding_ray.sources.wav import decode_wav, encode_wav
+
+
+def _png_with_filter(pix: np.ndarray, ftype: int) -> bytes:
+    """Reference per-pixel encoder for an arbitrary PNG filter type —
+    independent of the production decoder's vectorized unfilter."""
+    h, w = pix.shape[:2]
+    prev = np.zeros(w * 3, dtype=np.int64)
+    rows = []
+    for y in range(h):
+        cur = pix[y].reshape(-1).astype(np.int64)
+        r = np.zeros(w * 3, dtype=np.int64)
+        for x in range(w * 3):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            r[x] = (cur[x] - pred) & 0xFF
+        rows.append(np.concatenate([[ftype], r]))
+        prev = cur
+    raw = np.array(rows, dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw.tobytes())) + _chunk(b"IEND", b"")
+
+
+class TestPNG:
+    def test_roundtrip_shapes(self):
+        rng = np.random.default_rng(7)
+        for h, w in [(1, 1), (2, 3), (16, 16), (9, 31)]:
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert (decode_png(encode_png(pix)) == pix).all()
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_all_filter_types_decode(self, ftype):
+        rng = np.random.default_rng(100 + ftype)
+        pix = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+        assert (decode_png(_png_with_filter(pix, ftype)) == pix).all()
+
+    def test_rejects_unsupported_and_corrupt(self):
+        pix = np.zeros((2, 2, 3), dtype=np.uint8)
+        good = encode_png(pix)
+        for bad in (b"", b"notapng", good[:20]):
+            with pytest.raises(ValueError):
+                decode_png(bad)
+        # grayscale profile (ctype 0) is out of scope -> ValueError
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        gray = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            decode_png(gray)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+    )
+    def test_roundtrip_property(self, h, w, seed):
+        pix = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(pix)) == pix).all()
+
+    def test_image_decode_stage_handles_png(self):
+        from geocoding_ray.stages.image_ops import ImageDecode
+
+        pix = np.full((4, 4, 3), 17, dtype=np.uint8)
+        batch = pa.table(
+            {
+                "image_id": ["p1", "p2"],
+                "bytes": pa.array([encode_png(pix), b"corrupt"], type=pa.binary()),
+                "fmt": ["png", "png"],
+            }
+        )
+        out = ImageDecode(fake_missing=False)(batch).to_pylist()
+        assert out[0]["decode_ok"] and out[0]["mean_r"] == 17.0
+        assert not out[1]["decode_ok"]
+
+    def test_image_resize_stage_handles_png(self):
+        from geocoding_ray.stages.image_ops import ImageResize
+
+        rng = np.random.default_rng(3)
+        pix = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        batch = pa.table(
+            {"image_id": ["p"], "bytes": pa.array([encode_png(pix)], type=pa.binary())}
+        )
+        out = ImageResize(target_w=4, target_h=4)(batch).to_pylist()[0]
+        expect = pix[::2][:, ::2]  # nearest-neighbor 8->4 samples even indices
+        assert out["resized_rgb"] == expect.tobytes()
+
+
+class TestWAV:
+    def test_roundtrip_mono_stereo(self):
+        rng = np.random.default_rng(11)
+        mono = rng.integers(-32768, 32767, 500).astype(np.int16)
+        r, d = decode_wav(encode_wav(mono, rate=8000))
+        assert r == 8000 and (d[:, 0] == mono).all()
+        stereo = rng.integers(-32768, 32767, (300, 2)).astype(np.int16)
+        r, d = decode_wav(encode_wav(stereo, rate=44100))
+        assert r == 44100 and d.shape == (300, 2) and (d == stereo).all()
+
+    def test_8bit_recentered(self):
+        # hand-build an 8-bit PCM file: spec stores UNSIGNED bytes
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        data = bytes([0, 128, 255])
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        _, d = decode_wav(buf)
+        assert d[:, 0].tolist() == [-128, 0, 127]
+
+    def test_rejects_non_pcm_and_corrupt(self):
+        with pytest.raises(ValueError):
+            decode_wav(b"")
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+        # float PCM (format 3) out of scope
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    def test_audio_features_stage(self):
+        from geocoding_ray.stages.audio import AudioFeatures
+
+        s = np.array([100, -100, 200, -200, 0], dtype=np.int16)
+        batch = pa.table(
+            {
+                "clip_id": [1, 2, 3],
+                "bytes": pa.array([encode_wav(s, rate=16000), b"junk", None], type=pa.binary()),
+            }
+        )
+        out = AudioFeatures()(batch).to_pylist()
+        r0 = out[0]
+        assert r0["audio_ok"] and r0["sample_rate"] == 16000 and r0["n_samples"] == 5
+        assert r0["peak_abs"] == 200
+        assert r0["sum_sq"] == 100**2 + 100**2 + 200**2 + 200**2
+        # sign flips: +,-,+,-,0 -> crossings at 4 boundaries (0 counts as >= 0)
+        assert r0["zero_crossings"] == 4
+        assert not out[1]["audio_ok"] and not out[2]["audio_ok"]
+        assert "bytes" not in {k for r in out for k in r}
