@@ -195,6 +195,13 @@ def features_from_points(
         expo = finite & ~integral & (negzero | ((v != 0) & ((np.abs(v) < 1e-4) | (np.abs(v) >= 1e16))))
         fallback[(~finite | expo) & ~nulls] |= True
         plain = pc.cast(pa.array(np.where(integral, 0.5, v)), pa.string())
+        # Arrow also switches to scientific notation for many-significant-
+        # digit values where Python repr stays positional (found by the
+        # hypothesis sweep, e.g. 10000000000.5 -> "1.00000000005e+10");
+        # any 'e' in the cast output within Python's positional regime is
+        # such a row
+        has_e = pc.match_substring(plain, "e").to_numpy(zero_copy_only=False)
+        fallback[has_e & finite & ~integral & ~expo & ~nulls] |= True
         ints = pc.binary_join_element_wise(
             pc.cast(pa.array(np.where(integral, v, 0.0).astype(np.int64)), pa.string()), ".0", ""
         )

@@ -4,11 +4,13 @@ Payloads are opaque ``binary`` columns with typed metadata (w, h, fmt)
 per the input contract.  The Ray-side plumbing — schemas, actor pools,
 batch sizing for wide binary rows — is real and tested.  Codecs:
 uncompressed TIFF (sources/tiff.py), PNG (sources/png.py — stdlib
-zlib, round 4) and WAV/PCM audio (sources/wav.py + stages/audio.py,
-round 4) decode for REAL; only formats whose codecs genuinely need
-absent libraries (JPEG's DCT, mp3/ogg, video containers) remain
-STUBBED behind ``NotImplementedError`` or a deterministic fake, as the
-build brief permits.
+zlib), baseline JPEG (sources/jpeg.py — from-scratch DCT + Huffman,
+PSNR-verified), WAV/PCM audio (sources/wav.py + stages/audio.py) and
+raw-video frame sampling (sources/rawvideo.py) are all REAL as of
+round 4; only formats whose codecs genuinely need absent libraries
+(webp/heic, mp3/ogg, compressed video containers) remain STUBBED
+behind ``NotImplementedError`` or a deterministic fake, as the build
+brief permits.
 
 Memory note (SURVEY.md §4.2): stages that touch pixels use a small
 ``batch_size`` (bytes dominate block size); downstream columns drop the
@@ -49,8 +51,16 @@ class ImageDecode:
                 return decode_png(buf)
             except Exception:
                 return None
+        if fmt in ("jpeg", "jpg"):
+            from ..sources.jpeg import decode_jpeg
+
+            try:
+                return decode_jpeg(buf)
+            except Exception:
+                return None
         if self.fake_missing:
-            # STUB: no JPEG codec in this sandbox — deterministic fake
+            # STUB: codecs that genuinely need absent libraries
+            # (webp/heic/mp3/video) — deterministic fake
             h = hashlib.blake2b(buf, digest_size=3).digest()
             return np.full((1, 1, 3), np.frombuffer(h, dtype=np.uint8).reshape(1, 1, 3))
         raise NotImplementedError(f"no codec for fmt={fmt!r} in this environment")
@@ -152,6 +162,7 @@ class ImageResize:
                     out_bytes[i] = data[s0[k] + pat_flat].tobytes()
         slow = np.nonzero(~fok)[0]
         if len(slow):
+            from ..sources.jpeg import decode_jpeg
             from ..sources.png import decode_png
 
             # materialize ONLY the non-canonical rows
@@ -159,7 +170,12 @@ class ImageResize:
             for i in slow:
                 try:
                     buf = bufs[i]
-                    pix = decode_png(buf) if buf[:8] == b"\x89PNG\r\n\x1a\n" else parse_pixels(buf)
+                    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                        pix = decode_png(buf)
+                    elif buf[:2] == b"\xff\xd8":
+                        pix = decode_jpeg(buf)
+                    else:
+                        pix = parse_pixels(buf)
                     hh, ww = pix.shape[:2]
                     yi = (np.arange(self.th) * hh // self.th).clip(0, hh - 1)
                     xi = (np.arange(self.tw) * ww // self.tw).clip(0, ww - 1)
@@ -213,3 +229,46 @@ class FrameSampleStub:
         n_frames = batch.column("n_frames").to_numpy(zero_copy_only=False) if "n_frames" in batch.column_names else np.full(batch.num_rows, 0)
         idx = [list(range(0, int(nf), self.every_n)) for nf in n_frames]
         return batch.append_column("frame_indices", pa.array(idx, type=pa.list_(pa.int32())))
+
+
+class FrameSample:
+    """Actor stage: REAL frame sampling over the engine raw-video
+    container (``sources/rawvideo.py``, round 4) — every ``every_n``-th
+    frame is sliced out of the payload and emitted as raw RGB bytes
+    with its index; compressed containers (mp4/webm) still raise,
+    matching the codec-stub policy.  Payload column dropped on output;
+    per-row output is bounded by the sampled frames, not the clip."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.rawvideo import extract_frames, video_info
+
+        bufs = batch.column("bytes").to_pylist()
+        n = batch.num_rows
+        ok = np.zeros(n, dtype=bool)
+        idx_out: list = [[] for _ in range(n)]
+        frames_out: list = [[] for _ in range(n)]
+        fw = np.zeros(n, dtype=np.int32)
+        fh = np.zeros(n, dtype=np.int32)
+        for i, buf in enumerate(bufs):
+            if not buf:
+                continue
+            try:
+                w, h, nf, _fps = video_info(buf)
+            except ValueError:
+                continue
+            ok[i] = True
+            fw[i], fh[i] = w, h
+            idx = np.arange(0, nf, self.every_n, dtype=np.int64)
+            idx_out[i] = idx.tolist()
+            frames_out[i] = [f.tobytes() for f in extract_frames(buf, idx)]
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column("video_ok", pa.array(ok))
+        out = out.append_column("fw", pa.array(fw, type=pa.int32()))
+        out = out.append_column("fh", pa.array(fh, type=pa.int32()))
+        out = out.append_column("frame_indices", pa.array(idx_out, type=pa.list_(pa.int32())))
+        out = out.append_column("frames_rgb", pa.array(frames_out, type=pa.list_(pa.binary())))
+        return out

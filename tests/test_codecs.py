@@ -160,3 +160,112 @@ class TestWAV:
         assert r0["zero_crossings"] == 4
         assert not out[1]["audio_ok"] and not out[2]["audio_ok"]
         assert "bytes" not in {k for r in out for k in r}
+
+
+class TestRawVideo:
+    def test_roundtrip_and_sampling(self):
+        from geocoding_ray.sources.rawvideo import encode_rawvideo, extract_frames, video_info
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (25, 4, 6, 3), dtype=np.uint8)
+        buf = encode_rawvideo(frames, fps=10)
+        assert video_info(buf) == (6, 4, 25, 10)
+        got = extract_frames(buf, np.array([0, 10, 24]))
+        assert (got == frames[[0, 10, 24]]).all()
+        with pytest.raises(ValueError):
+            extract_frames(buf, np.array([25]))
+        with pytest.raises(ValueError):
+            video_info(b"mp4 junk")
+        with pytest.raises(ValueError):
+            video_info(buf[:-1])  # truncated payload
+
+    def test_frame_sample_stage(self):
+        from geocoding_ray.sources.rawvideo import encode_rawvideo
+        from geocoding_ray.stages.image_ops import FrameSample
+
+        rng = np.random.default_rng(6)
+        frames = rng.integers(0, 256, (23, 2, 3, 3), dtype=np.uint8)
+        batch = pa.table(
+            {
+                "clip_id": [1, 2],
+                "bytes": pa.array([encode_rawvideo(frames), b"mp4 soup"], type=pa.binary()),
+            }
+        )
+        out = FrameSample(every_n=10)(batch).to_pylist()
+        assert out[0]["video_ok"] and out[0]["frame_indices"] == [0, 10, 20]
+        assert out[0]["frames_rgb"][1] == frames[10].tobytes()
+        assert out[0]["fw"] == 3 and out[0]["fh"] == 2
+        assert not out[1]["video_ok"] and out[1]["frames_rgb"] == []
+        assert all("bytes" not in r for r in out)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(255**2 / mse))
+
+
+class TestJPEG:
+    def _structured(self, h=48, w=64):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        return np.stack(
+            [(x * 2 + y) % 256, (x + y * 3) % 256, (255 - (x + y) // 2) % 256], axis=-1
+        ).astype(np.uint8)
+
+    def test_psnr_invariant_at_default_quality(self):
+        """The input contract's lossy per-row invariant: decoded pixels
+        within PSNR >= 40 dB of the source at the default quality."""
+        from geocoding_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+        pix = self._structured()
+        assert _psnr(pix, decode_jpeg(encode_jpeg(pix, quality=90))) >= 40.0
+        grad = np.stack([np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (48, 1))] * 3, axis=-1)
+        assert _psnr(grad, decode_jpeg(encode_jpeg(grad, quality=90))) >= 40.0
+
+    def test_quality_monotone_and_odd_shapes(self):
+        from geocoding_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+        pix = self._structured(13, 17)  # non-multiple-of-8 edges
+        p75 = _psnr(pix, decode_jpeg(encode_jpeg(pix, 75)))
+        p95 = _psnr(pix, decode_jpeg(encode_jpeg(pix, 95)))
+        p100 = _psnr(pix, decode_jpeg(encode_jpeg(pix, 100)))
+        assert p75 <= p95 <= p100 and p100 >= 50.0
+        assert decode_jpeg(encode_jpeg(pix, 90)).shape == (13, 17, 3)
+
+    def test_rejects_corrupt_and_out_of_profile(self):
+        from geocoding_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+        good = encode_jpeg(self._structured(8, 8))
+        for bad in (b"", b"\xff\xd8junk", good[:50], good[:-30]):
+            with pytest.raises(ValueError):
+                decode_jpeg(bad)
+        # progressive SOF2 must be rejected, not mis-decoded
+        prog = bytearray(good)
+        idx = bytes(prog).find(b"\xff\xc0")
+        prog[idx + 1] = 0xC2
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(prog))
+
+    def test_image_decode_stage_handles_jpeg(self):
+        from geocoding_ray.sources.jpeg import encode_jpeg
+        from geocoding_ray.stages.image_ops import ImageDecode
+
+        pix = np.full((8, 8, 3), 100, dtype=np.uint8)
+        batch = pa.table(
+            {
+                "image_id": ["j1", "j2"],
+                "bytes": pa.array([encode_jpeg(pix, 95), b"\xff\xd8corrupt"], type=pa.binary()),
+                "fmt": ["jpeg", "jpeg"],
+            }
+        )
+        out = ImageDecode(fake_missing=False)(batch).to_pylist()
+        assert out[0]["decode_ok"] and abs(out[0]["mean_r"] - 100.0) < 2.0
+        assert not out[1]["decode_ok"]
+
+    def test_image_resize_stage_handles_jpeg(self):
+        from geocoding_ray.sources.jpeg import encode_jpeg
+        from geocoding_ray.stages.image_ops import ImageResize
+
+        pix = self._structured(16, 16)
+        batch = pa.table({"image_id": ["j"], "bytes": pa.array([encode_jpeg(pix, 95)], type=pa.binary())})
+        out = ImageResize(target_w=4, target_h=4)(batch).to_pylist()[0]
+        assert out["resized_rgb"] is not None and len(out["resized_rgb"]) == 4 * 4 * 3

@@ -293,8 +293,10 @@ class TestImageOps:
         return pa.table(
             {
                 "image_id": ["a", "b"],
+                # "webp" exercises the STUB path (jpeg/png are real
+                # codecs since round 4)
                 "bytes": pa.array([tiff.encode_tiff(pix, 100, 200), b"notatiff"], type=pa.binary()),
-                "fmt": ["tiff", "jpeg"],
+                "fmt": ["tiff", "webp"],
             }
         ), pix
 
