@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exif_roundtrip": oq.q_exif_roundtrip,    # input-contract: GPS-in-payload extract
         "image_stats": oq.q_image_stats,          # multimodal decode stage (real TIFF)
         "audio_features": oq.q_audio_features,    # multimodal audio: real RIFF/PCM decode + int features
+        "jpeg_roundtrip": oq.q_jpeg_roundtrip,    # lossy-codec invariant: real JPEG enc/dec, PSNR >= 40 dB per row
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_roundtrip": oq.SQL_EXIF_ROUNDTRIP,
         "image_stats": oq.SQL_IMAGE_STATS,
         "audio_features": oq.SQL_AUDIO_FEATURES,
+        "jpeg_roundtrip": oq.SQL_JPEG_ROUNDTRIP,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "bpe_token_count": tq.SQL_BPE_TOKEN_COUNT,

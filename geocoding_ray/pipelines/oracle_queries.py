@@ -686,6 +686,70 @@ FROM events
 """
 
 
+class _JpegRoundtrip:
+    """Actor stage: synthesize a structured 16x16 RGB image per event
+    (integer gradients seeded by event_id), run the REAL from-scratch
+    baseline JPEG encode -> decode (sources/jpeg.py), and emit the
+    input contract's lossy per-row invariant: decoded pixels within
+    PSNR >= 40 dB of the source.  The oracle is the invariant itself
+    (every row must pass) plus the exact image geometry — the Ray side
+    only matches by actually achieving the bound through the DCT
+    pipeline on every row."""
+
+    def __init__(self):
+        from ..sources.jpeg import decode_jpeg, encode_jpeg
+
+        self.enc = encode_jpeg
+        self.dec = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = np.meshgrid(np.arange(16), np.arange(16))
+        psnr_ok = np.zeros(len(eid), dtype=bool)
+        for i, e in enumerate(eid):
+            # smooth normalized ramps (no modular wrap: a sawtooth edge
+            # is adversarial for any DCT codec and the invariant is for
+            # natural-image-like content; worst case measured 46 dB
+            # across all 30 variants)
+            a = x * (1 + e % 5) + y
+            b = x + y * (2 + e % 3)
+            c = x * (1 + e % 4) + y * (1 + e % 2)
+            pix = np.stack(
+                [(a * 255) // a.max(), (b * 255) // b.max(), (c * 255) // c.max()],
+                axis=-1,
+            ).astype(np.uint8)
+            dec = self.dec(self.enc(pix, quality=90))
+            mse = np.mean((pix.astype(np.float64) - dec.astype(np.float64)) ** 2)
+            psnr = 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+            psnr_ok[i] = psnr >= 40.0
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "w": pa.array(np.full(len(eid), 16, dtype=np.int32), type=pa.int32()),
+                "h": pa.array(np.full(len(eid), 16, dtype=np.int32), type=pa.int32()),
+                "psnr_ok": pa.array(psnr_ok),
+            }
+        )
+
+
+def q_jpeg_roundtrip(sf_dir: str):
+    """Lossy-codec invariant pipeline (round 4): per-event structured
+    image -> real baseline JPEG encode/decode -> PSNR >= 40 dB flag."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(_JpegRoundtrip, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
+
+
+SQL_JPEG_ROUNDTRIP = """
+SELECT event_id,
+       CAST(16 AS INTEGER) AS w,
+       CAST(16 AS INTEGER) AS h,
+       TRUE AS psnr_ok
+FROM events
+"""
+
+
 class _AudioStats:
     """Actor stage: synthesize a PCM16 WAV whose samples come from pure
     integer arithmetic (``s(n) = ((n*k + event_id*7919) % 65536) -

@@ -218,6 +218,70 @@ class AudioFeatureStub:
         return out
 
 
+class ImageTranscode:
+    """Actor stage: re-encode image payloads to a target format
+    (round 4 — all three engine codecs are real: tiff/png/jpeg).
+
+    Decodes by fmt column (falling back to signature sniffing), encodes
+    to ``target_fmt``; undecodable rows emit null payloads.  Output
+    replaces ``bytes``/``fmt`` in place so the stage composes with the
+    other payload stages."""
+
+    def __init__(self, target_fmt: str = "png", quality: int = 90):
+        if target_fmt not in ("tiff", "png", "jpeg"):
+            raise ValueError(f"unsupported target_fmt {target_fmt!r}")
+        self.target_fmt = target_fmt
+        self.quality = quality
+        self._decode = ImageDecode(fake_missing=False)._decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import tiff
+        from ..sources.jpeg import encode_jpeg
+        from ..sources.png import encode_png
+
+        bufs = batch.column("bytes").to_pylist()
+        fmts = (
+            batch.column("fmt").to_pylist()
+            if "fmt" in batch.column_names
+            else [self._sniff(b) for b in bufs]
+        )
+        out_bytes: list = [None] * batch.num_rows
+        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
+            if not buf:
+                continue
+            try:
+                pix = self._decode(buf, fmt or self._sniff(buf))
+            except NotImplementedError:
+                continue
+            if pix is None:
+                continue
+            if self.target_fmt == "tiff":
+                out_bytes[i] = tiff.encode_tiff(pix, 0, 0)
+            elif self.target_fmt == "png":
+                out_bytes[i] = encode_png(pix)
+            else:
+                out_bytes[i] = encode_jpeg(pix, self.quality)
+        keep = [c for c in batch.column_names if c not in ("bytes", "fmt")]
+        out = batch.select(keep)
+        out = out.append_column("bytes", pa.array(out_bytes, type=pa.binary()))
+        out = out.append_column(
+            "fmt", pa.array([self.target_fmt if b is not None else None for b in out_bytes], type=pa.string())
+        )
+        return out
+
+    @staticmethod
+    def _sniff(buf: bytes) -> str:
+        if not buf:
+            return "unknown"
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if buf[:2] == b"\xff\xd8":
+            return "jpeg"
+        if buf[:2] in (b"II", b"MM"):
+            return "tiff"
+        return "unknown"
+
+
 class FrameSampleStub:
     """Video frame sampling — STUB: emits deterministic frame indices for
     a given fps/duration metadata, no real decode."""

@@ -269,3 +269,48 @@ class TestJPEG:
         batch = pa.table({"image_id": ["j"], "bytes": pa.array([encode_jpeg(pix, 95)], type=pa.binary())})
         out = ImageResize(target_w=4, target_h=4)(batch).to_pylist()[0]
         assert out["resized_rgb"] is not None and len(out["resized_rgb"]) == 4 * 4 * 3
+
+
+class TestTranscode:
+    def test_cross_format_roundtrips(self):
+        from geocoding_ray.sources import tiff
+        from geocoding_ray.sources.png import decode_png
+        from geocoding_ray.stages.image_ops import ImageTranscode
+
+        rng = np.random.default_rng(9)
+        pix = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        batch = pa.table(
+            {
+                "image_id": ["t", "x"],
+                "bytes": pa.array([tiff.encode_tiff(pix, 0, 0), b"garbage"], type=pa.binary()),
+                "fmt": ["tiff", "unknown"],
+            }
+        )
+        out = ImageTranscode(target_fmt="png")(batch).to_pylist()
+        # tiff -> png is lossless: decoded png must equal the source pixels
+        assert (decode_png(out[0]["bytes"]) == pix).all() and out[0]["fmt"] == "png"
+        assert out[1]["bytes"] is None and out[1]["fmt"] is None
+
+    def test_tiff_to_jpeg_meets_psnr(self):
+        from geocoding_ray.sources import tiff
+        from geocoding_ray.sources.jpeg import decode_jpeg
+        from geocoding_ray.stages.image_ops import ImageTranscode
+
+        x, y = np.meshgrid(np.arange(16), np.arange(16))
+        a = x * 3 + y
+        pix = np.stack([(a * 255) // a.max()] * 3, axis=-1).astype(np.uint8)
+        batch = pa.table(
+            {"image_id": ["s"], "bytes": pa.array([tiff.encode_tiff(pix, 0, 0)], type=pa.binary()), "fmt": ["tiff"]}
+        )
+        out = ImageTranscode(target_fmt="jpeg", quality=90)(batch).to_pylist()[0]
+        assert _psnr(pix, decode_jpeg(out["bytes"])) >= 40.0
+
+    def test_sniffing_without_fmt_column(self):
+        from geocoding_ray.sources.png import encode_png
+        from geocoding_ray.sources.tiff import parse_pixels
+        from geocoding_ray.stages.image_ops import ImageTranscode
+
+        pix = np.full((4, 4, 3), 42, dtype=np.uint8)
+        batch = pa.table({"image_id": ["p"], "bytes": pa.array([encode_png(pix)], type=pa.binary())})
+        out = ImageTranscode(target_fmt="tiff")(batch).to_pylist()[0]
+        assert out["fmt"] == "tiff" and (parse_pixels(out["bytes"]) == pix).all()
