@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats": oq.q_image_stats,          # multimodal decode stage (real TIFF)
         "audio_features": oq.q_audio_features,    # multimodal audio: real RIFF/PCM decode + int features
         "jpeg_roundtrip": oq.q_jpeg_roundtrip,    # lossy-codec invariant: real JPEG enc/dec, PSNR >= 40 dB per row
+        "transcode_stats": oq.q_transcode_stats,  # tiff -> png transcode through both real codecs, means bit-exact
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": oq.SQL_IMAGE_STATS,
         "audio_features": oq.SQL_AUDIO_FEATURES,
         "jpeg_roundtrip": oq.SQL_JPEG_ROUNDTRIP,
+        "transcode_stats": oq.SQL_TRANSCODE_STATS,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "bpe_token_count": tq.SQL_BPE_TOKEN_COUNT,

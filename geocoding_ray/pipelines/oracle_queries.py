@@ -686,6 +686,56 @@ FROM events
 """
 
 
+class _TranscodeStats:
+    """Actor stage: synthesize the ``image_stats`` TIFFs, TRANSCODE
+    them tiff -> png through :class:`stages.image_ops.ImageTranscode`
+    (lossless, so the decoded channel means stay bit-exact), then run
+    the real PNG decode — the oracle is the same constant-pixel
+    expectation as ``image_stats``, but the Ray side only matches by
+    round-tripping every payload through both real codecs."""
+
+    def __init__(self):
+        from ..sources import tiff
+        from ..stages.image_ops import ImageDecode, ImageTranscode
+
+        self.tiff = tiff
+        self.transcode = ImageTranscode(target_fmt="png")
+        self.decode = ImageDecode(fake_missing=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (eid % 256).astype(np.uint8)
+        bufs = [self.tiff.encode_tiff(np.full((4, 4, 3), v, dtype=np.uint8), 0, 0) for v in vals]
+        t = pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "bytes": pa.array(bufs, type=pa.binary()),
+                "fmt": pa.array(["tiff"] * len(bufs), type=pa.string()),
+            }
+        )
+        out = self.decode(self.transcode(t))
+        return out.select(["event_id", "decode_ok", "mean_r", "mean_g", "mean_b"])
+
+
+def q_transcode_stats(sf_dir: str):
+    """Cross-codec transcode pipeline (round 4): real TIFF encode ->
+    ImageTranscode -> real PNG decode, channel means gated bit-exactly
+    (PNG is lossless)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(_TranscodeStats, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
+
+
+SQL_TRANSCODE_STATS = """
+SELECT event_id, TRUE AS decode_ok,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST(event_id % 256 AS DOUBLE) AS mean_g,
+       CAST(event_id % 256 AS DOUBLE) AS mean_b
+FROM events
+"""
+
+
 class _JpegRoundtrip:
     """Actor stage: synthesize a structured 16x16 RGB image per event
     (integer gradients seeded by event_id), run the REAL from-scratch
