@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
+        "seq_pack": tq.q_seq_pack,                # LLM sequence packing: partition-keyed token-budget packing
         "bpe_token_count": tq.q_bpe_token_count,  # GPT-2-style pre-tokenizer counts (same RE2 both sides)
         "quality_score": tq.q_quality,
         "lang_id": tq.q_lang_id,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "transcode_stats": oq.SQL_TRANSCODE_STATS,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
+        "seq_pack": tq.SQL_SEQ_PACK,
         "bpe_token_count": tq.SQL_BPE_TOKEN_COUNT,
         "quality_score": tq.SQL_QUALITY,
         "lang_id": tq.SQL_LANG_ID,

@@ -70,6 +70,93 @@ SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens FROM do
 """
 
 
+SEQ_PACK_BUDGET = 256  # tokens per training sequence (~4 docs at the corpus median)
+SEQ_PACK_PARTS = 4
+
+
+def q_seq_pack(sf_dir: str, budget: int = SEQ_PACK_BUDGET, n_parts: int = SEQ_PACK_PARTS):
+    """Sequence packing for LLM training (round 4): pack documents into
+    token-budget training sequences, never splitting a doc — a new
+    sequence starts when adding the next doc would exceed ``budget``
+    (a doc larger than the budget owns its own sequence).
+
+    Scale plan: packing is PARTITION-KEYED (``doc_id % n_parts``) so the
+    inherently sequential scan is per-partition, not global — the
+    standard per-shard packing of real training pipelines.  Token
+    counts are computed batch-vectorized (the oracle-gated
+    ``token_count`` kernel); only slim (doc_id, part, n_tokens) rows
+    shuffle, and the per-group pass is one O(#docs) numpy scan over
+    scalar counts, never the texts."""
+    import ray.data as rd
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = token_count(batch)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "part": pa.array(did % n_parts, type=pa.int64()),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(did, kind="stable")
+        did, nt = did[order], nt[order]
+        seq = np.zeros(len(did), dtype=np.int64)
+        pos = np.zeros(len(did), dtype=np.int64)
+        acc = 0
+        cur = 0
+        p = 0
+        for i in range(len(did)):  # O(#docs-per-partition) over scalar counts
+            if i and acc + nt[i] > budget:
+                cur += 1
+                acc = 0
+                p = 0
+            acc += nt[i]
+            seq[i] = cur
+            pos[i] = p
+            p += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(did, type=pa.int64()),
+                "part": g.column("part").take(pa.array(order, type=pa.int64())),
+                "seq_id": pa.array(seq, type=pa.int64()),
+                "seq_pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(slim, batch_format="pyarrow").groupby("part").map_groups(
+        pack_group, batch_format="pyarrow"
+    )
+
+
+SQL_SEQ_PACK = rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, doc_id % {SEQ_PACK_PARTS} AS part,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+  FROM documents),
+ord AS (
+  SELECT doc_id, part, nt,
+         row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+  FROM toks),
+pack(part, rn, doc_id, seq_id, seq_pos, acc) AS (
+  SELECT part, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), nt
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.doc_id,
+         CASE WHEN p.acc + o.nt > {SEQ_PACK_BUDGET} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + o.nt > {SEQ_PACK_BUDGET} THEN CAST(0 AS BIGINT) ELSE p.seq_pos + 1 END,
+         CASE WHEN p.acc + o.nt > {SEQ_PACK_BUDGET} THEN o.nt ELSE p.acc + o.nt END
+  FROM pack p JOIN ord o ON o.part = p.part AND o.rn = p.rn + 1)
+SELECT doc_id, part, seq_id, seq_pos FROM pack
+"""
+
+
 def q_quality(sf_dir: str):
     import ray.data as rd
 

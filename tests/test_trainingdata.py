@@ -738,3 +738,32 @@ class TestDistinctCount:
         want = {et: n for et, n in con.execute(SQL_DISTINCT_USERS).fetchall()}
         con.close()
         assert got == want == {"a": 2, "b": 0, "c": 2}
+
+
+class TestSeqPack:
+    def test_budget_boundary_and_oversized_docs(self, ray_session):
+        """Packing semantics: sequences never exceed the budget unless a
+        single doc alone does (it then owns its sequence); order within
+        a partition is doc_id; positions restart per sequence."""
+        import tempfile
+
+        import pyarrow.parquet as pq_
+
+        from geocoding_ray.pipelines.text_queries import q_seq_pack
+
+        # token counts by construction: doc k has k+1 single-char tokens
+        rows = [{"doc_id": i, "text": " ".join(["x"] * n)} for i, n in
+                [(0, 3), (4, 3), (8, 5), (12, 9), (16, 2), (1, 100), (5, 4)]]
+        with tempfile.TemporaryDirectory() as d:
+            p = f"{d}/documents.parquet"
+            pq_.write_table(pa.Table.from_pylist(rows), p)
+            out = q_seq_pack(d, budget=10, n_parts=4).take_all()
+        by_doc = {r["doc_id"]: r for r in out}
+        # part 0 = docs 0,4,8,12,16 with counts 3,3,5,9,2:
+        # seq0=[0,4] (3+3=6, +5 would be 11>10), seq1=[8] (5, +9>10),
+        # seq2=[12] (9, +2>10), seq3=[16]
+        assert [(by_doc[d_]["seq_id"], by_doc[d_]["seq_pos"]) for d_ in (0, 4, 8, 12, 16)] == [
+            (0, 0), (0, 1), (1, 0), (2, 0), (3, 0)]
+        # part 1 = docs 1 (100 tokens - over budget, owns seq 0), 5 (new seq)
+        assert (by_doc[1]["seq_id"], by_doc[1]["seq_pos"]) == (0, 0)
+        assert (by_doc[5]["seq_id"], by_doc[5]["seq_pos"]) == (1, 0)
