@@ -85,8 +85,12 @@ def q_seq_pack(sf_dir: str, budget: int = SEQ_PACK_BUDGET, n_parts: int = SEQ_PA
     standard per-shard packing of real training pipelines.  Token
     counts are computed batch-vectorized (the oracle-gated
     ``token_count`` kernel); only slim (doc_id, part, n_tokens) rows
-    shuffle, and the per-group pass is one O(#docs) numpy scan over
-    scalar counts, never the texts."""
+    shuffle.  The per-group pass is an interpreted O(#docs-per-
+    partition) Python loop over scalar int64 counts (the greedy reset
+    recurrence is not vectorizable) — so ``n_parts`` is the scale
+    knob and MUST grow with the corpus (target ~1-10M docs/partition;
+    the default 4 is pinned only because the DuckDB oracle reproduces
+    it; at 10^9 docs use n_parts ~ 1000)."""
     import ray.data as rd
 
     def slim(batch: pa.Table) -> pa.Table:

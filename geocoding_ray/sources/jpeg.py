@@ -358,9 +358,18 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes (round-4 review — without the skip a conforming
+        # padded stream parsed a garbage segment length)
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(buf):
+            raise ValueError("truncated stream")
         marker = struct.unpack_from(">H", buf, pos)[0]
         if marker == 0xFFD9:
             break
+        if pos + 4 > len(buf):
+            raise ValueError("truncated segment")
         (length,) = struct.unpack_from(">H", buf, pos + 2)
         payload = buf[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:

@@ -46,6 +46,12 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
         tag = buf[pos : pos + 4]
         (length,) = struct.unpack_from("<I", buf, pos + 4)
         payload = buf[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            # a data chunk declaring more bytes than the buffer holds is
+            # CORRUPT, not a short clip — silently clamping would report
+            # wrong sample counts as a successful decode (round-4 review;
+            # PNG/rawvideo raise for the same defect class)
+            raise ValueError("truncated RIFF chunk")
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
             if len(payload) < 16:

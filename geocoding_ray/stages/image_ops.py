@@ -27,18 +27,39 @@ import pyarrow as pa
 from ..sources.tiff import parse_pixels
 
 
+def sniff_format(buf: bytes | None) -> str:
+    """Magic-byte format sniff — the ONE copy of the signature constants
+    shared by decode/resize/transcode dispatch (round-4 review)."""
+    if not buf:
+        return "unknown"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:2] == b"\xff\xd8":
+        return "jpeg"
+    if buf[:2] in (b"II", b"MM"):
+        return "tiff"
+    return "unknown"
+
+
 class ImageDecode:
     """Actor stage: bytes -> decoded pixel stats (mean RGB, phash check).
 
-    Decodes the engine's TIFF; any other ``fmt`` raises
+    Decodes the engine's TIFF/PNG/JPEG; any other ``fmt`` raises
     ``NotImplementedError`` unless ``fake_missing`` is set, in which case
     a deterministic fake (hash-derived stats) stands in for the decoder.
+    Null/empty payloads are a decode MISS (``decode_ok == False``), never
+    a task error — a transcode stage upstream emits null rows for its
+    own failures (round-4 review: the error-row contract must compose).
     """
 
     def __init__(self, fake_missing: bool = True):
         self.fake_missing = fake_missing
 
     def _decode(self, buf: bytes, fmt: str) -> np.ndarray | None:
+        if not buf:
+            return None
+        if not fmt or fmt == "unknown":
+            fmt = sniff_format(buf)
         if fmt == "tiff":
             try:
                 return parse_pixels(buf)
@@ -170,9 +191,10 @@ class ImageResize:
             for i in slow:
                 try:
                     buf = bufs[i]
-                    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+                    kind = sniff_format(buf)
+                    if kind == "png":
                         pix = decode_png(buf)
-                    elif buf[:2] == b"\xff\xd8":
+                    elif kind == "jpeg":
                         pix = decode_jpeg(buf)
                     else:
                         pix = parse_pixels(buf)
@@ -269,17 +291,7 @@ class ImageTranscode:
         )
         return out
 
-    @staticmethod
-    def _sniff(buf: bytes) -> str:
-        if not buf:
-            return "unknown"
-        if buf[:8] == b"\x89PNG\r\n\x1a\n":
-            return "png"
-        if buf[:2] == b"\xff\xd8":
-            return "jpeg"
-        if buf[:2] in (b"II", b"MM"):
-            return "tiff"
-        return "unknown"
+    _sniff = staticmethod(sniff_format)
 
 
 class FrameSampleStub:

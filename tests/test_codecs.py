@@ -314,3 +314,44 @@ class TestTranscode:
         batch = pa.table({"image_id": ["p"], "bytes": pa.array([encode_png(pix)], type=pa.binary())})
         out = ImageTranscode(target_fmt="tiff")(batch).to_pylist()[0]
         assert out["fmt"] == "tiff" and (parse_pixels(out["bytes"]) == pix).all()
+
+
+class TestReviewRegressions:
+    def test_transcode_null_rows_compose_with_decode(self):
+        """A corrupt payload flows transcode -> decode as decode_ok=False
+        rows, never a task error (round-4 review finding 1)."""
+        from geocoding_ray.sources import tiff
+        from geocoding_ray.stages.image_ops import ImageDecode, ImageTranscode
+
+        pix = np.full((4, 4, 3), 9, dtype=np.uint8)
+        batch = pa.table(
+            {
+                "image_id": ["ok", "bad"],
+                "bytes": pa.array([tiff.encode_tiff(pix, 0, 0), b"corrupt"], type=pa.binary()),
+                "fmt": ["tiff", "tiff"],
+            }
+        )
+        mid = ImageTranscode(target_fmt="png")(batch)
+        for fake in (False, True):
+            out = ImageDecode(fake_missing=fake)(mid).to_pylist()
+            assert out[0]["decode_ok"] and out[0]["mean_r"] == 9.0
+            assert not out[1]["decode_ok"]
+
+    def test_wav_truncated_data_chunk_raises(self):
+        """A data chunk declaring more bytes than the buffer holds is
+        corrupt, not a short clip (round-4 review finding 2)."""
+        buf = bytearray(encode_wav(np.zeros(100, dtype=np.int16)))
+        with pytest.raises(ValueError):
+            decode_wav(bytes(buf[:-50]))  # cut inside the data chunk
+
+    def test_jpeg_fill_bytes_before_marker(self):
+        """T.81 B.1.1.2 fill bytes (extra 0xFF before a marker) must not
+        break the parse (round-4 review finding 3)."""
+        from geocoding_ray.sources.jpeg import decode_jpeg, encode_jpeg
+
+        pix = np.full((8, 8, 3), 77, dtype=np.uint8)
+        good = encode_jpeg(pix, 95)
+        idx = good.find(b"\xff\xc0")
+        padded = good[:idx] + b"\xff\xff\xff" + good[idx:]
+        dec = decode_jpeg(padded)
+        assert dec.shape == (8, 8, 3) and abs(float(dec.mean()) - 77.0) < 2.0
