@@ -280,7 +280,8 @@ def encode_jpeg(pix: np.ndarray, quality: int = 90) -> bytes:
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment with 0xFF00
-    unstuffing; raises ValueError at a marker or EOF."""
+    unstuffing; stops filling at a marker, raises ValueError when a
+    read overruns the entropy data."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -288,22 +289,41 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
+    def _try_fill(self) -> bool:
+        if self.pos >= len(self.data):
+            return False
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
+            if self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0x00:
                 self.pos += 2
             else:
-                raise ValueError("marker inside entropy data")
+                return False  # marker: entropy data ends here
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+        return True
+
+    def peek16(self) -> int:
+        """Next 16 bits MSB-first, zero-padded past the end of the
+        entropy data.  Padding is safe for LUT decode: the real code is
+        a PREFIX of the peeked bits and the LUT covers every suffix."""
+        while self.nbits < 16 and self._try_fill():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("truncated entropy data")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read(self, n: int) -> int:
         while self.nbits < n:
-            self._fill()
+            if not self._try_fill():
+                raise ValueError("truncated entropy data")
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
@@ -311,31 +331,34 @@ class _BitReader:
 
 
 def _build_decode_maps(bits: list[int], vals: list[int]):
-    """-> (mincode, maxcode, valptr) per length for canonical decode."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
+    """Canonical Huffman -> 16-bit peek LUT: ``lut_len[p] == 0`` marks
+    an invalid prefix, else the symbol is ``lut_val[p]`` and the code
+    consumes ``lut_len[p]`` bits.  One table lookup per symbol instead
+    of up to 16 single-bit reads (JPEG codes never exceed 16 bits)."""
+    lut_val = np.zeros(1 << 16, dtype=np.uint8)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
-        if bits[length - 1]:
-            valptr[length] = k
-            mincode[length] = code
-            code += bits[length - 1]
-            k += bits[length - 1]
-            maxcode[length] = code - 1
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut_val[lo:hi] = vals[k]
+            lut_len[lo:hi] = length
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr, vals
+    return lut_val, lut_len
 
 
 def _huff_decode(br: _BitReader, table) -> int:
-    mincode, maxcode, valptr, vals = table
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read(1)
-        if maxcode[length] >= code >= mincode[length]:
-            return vals[valptr[length] + code - mincode[length]]
-    raise ValueError("invalid huffman code")
+    lut_val, lut_len = table
+    p = br.peek16()
+    length = int(lut_len[p])
+    if length == 0:
+        raise ValueError("invalid huffman code")
+    br.consume(length)
+    return int(lut_val[p])
 
 
 def _extend(v: int, size: int) -> int:
