@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from geocoding_ray.pipelines import oracle_queries as oq
+from geocoding_ray.pipelines import range_join as rj
 from geocoding_ray.pipelines import text_queries as tq
 
 
@@ -67,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_type": tq.q_top_events_per_type,  # grouped top-k (partial-topk shuffle shrink)
         "distinct_users": tq.q_distinct_users,    # exact grouped COUNT DISTINCT (pair-dedup shuffle)
         "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
+        "range_join": rj.q_range_join,            # radius θ-join, planar metric (bit-exact oracle)
+        "range_join_km": rj.q_range_join_km,      # radius θ-join, haversine meters (margin-checked oracle)
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -120,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_type": tq.SQL_TOP_EVENTS_PER_TYPE,
         "distinct_users": tq.SQL_DISTINCT_USERS,
         "cell_assign": oq.SQL_CELL_ASSIGN,
+        "range_join": rj.SQL_RANGE_JOIN,
+        "range_join_km": rj.SQL_RANGE_JOIN_KM,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

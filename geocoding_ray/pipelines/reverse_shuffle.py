@@ -48,18 +48,24 @@ from ..stages.reverse import locate_winner
 _ADMIN_COLS = ("admin_id", "level_rank", "area", "formatted", "rings")
 
 
-def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
-    """Admin rows -> one row per covering cell of the polygon bbox at
-    ``cell_level`` (fully vectorized repeat/arange arithmetic).
+def bbox_cover_rows(
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    cell_level: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bbox -> covering-cell expansion shared by the cell
+    co-shuffle joins (reverse PIP and the radius range join).
+
+    Returns ``(row_idx, cell)`` — parallel arrays where ``row_idx[i]``
+    is the source-row index whose bbox covers ``cell[i]``; each
+    (row, cell) pair appears exactly once.
 
     Antimeridian: a bbox with ``minx > maxx`` (Fiji-style wrap) splits
     into two lon spans — [minx, 180] and [-180, maxx] — before the
     count arithmetic, so the uint64 column math never underflows."""
-    n = batch.num_rows
-    minx = batch.column("minx").to_numpy(zero_copy_only=False)
-    miny = batch.column("miny").to_numpy(zero_copy_only=False)
-    maxx = batch.column("maxx").to_numpy(zero_copy_only=False)
-    maxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+    n = len(minx)
     x0, y0 = cells.lonlat_to_xy(minx, miny, cell_level)
     x1, y1 = cells.lonlat_to_xy(maxx, maxy, cell_level)
     x0 = x0.astype(np.int64)
@@ -101,7 +107,20 @@ def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
     dx = within % nx[rep]
     dy = within // nx[rep]
     cell = cells.cell_from_xy(seg_x0[rep] + dx, seg_y0[rep] + dy, cell_level)
-    out = batch.select(list(_ADMIN_COLS)).take(pa.array(seg_row[rep], type=pa.int64()))
+    return seg_row[rep], cell
+
+
+def explode_admin_cells(batch: pa.Table, cell_level: int) -> pa.Table:
+    """Admin rows -> one row per covering cell of the polygon bbox at
+    ``cell_level`` (fully vectorized via :func:`bbox_cover_rows`)."""
+    row_idx, cell = bbox_cover_rows(
+        batch.column("minx").to_numpy(zero_copy_only=False),
+        batch.column("miny").to_numpy(zero_copy_only=False),
+        batch.column("maxx").to_numpy(zero_copy_only=False),
+        batch.column("maxy").to_numpy(zero_copy_only=False),
+        cell_level,
+    )
+    out = batch.select(list(_ADMIN_COLS)).take(pa.array(row_idx, type=pa.int64()))
     return out.append_column("cell", pa.array(cell.view(np.int64), type=pa.int64()))
 
 

@@ -206,12 +206,15 @@ class TestIndexBuildScale:
         ys = (cy[:, None] + 0.05 * np.sin(ang)[None, :]).ravel()
         ring_offsets = np.arange(0, n * verts_per + 1, verts_per)
         poly_ring_offsets = np.arange(0, n + 1)
-        t0 = time.time()
+        # CPU time, not wall time: the shared benchmark host sees multi-second
+        # steal episodes that would flake a wall-clock assert (BASELINE.md
+        # contention notes); process_time only charges cycles we actually got.
+        t0 = time.process_time()
         pr = geometry.PackedRings(xs, ys, ring_offsets, poly_ring_offsets)
         a = pr.area()
         tree = rtree.STRtree(pr.bbox)
-        build_s = time.time() - t0
-        assert build_s < 5.0, f"index build too slow: {build_s:.1f}s"
+        build_s = time.process_time() - t0
+        assert build_s < 5.0, f"index build too slow: {build_s:.1f} CPU-s"
         # octagon area sanity
         expected = 0.5 * verts_per * 0.05 * 0.05 * np.sin(2 * np.pi / verts_per)
         assert np.allclose(a, expected, rtol=1e-9)
