@@ -18,6 +18,7 @@ from typing import Any
 
 from geocoding_ray.pipelines import oracle_queries as oq
 from geocoding_ray.pipelines import range_join as rj
+from geocoding_ray.pipelines import stats_queries as sq
 from geocoding_ray.pipelines import text_queries as tq
 
 
@@ -70,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_assign": oq.q_cell_assign,          # tile/cell ids + quadkey render (bit-op Morton oracle)
         "range_join": rj.q_range_join,            # radius θ-join, planar metric (bit-exact oracle)
         "range_join_km": rj.q_range_join_km,      # radius θ-join, haversine meters (margin-checked oracle)
+        "group_zscore": sq.q_group_zscore,        # per-group normalization via exact int partials
+        "stratified_sample": sq.q_stratified_sample,  # per-stratum deterministic hash quota sample
+        "term_df": sq.q_term_df,                  # per-lang top terms by document frequency
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -125,6 +129,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_assign": oq.SQL_CELL_ASSIGN,
         "range_join": rj.SQL_RANGE_JOIN,
         "range_join_km": rj.SQL_RANGE_JOIN_KM,
+        "group_zscore": sq.SQL_GROUP_ZSCORE,
+        "stratified_sample": sq.SQL_STRATIFIED_SAMPLE,
+        "term_df": sq.SQL_TERM_DF,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

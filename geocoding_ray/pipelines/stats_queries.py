@@ -1,0 +1,307 @@
+"""Corpus/statistics operators: group-wise z-score normalization,
+stratified sampling, and term document-frequency analysis.
+
+Training-data-pipeline extensions (the brief's §text-analysis family)
+over the driver's `events` / `documents` tables.  Every operator here
+is gated by a DuckDB oracle; the float-bearing one (z-score) follows
+the repo's bit-reproducibility discipline: all aggregation happens in
+EXACT int64 partials and the only float ops (int->double cast, divide,
+sqrt, multiply, +0.5, floor) are IEEE-exactly-rounded, so numpy and
+DuckDB produce the identical scaled-integer output.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .poolsize import auto_pool  # noqa: F401  (kept for parity with sibling modules)
+
+# ---------------------------------------------------------------------------
+# group-wise z-score normalization
+# ---------------------------------------------------------------------------
+#
+# Semantics: per event_type, z = (x - mean) / stddev_pop over the
+# integerized value v = floor(value * 100).  The closed form
+#     z = (n*v - s) / sqrt(n*q - s^2)      (n, s=Σv, q=Σv² per group)
+# avoids every non-reproducible float aggregate: n, s, q are exact
+# int64 sums (DuckDB: hugeint), and the remaining expression is a
+# fixed-order chain of IEEE-exact ops.  Output is z_micro =
+# floor(z*1e6 + 0.5) as int64 (NULL when the group variance is 0).
+#
+# Scale note: int64 partials hold to ~sf0.1 world sizes here
+# (n*q <= ~1e18); the 100-TB path keeps per-PARTITION partials in
+# int64 and merges in int128/float128 — or rescales v — before the
+# final tiny per-group division.
+
+
+def _zscore_partials(batch: pa.Table) -> pa.Table:
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    ok = np.isfinite(val)
+    if not ok.all():
+        et, val = et[ok], val[ok]
+    v = np.floor(val * 100.0).astype(np.int64)
+    keys, inv = np.unique(et, return_inverse=True)
+    n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+    s = np.zeros(len(keys), dtype=np.int64)
+    q = np.zeros(len(keys), dtype=np.int64)
+    np.add.at(s, inv, v)
+    np.add.at(q, inv, v * v)
+    return pa.table(
+        {
+            "event_type": pa.array(keys.tolist(), type=pa.string()),
+            "n": pa.array(n, type=pa.int64()),
+            "s": pa.array(s, type=pa.int64()),
+            "q": pa.array(q, type=pa.int64()),
+        }
+    )
+
+
+def q_group_zscore(sf_dir: str):
+    """Two-pass plan: (1) per-batch exact int64 partials -> tiny
+    groupby-sum (cardinality = event-type vocabulary) broadcast via
+    ray.put; (2) second streaming pass joins each row against its
+    group's (n, s, q) and emits the scaled z.  Nothing row-scaled ever
+    lands on the driver."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    stats_rows = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(_zscore_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="s", alias_name="s"),
+            Sum(on="q", alias_name="q"),
+        )
+        .take_all()  # event-type vocabulary — driver-small
+    )
+    kt = np.array([r["event_type"] for r in stats_rows], dtype=object)
+    order = np.argsort(kt, kind="stable")
+    kt = kt[order]
+    kn = np.array([int(stats_rows[i]["n"]) for i in order], dtype=np.int64)
+    ks = np.array([int(stats_rows[i]["s"]) for i in order], dtype=np.int64)
+    kq = np.array([int(stats_rows[i]["q"]) for i in order], dtype=np.int64)
+    stats_ref = ray.put((kt, kn, ks, kq))
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        kt, kn, ks, kq = ray.get(stats_ref)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(val)
+        if not ok.all():
+            batch = batch.filter(pa.array(ok))
+            et, val = et[ok], val[ok]
+        gi = np.searchsorted(kt, et)
+        v = np.floor(val * 100.0).astype(np.int64)
+        n, s, q = kn[gi], ks[gi], kq[gi]
+        den_i = n * q - s * s
+        num = (n * v - s).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num / np.sqrt(den_i.astype(np.float64))
+        zm = np.floor(z * 1e6 + 0.5)
+        valid = den_i != 0
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "z_micro": pa.array(
+                    np.where(valid, zm, 0.0).astype(np.int64), type=pa.int64(), mask=~valid
+                ),
+            }
+        )
+
+    return rd.read_parquet(path, columns=["event_id", "event_type", "value"]).map_batches(
+        zmap, batch_format="pyarrow"
+    )
+
+
+SQL_GROUP_ZSCORE = """
+WITH v AS (
+  SELECT event_id, event_type, CAST(floor(value * 100.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+  FROM v GROUP BY event_type)
+SELECT v.event_id, v.event_type,
+       CASE WHEN st.n * st.q - st.s * st.s = 0 THEN NULL
+            ELSE CAST(floor(
+                   CAST(st.n * v.v - st.s AS DOUBLE)
+                   / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT)
+       END AS z_micro
+FROM v JOIN st USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+#
+# Deterministic per-stratum quota sample: the K docs per language with
+# the smallest md5(doc_id) — a reshard-stable, engine-independent
+# "random" sample (the train_split hashing discipline, SURVEY.md §2.6).
+
+STRATified_K = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-batch partial bottom-K per lang (shrinks the shuffle to
+    <= K rows/lang/batch), then a per-lang merge keeps the global
+    bottom-K by (md5 hex, doc_id)."""
+    import hashlib
+
+    import ray.data as rd
+
+    K = STRATified_K
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hx = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "hx": pa.array(hx, type=pa.string()),
+            }
+        )
+
+    def partial_bottomk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch.column("lang").combine_chunks())
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hx = np.asarray(batch.column("hx").to_pylist(), dtype=object)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, hx, g))
+        gs = g[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(first)[0]
+        rank = np.arange(len(gs)) - np.repeat(starts, np.diff(np.append(starts, len(gs))))
+        keep = order[rank < K]
+        return batch.take(pa.array(np.sort(keep), type=pa.int64()))
+
+    def final_bottomk(grp: pa.Table) -> pa.Table:
+        hx = np.asarray(grp.column("hx").to_pylist(), dtype=object)
+        did = grp.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, hx))[:K]
+        out = grp.take(pa.array(order, type=pa.int64()))
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "lang": out.column("lang"),
+                "rk": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .map_batches(partial_bottomk, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final_bottomk, batch_format="pyarrow")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk
+  FROM h)
+SELECT doc_id, lang, rk FROM r WHERE rk <= {STRATified_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# term document frequency (vocabulary analysis)
+# ---------------------------------------------------------------------------
+#
+# Per language: the TOP_TERMS terms with the highest document frequency
+# (#docs containing the term; ties -> lexicographically smaller term).
+# The distributed shape is the canonical inverted-vocabulary build:
+# per-batch distinct (lang, term, partial df) -> groupby sum ->
+# per-lang top-k.  All counts are ints; fully oracle-exact.
+
+TOP_TERMS = 10
+_TERM_RE = re.compile(r"[^a-z]+")
+
+
+def _term_partials(batch: pa.Table) -> pa.Table:
+    langs = batch.column("lang").to_pylist()
+    texts = batch.column("text").to_pylist()
+    counts: dict[tuple[str, str], int] = {}
+    for lang, text in zip(langs, texts):
+        if text is None:
+            continue
+        for term in set(_TERM_RE.split(text.lower())):
+            if term:
+                counts[(lang, term)] = counts.get((lang, term), 0) + 1
+    if not counts:
+        return pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+    ks = list(counts)
+    return pa.table(
+        {
+            "lang": pa.array([k[0] for k in ks], type=pa.string()),
+            "term": pa.array([k[1] for k in ks], type=pa.string()),
+            "df": pa.array([counts[k] for k in ks], type=pa.int64()),
+        }
+    )
+
+
+def q_term_df(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def final_topk(grp: pa.Table) -> pa.Table:
+        df = grp.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(grp.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((terms, -df))[:TOP_TERMS]
+        out = grp.take(pa.array(order, type=pa.int64()))
+        return pa.table(
+            {
+                "lang": out.column("lang"),
+                "term": out.column("term"),
+                "df": out.column("df"),
+                "rk": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return (
+        ds.map_batches(_term_partials, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum(on="df", alias_name="df"))
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+SQL_TERM_DF = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+df AS (
+  SELECT lang, term, COUNT(*) AS df FROM terms
+  WHERE term <> '' GROUP BY lang, term),
+r AS (
+  SELECT lang, term, df,
+         row_number() OVER (PARTITION BY lang ORDER BY df DESC, term ASC) AS rk
+  FROM df)
+SELECT lang, term, df, rk FROM r WHERE rk <= {TOP_TERMS}
+"""
