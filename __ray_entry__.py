@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_zscore": sq.q_group_zscore,        # per-group normalization via exact int partials
         "stratified_sample": sq.q_stratified_sample,  # per-stratum deterministic hash quota sample
         "term_df": sq.q_term_df,                  # per-lang top terms by document frequency
+        "phash_pairs": oq.q_phash_pairs,          # DCT perceptual-hash image near-dup (real codec path)
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "group_zscore": sq.SQL_GROUP_ZSCORE,
         "stratified_sample": sq.SQL_STRATIFIED_SAMPLE,
         "term_df": sq.SQL_TERM_DF,
+        "phash_pairs": oq.SQL_PHASH_PAIRS,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

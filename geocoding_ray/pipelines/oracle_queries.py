@@ -1183,3 +1183,127 @@ def q_reverse_annotations(sf_dir: str):
             "tz_name",
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (the image-axis dedup operator)
+# ---------------------------------------------------------------------------
+
+PHASH_GROUP = 4  # images per shared base pattern
+PHASH_MAX_HAMMING = 8
+
+
+class _PhashCorpus:
+    """Actor: synthesize the near-dup image corpus — every
+    ``PHASH_GROUP`` consecutive event_ids share one seeded base
+    pattern, each copy perturbed by a few low-amplitude pixel edits —
+    round-trip each image through the REAL TIFF codec, and pHash the
+    decoded pixels (stages.image_ops.ImagePHash).  The closed-form
+    duplicate structure (same ``event_id // PHASH_GROUP``) is what the
+    SQL oracle reproduces; the Ray side can only match it by the
+    decode -> DCT -> banded-LSH -> Hamming pipeline actually working."""
+
+    def __init__(self):
+        from ..sources import tiff
+        from ..stages.image_ops import ImagePHash
+
+        self.tiff = tiff
+        self.ph = ImagePHash()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lumas = []
+        for e in eid:
+            base = int(e) // PHASH_GROUP
+            rs = np.random.RandomState(base % (2**31))
+            img = rs.randint(0, 256, size=(64, 64, 3)).astype(np.uint8)
+            rs2 = np.random.RandomState((int(e) + 977) % (2**31))
+            ys = rs2.randint(0, 64, 4)
+            xs = rs2.randint(0, 64, 4)
+            delta = rs2.choice(np.array([-4, 4], dtype=np.int64), size=(4, 3))
+            img[ys, xs] = np.clip(img[ys, xs].astype(np.int64) + delta, 0, 255).astype(np.uint8)
+            buf = self.tiff.encode_tiff(img, 0, 0)
+            pix = self.tiff.parse_pixels(buf)
+            lumas.append(self.ph._luma32(pix))
+        ph = self.ph.hash_images(np.stack(lumas))
+        out = pa.table({"event_id": pa.array(eid, type=pa.int64()), "phash": pa.array(ph, type=pa.int64())})
+        for b in range(4):
+            band = (ph >> (16 * b)) & np.int64(0xFFFF)
+            out = out.append_column(f"ph_band{b}", pa.array(band.astype(np.int32), type=pa.int32()))
+        return out
+
+
+def q_phash_pairs(sf_dir: str):
+    """Image near-dup pairs via banded pHash LSH + exact Hamming verify
+    (the SimHash plan over DCT perceptual hashes; SURVEY.md §2.6 dedup
+    family, image modality)."""
+    import ray.data as rd
+
+    from ..functions.hashing import hamming64
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    fp = ds.map_batches(_PhashCorpus, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        bands = np.stack(
+            [batch.column(f"ph_band{b}").to_numpy(zero_copy_only=False) for b in range(4)]
+        )
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n), type=pa.int32()),
+                "key": pa.array(bands.ravel(), type=pa.int32()),
+                "event_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+                "phash": pa.array(np.tile(ph, 4), type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("event_id").to_numpy(zero_copy_only=False)
+        ph = group.column("phash").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ph = ids[order], ph[order]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, ph = ids[keep], ph[keep]
+        ids, ph = ids[:256], ph[:256]  # cap fan-out; truncate, never drop the bucket
+        if len(ids) < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = hamming64(ph[ia].astype(np.uint64), ph[ib].astype(np.uint64))
+        ok = d <= PHASH_MAX_HAMMING
+        return pa.table(
+            {
+                "a": pa.array(ids[ia][ok], type=pa.int64()),
+                "b": pa.array(ids[ib][ok], type=pa.int64()),
+                "hamming": pa.array(d[ok], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = fp.map_batches(explode_bands, batch_format="pyarrow")
+    pairs = pairs.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair found via several matching bands appears once per band —
+    # the native Min aggregate dedups without per-group Python
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .select_columns(["a", "b"])
+    )
+
+
+SQL_PHASH_PAIRS = f"""
+SELECT a.event_id AS a, b.event_id AS b
+FROM events a JOIN events b
+  ON (a.event_id // {PHASH_GROUP}) = (b.event_id // {PHASH_GROUP})
+ AND a.event_id < b.event_id
+"""

@@ -348,3 +348,94 @@ class FrameSample:
         out = out.append_column("frame_indices", pa.array(idx_out, type=pa.list_(pa.int32())))
         out = out.append_column("frames_rgb", pa.array(frames_out, type=pa.list_(pa.binary())))
         return out
+
+
+class ImagePHash:
+    """Actor stage: 64-bit DCT perceptual hash per image payload.
+
+    The image-native near-dup fingerprint (pHash): decode -> luma ->
+    area-mean downsample to ``size`` x ``size`` -> 2-D orthonormal
+    DCT-II -> keep the top-left ``keep`` x ``keep`` low-frequency block
+    minus the DC term (63 coefficients) -> threshold at the EXACT
+    median (63 is odd, so the middle order statistic is unique and the
+    hash is deterministic) -> pack sign bits.  Near-identical pixels
+    give near-identical low-frequency spectra, so visual duplicates
+    land within a small Hamming distance regardless of high-frequency
+    noise — the image counterpart of SimHash over text.
+
+    Setup cost (DCT basis) paid once per actor; the per-batch path
+    stacks the resized lumas and hashes the whole batch with two
+    batched matmuls (einsum) — no per-pixel Python.
+    """
+
+    def __init__(self, size: int = 32, keep: int = 8):
+        self.size = size
+        self.keep = keep
+        n = np.arange(size, dtype=np.float64)
+        k = np.arange(size, dtype=np.float64)
+        d = np.sqrt(2.0 / size) * np.cos(np.pi * (2.0 * n[None, :] + 1.0) * k[:, None] / (2.0 * size))
+        d[0, :] *= 1.0 / np.sqrt(2.0)
+        self.dct = d
+        self.shifts = np.arange(keep * keep - 1, dtype=np.uint64)
+
+    def _luma32(self, pix: np.ndarray) -> np.ndarray:
+        """uint8 [h, w, 3] -> float64 [size, size] mean-pooled luma."""
+        p = pix.astype(np.int64)
+        g = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+        h, w = g.shape
+        s = self.size
+        if h < s:
+            g = g[(np.arange(s) * h) // s]
+            h = s
+        if w < s:
+            g = g[:, (np.arange(s) * w) // s]
+            w = s
+        rb = (np.arange(s, dtype=np.int64) * h) // s
+        cb = (np.arange(s, dtype=np.int64) * w) // s
+        rn = np.diff(np.append(rb, h)).astype(np.float64)
+        cn = np.diff(np.append(cb, w)).astype(np.float64)
+        pooled = np.add.reduceat(np.add.reduceat(g.astype(np.float64), rb, axis=0), cb, axis=1)
+        return pooled / (rn[:, None] * cn[None, :])
+
+    def hash_images(self, lumas: np.ndarray) -> np.ndarray:
+        """[n, size, size] float64 -> [n] int64 pHash (63 bits used)."""
+        c = np.einsum("ij,njk,lk->nil", self.dct, lumas, self.dct)
+        k = self.keep
+        flat = c[:, :k, :k].reshape(len(lumas), k * k)[:, 1:]  # drop DC
+        med = np.median(flat, axis=1)
+        bits = (flat > med[:, None]).astype(np.uint64)
+        return (bits << self.shifts[None, :]).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.jpeg import decode_jpeg
+        from ..sources.png import decode_png
+        from ..sources.tiff import parse_pixels
+
+        bufs = batch.column("bytes").to_pylist()
+        lumas = []
+        ok = np.zeros(len(bufs), dtype=bool)
+        for i, buf in enumerate(bufs):
+            try:
+                kind = sniff_format(buf)
+                if kind == "png":
+                    pix = decode_png(buf)
+                elif kind == "jpeg":
+                    pix = decode_jpeg(buf)
+                else:
+                    pix = parse_pixels(buf)
+                lumas.append(self._luma32(pix))
+                ok[i] = True
+            except Exception:
+                continue  # undecodable payload -> null phash row
+        ph = np.zeros(len(bufs), dtype=np.int64)
+        if lumas:
+            ph[ok] = self.hash_images(np.stack(lumas))
+        keep = [c for c in batch.column_names if c != "bytes"]
+        out = batch.select(keep)
+        out = out.append_column("phash", pa.array(ph, type=pa.int64(), mask=~ok))
+        for b in range(4):
+            band = (ph >> (16 * b)) & 0xFFFF
+            out = out.append_column(
+                f"ph_band{b}", pa.array(band.astype(np.int32), type=pa.int32(), mask=~ok)
+            )
+        return out
