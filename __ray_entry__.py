@@ -19,6 +19,7 @@ from typing import Any
 from geocoding_ray.pipelines import oracle_queries as oq
 from geocoding_ray.pipelines import range_join as rj
 from geocoding_ray.pipelines import stats_queries as sq
+from geocoding_ray.pipelines import tpch_queries as tpch
 from geocoding_ray.pipelines import text_queries as tq
 
 
@@ -75,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sq.q_stratified_sample,  # per-stratum deterministic hash quota sample
         "term_df": sq.q_term_df,                  # per-lang top terms by document frequency
         "phash_pairs": oq.q_phash_pairs,          # DCT perceptual-hash image near-dup (real codec path)
+        "pricing_summary": tpch.q_pricing_summary,    # Q1 shape: partial-agg shuffle shrink, exact cents
+        "revenue_by_nation": tpch.q_revenue_by_nation,  # Q5 shape: fact pre-agg + broadcast dim chain
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -134,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": sq.SQL_STRATIFIED_SAMPLE,
         "term_df": sq.SQL_TERM_DF,
         "phash_pairs": oq.SQL_PHASH_PAIRS,
+        "pricing_summary": tpch.SQL_PRICING_SUMMARY,
+        "revenue_by_nation": tpch.SQL_REVENUE_BY_NATION,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

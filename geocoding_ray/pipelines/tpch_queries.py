@@ -1,0 +1,174 @@
+"""Relational rollups over the TPC-H-ish tables: generic join +
+exact-integer aggregation building blocks.
+
+Two canonical shapes a general-purpose engine must do well at 100 TB:
+
+* ``pricing_summary`` (TPC-H Q1 shape): wide-table scan -> per-batch
+  vectorized partial aggregates on integerized money -> slim groupby
+  merge.  The shuffle carries #groups x #blocks rows, never data rows.
+* ``revenue_by_nation`` (Q5-ish shape): fact-side pre-aggregation by
+  join key BEFORE any join, then a broadcast hash join against the
+  small dimension chain (supplier -> nation), then the final tiny
+  groupby.  The fact table is never shuffled at full width.
+
+Money handling: doubles are integerized (cents = floor(x * 100)) at
+the scan, so every sum is an exact int64 both here and in DuckDB
+(hugeint) — float summation order can never flip the compare.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------------------
+# pricing summary (Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+def _pricing_partials(batch: pa.Table) -> pa.Table:
+    rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+    ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+    qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+    px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    qty_c = np.floor(qty * 100.0).astype(np.int64)
+    px_c = np.floor(px * 100.0).astype(np.int64)
+    disc_c = np.floor(disc * 100.0).astype(np.int64)
+    # discounted price in exact integer micro-units: cents * (100 - disc_c)
+    disc_px = px_c * (100 - disc_c)
+    key = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
+    keys, inv = np.unique(key, return_inverse=True)
+    n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+    sums = {}
+    for name, v in (("sum_qty", qty_c), ("sum_base", px_c), ("sum_disc", disc_px)):
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        sums[name] = acc
+    flags = [k.split("|") for k in keys.tolist()]
+    return pa.table(
+        {
+            "l_returnflag": pa.array([f[0] for f in flags], type=pa.string()),
+            "l_linestatus": pa.array([f[1] for f in flags], type=pa.string()),
+            "n": pa.array(n, type=pa.int64()),
+            "sum_qty": pa.array(sums["sum_qty"], type=pa.int64()),
+            "sum_base": pa.array(sums["sum_base"], type=pa.int64()),
+            "sum_disc": pa.array(sums["sum_disc"], type=pa.int64()),
+        }
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return (
+        ds.map_batches(_pricing_partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum(on="n", alias_name="count_order"),
+            Sum(on="sum_qty", alias_name="sum_qty_cents"),
+            Sum(on="sum_base", alias_name="sum_base_cents"),
+            Sum(on="sum_disc", alias_name="sum_disc_micros"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+WITH v AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS px_c,
+         CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_c
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS count_order,
+       CAST(SUM(qty_c) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(px_c) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(px_c * (100 - disc_c)) AS BIGINT) AS sum_disc_micros
+FROM v GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue by nation (Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Fact pre-aggregation by l_suppkey inside map_batches -> slim
+    groupby(suppkey) -> broadcast dimension join (supplier->nation is
+    driver-small; at 100 TB the dimension chain still fits a ray.put
+    broadcast — the fact table is the only big side and it is never
+    shuffled at full width)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    order = np.argsort(sk, kind="stable")
+    sk, snk = sk[order], snk[order]
+    norder = np.argsort(nk, kind="stable")
+    nk, nname = nk[norder], nname[norder]
+    dim_ref = ray.put((sk, snk, nk, nname))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        keys, inv = np.unique(supp, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(keys, type=pa.int64()),
+                "rev": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        sk, snk, nk, nname = ray.get(dim_ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        si = np.searchsorted(sk, supp)
+        ni = np.searchsorted(nk, snk[si])
+        return pa.table(
+            {
+                "n_name": pa.array(nname[ni].tolist(), type=pa.string()),
+                "rev": batch.column("rev"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+        .map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum(on="rev", alias_name="revenue_micros"))
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS revenue_micros
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
