@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_km": rj.q_range_join_km,      # radius θ-join, haversine meters (margin-checked oracle)
         "group_zscore": sq.q_group_zscore,        # per-group normalization via exact int partials
         "stratified_sample": sq.q_stratified_sample,  # per-stratum deterministic hash quota sample
+        "quality_filter": sq.q_quality_filter,    # per-lang median-threshold quality pass
         "term_df": sq.q_term_df,                  # per-lang top terms by document frequency
         "phash_pairs": oq.q_phash_pairs,          # DCT perceptual-hash image near-dup (real codec path)
         "pricing_summary": tpch.q_pricing_summary,    # Q1 shape: partial-agg shuffle shrink, exact cents
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_km": rj.SQL_RANGE_JOIN_KM,
         "group_zscore": sq.SQL_GROUP_ZSCORE,
         "stratified_sample": sq.SQL_STRATIFIED_SAMPLE,
+        "quality_filter": sq.SQL_QUALITY_FILTER,
         "term_df": sq.SQL_TERM_DF,
         "phash_pairs": oq.SQL_PHASH_PAIRS,
         "pricing_summary": tpch.SQL_PRICING_SUMMARY,

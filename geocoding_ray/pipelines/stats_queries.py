@@ -305,3 +305,66 @@ r AS (
   FROM df)
 SELECT lang, term, df, rk FROM r WHERE rk <= {TOP_TERMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# quality filtering (per-group percentile threshold)
+# ---------------------------------------------------------------------------
+#
+# Keep the documents whose n_chars exceeds their language's discrete
+# median — the classic per-stratum quality-threshold pass of a
+# training-data pipeline.  Exact-median plan for an INTEGER metric:
+# one distributed (lang, n_chars) count groupby (bounded by #langs x
+# #distinct lengths, NOT by row count), driver-side rank walk over the
+# tiny count table, threshold broadcast, streaming filter pass.  The
+# rank rule is quantile_disc's ceil(q*n)-1 (== floor((n-1)/2) at
+# q=0.5), matching the grouped_median family bit-for-bit.
+
+
+def q_quality_filter(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    path = f"{sf_dir}/documents.parquet"
+    counts = (
+        rd.read_parquet(path, columns=["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()  # #langs x #distinct lengths — value-domain-bounded
+    )
+    counts = [r for r in counts if r["n_chars"] is not None]
+    langs = sorted({r["lang"] for r in counts})
+    med: dict[str, int] = {}
+    for lang in langs:
+        rows = sorted((r["n_chars"], r["cnt"]) for r in counts if r["lang"] == lang)
+        total = sum(c for _, c in rows)
+        target = (total - 1) // 2  # 0-based rank of the discrete median
+        cum = 0
+        for v, c in rows:
+            cum += c
+            if cum > target:
+                med[lang] = v
+                break
+    med_ref = ray.put(med)
+
+    def keep_above(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        thr = np.array([m.get(v, np.iinfo(np.int64).max) for v in lang], dtype=np.int64)
+        mask = np.asarray(nc > thr)
+        return batch.filter(pa.array(mask))
+
+    return rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"]).map_batches(
+        keep_above, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY_FILTER = """
+WITH med AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS med FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN med USING (lang)
+WHERE d.n_chars > med.med
+"""

@@ -98,6 +98,20 @@ class TestStratifiedSample:
         assert len({key(r) for r in a}) == len(a)  # ranks unique per lang
 
 
+class TestQualityFilter:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        out = sq.q_quality_filter("/root/testdata/sf0.001").take_all()
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+        exp = set()
+        for lang, grp in docs.groupby("lang"):
+            v = np.sort(grp["n_chars"].to_numpy())
+            med = v[(len(v) - 1) // 2]  # quantile_disc(0.5) rule
+            exp |= set(grp.loc[grp["n_chars"] > med, "doc_id"])
+        assert {r["doc_id"] for r in out} == exp
+
+
 class TestTermDF:
     def test_matches_brute_force(self, ray_session):
         import pyarrow.parquet as pq
