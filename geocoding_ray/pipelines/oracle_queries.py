@@ -1307,3 +1307,80 @@ FROM events a JOIN events b
   ON (a.event_id // {PHASH_GROUP}) = (b.event_id // {PHASH_GROUP})
  AND a.event_id < b.event_id
 """
+
+
+PHASH_TOPK_NQ = 16  # event_id < NQ are the query images
+PHASH_TOPK_K = 5
+
+
+def q_phash_topk(sf_dir: str):
+    """Image similarity retrieval: brute-force Hamming top-k over pHash
+    fingerprints (the ann_topk plan on the image modality).  The query
+    fingerprints are synthesized driver-side from a predicate-pushdown
+    read of only the query ids (never the table); the database side
+    streams through the corpus actor.  Gated: within top-k, neighbors
+    at Hamming <= PHASH_MAX_HAMMING are exactly the query's dup-group
+    mates (cross-group distances sit far above the gate — the
+    separation property tested in tests/test_phash.py), so the SQL
+    oracle is the closed-form mate set."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hamming64
+
+    qt = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id"],
+        filters=[("event_id", "<", PHASH_TOPK_NQ)],
+    )
+    qfp = _PhashCorpus()(qt)
+    qids = qfp.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qph = qfp.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    q_ref = ray.put((qids, qph))
+
+    K = PHASH_TOPK_K
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qph = ray.get(q_ref)
+        nid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = hamming64(qph[:, None], ph[None, :])  # [nq, nb]
+        mask = nid[None, :] != qids[:, None]  # no self-match
+        d = np.where(mask, d, np.iinfo(np.int64).max)
+        k = min(K, d.shape[1])
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        qi = np.repeat(np.arange(len(qids)), k)
+        ni = part.ravel()
+        keep = d[qi, ni] < np.iinfo(np.int64).max
+        return pa.table(
+            {
+                "qid": pa.array(qids[qi][keep], type=pa.int64()),
+                "nid": pa.array(nid[ni][keep], type=pa.int64()),
+                "hamming": pa.array(d[qi, ni][keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def final_topk(grp: pa.Table) -> pa.Table:
+        nid = grp.column("nid").to_numpy(zero_copy_only=False)
+        ham = grp.column("hamming").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, ham))[:K]
+        sel = order[ham[order] <= PHASH_MAX_HAMMING]
+        out = grp.take(pa.array(sel, type=pa.int64()))
+        return pa.table({"qid": out.column("qid"), "nid": out.column("nid")})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    fp = ds.map_batches(_PhashCorpus, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1)
+    return (
+        fp.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+SQL_PHASH_TOPK = f"""
+SELECT a.event_id AS qid, b.event_id AS nid
+FROM events a JOIN events b
+  ON (a.event_id // {PHASH_GROUP}) = (b.event_id // {PHASH_GROUP})
+ AND a.event_id != b.event_id
+WHERE a.event_id < {PHASH_TOPK_NQ}
+"""
