@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": oq.q_audio_features,    # multimodal audio: real RIFF/PCM decode + int features
         "jpeg_roundtrip": oq.q_jpeg_roundtrip,    # lossy-codec invariant: real JPEG enc/dec, PSNR >= 40 dB per row
         "transcode_stats": oq.q_transcode_stats,  # tiff -> png transcode through both real codecs, means bit-exact
+        "video_frames": oq.q_video_frames,        # real strided frame sampling, per-frame means
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": oq.SQL_AUDIO_FEATURES,
         "jpeg_roundtrip": oq.SQL_JPEG_ROUNDTRIP,
         "transcode_stats": oq.SQL_TRANSCODE_STATS,
+        "video_frames": oq.SQL_VIDEO_FRAMES,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "seq_pack": tq.SQL_SEQ_PACK,

@@ -1384,3 +1384,80 @@ FROM events a JOIN events b
  AND a.event_id != b.event_id
 WHERE a.event_id < {PHASH_TOPK_NQ}
 """
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (multimodal: real strided extraction)
+# ---------------------------------------------------------------------------
+
+VIDEO_EVERY_N = 5
+
+
+class _VideoFrameMeans:
+    """Actor: synthesize a GRV1 clip per event (20 + event_id % 11
+    frames of 8x8 RGB, frame k filled with (event_id*7 + k*13) % 256),
+    run the REAL strided FrameSample extraction, then explode the
+    sampled frames to per-frame rows with their channel mean.  The mean
+    of a constant-fill frame is its fill value exactly (integer sum /
+    count < 2^53), which is the closed form the SQL oracle generates
+    with unnest(generate_series(...))."""
+
+    def __init__(self):
+        from ..sources.rawvideo import encode_rawvideo
+        from ..stages.image_ops import FrameSample
+
+        self.encode = encode_rawvideo
+        self.sampler = FrameSample(every_n=VIDEO_EVERY_N)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = []
+        for e in eid:
+            nf = int(20 + e % 11)
+            fills = ((e * 7 + np.arange(nf, dtype=np.int64) * 13) % 256).astype(np.uint8)
+            frames = np.ascontiguousarray(
+                np.broadcast_to(fills[:, None, None, None], (nf, 8, 8, 3))
+            )
+            bufs.append(self.encode(frames))
+        t = pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "bytes": pa.array(bufs, type=pa.binary()),
+            }
+        )
+        out = self.sampler(t)
+        idx_lists = out.column("frame_indices").to_pylist()
+        frame_lists = out.column("frames_rgb").to_pylist()
+        rid, fidx, mean = [], [], []
+        for i, e in enumerate(eid):
+            for k, fb in zip(idx_lists[i], frame_lists[i]):
+                rid.append(int(e))
+                fidx.append(int(k))
+                mean.append(float(np.frombuffer(fb, dtype=np.uint8).mean()))
+        return pa.table(
+            {
+                "event_id": pa.array(rid, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "mean_val": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+
+def q_video_frames(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _VideoFrameMeans, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_VIDEO_FRAMES = f"""
+SELECT event_id,
+       CAST(g AS BIGINT) AS frame_idx,
+       CAST((event_id * 7 + g * 13) % 256 AS DOUBLE) AS mean_val
+FROM (
+  SELECT event_id,
+         unnest(generate_series(0, (20 + event_id % 11) - 1, {VIDEO_EVERY_N})) AS g
+  FROM events) s
+"""
