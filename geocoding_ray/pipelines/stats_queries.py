@@ -236,29 +236,52 @@ _TERM_RE = re.compile(r"[^a-z]+")
 
 
 def _term_partials(batch: pa.Table) -> pa.Table:
-    langs = batch.column("lang").to_pylist()
-    texts = batch.column("text").to_pylist()
-    counts: dict[tuple[str, str], int] = {}
-    for lang, text in zip(langs, texts):
-        if text is None:
-            continue
-        for term in set(_TERM_RE.split(text.lower())):
-            if term:
-                counts[(lang, term)] = counts.get((lang, term), 0) + 1
-    if not counts:
-        return pa.table(
-            {
-                "lang": pa.array([], type=pa.string()),
-                "term": pa.array([], type=pa.string()),
-                "df": pa.array([], type=pa.int64()),
-            }
-        )
-    ks = list(counts)
+    """(lang, text) rows -> per-batch partial (lang, term, df) counts,
+    fully vectorized: Arrow lower + regex split, flatten with a
+    repeated doc index, dictionary-encode terms to int codes, then
+    distinct (doc, code) pairs and a (lang-code, term-code) unique
+    count — no per-row Python (``_TERM_RE`` documents the same
+    tokenizer rule for brute-force tests)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "lang": pa.array([], type=pa.string()),
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+        }
+    )
+    text = batch.column("text").combine_chunks()
+    lang = batch.column("lang").combine_chunks()
+    valid = pc.is_valid(text)
+    if not pc.all(valid).as_py():
+        text = text.filter(valid)
+        lang = lang.filter(valid)
+    if len(text) == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.any():
+        return empty
+    enc = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = doc_of[nonempty]
+    vocab = enc.dictionary
+    nv = len(vocab)
+    pair = np.unique(doc_of * nv + codes)  # distinct (doc, term)
+    p_doc = pair // nv
+    p_code = pair % nv
+    lenc = pc.dictionary_encode(lang)
+    lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[p_doc]
+    uniq, cnt = np.unique(lcodes * nv + p_code, return_counts=True)
     return pa.table(
         {
-            "lang": pa.array([k[0] for k in ks], type=pa.string()),
-            "term": pa.array([k[1] for k in ks], type=pa.string()),
-            "df": pa.array([counts[k] for k in ks], type=pa.int64()),
+            "lang": lenc.dictionary.take(pa.array(uniq // nv, type=pa.int64())),
+            "term": vocab.take(pa.array(uniq % nv, type=pa.int64())),
+            "df": pa.array(cnt.astype(np.int64), type=pa.int64()),
         }
     )
 
