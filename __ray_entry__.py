@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": sq.q_term_df,                  # per-lang top terms by document frequency
         "phash_pairs": oq.q_phash_pairs,          # DCT perceptual-hash image near-dup (real codec path)
         "phash_topk": oq.q_phash_topk,            # image retrieval: Hamming top-k over pHash
+        "phash_clusters": oq.q_phash_clusters,    # image dup clusters over the gated pHash graph
         "pricing_summary": tpch.q_pricing_summary,    # Q1 shape: partial-agg shuffle shrink, exact cents
         "revenue_by_nation": tpch.q_revenue_by_nation,  # Q5 shape: fact pre-agg + broadcast dim chain
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df": sq.SQL_TERM_DF,
         "phash_pairs": oq.SQL_PHASH_PAIRS,
         "phash_topk": oq.SQL_PHASH_TOPK,
+        "phash_clusters": oq.SQL_PHASH_CLUSTERS,
         "pricing_summary": tpch.SQL_PRICING_SUMMARY,
         "revenue_by_nation": tpch.SQL_REVENUE_BY_NATION,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,

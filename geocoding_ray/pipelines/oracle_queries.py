@@ -1461,3 +1461,31 @@ FROM (
          unnest(generate_series(0, (20 + event_id % 11) - 1, {VIDEO_EVERY_N})) AS g
   FROM events) s
 """
+
+
+def q_phash_clusters(sf_dir: str):
+    """Image duplicate clusters: fully distributed min-label propagation
+    (stages.dedup.connected_components — labels stay a Dataset, joined
+    onto edges per round) over the ORACLE-GATED pHash pair set, so the
+    cluster labels have a closed-form oracle too: each dup group is a
+    clique, its label is its minimum (= first) event_id."""
+    from ..stages.dedup import connected_components
+
+    comp = connected_components(q_phash_pairs(sf_dir))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("doc_id"),
+                "cluster_id": batch.column("cluster_id"),
+            }
+        )
+
+    return comp.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_PHASH_CLUSTERS = f"""
+SELECT event_id, (event_id // {PHASH_GROUP}) * {PHASH_GROUP} AS cluster_id
+FROM events
+QUALIFY COUNT(*) OVER (PARTITION BY event_id // {PHASH_GROUP}) > 1
+"""
