@@ -1190,6 +1190,13 @@ def q_reverse_annotations(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 PHASH_GROUP = 4  # images per shared base pattern
+# verify gate for candidate pairs.  NOTE the 4x16-bit banding only
+# GUARANTEES a shared bucket for Hamming <= 3 (pigeonhole); 4..8 is
+# best-effort recall.  The exact-oracle gate stays sound because the
+# corpus's intra-group distances are far below the guarantee —
+# tests/test_phash.py::test_corpus_within_band_guarantee pins max
+# intra-group Hamming <= 3, so a perturbation-amplitude change that
+# would break banding recall fails the test, not the silent gate.
 PHASH_MAX_HAMMING = 8
 
 
@@ -1225,7 +1232,8 @@ class _PhashCorpus:
             buf = self.tiff.encode_tiff(img, 0, 0)
             pix = self.tiff.parse_pixels(buf)
             lumas.append(self.ph._luma32(pix))
-        ph = self.ph.hash_images(np.stack(lumas))
+        # empty blocks happen after splits/repartition — np.stack([]) raises
+        ph = self.ph.hash_images(np.stack(lumas)) if lumas else np.zeros(0, dtype=np.int64)
         out = pa.table({"event_id": pa.array(eid, type=pa.int64()), "phash": pa.array(ph, type=pa.int64())})
         for b in range(4):
             band = (ph >> (16 * b)) & np.int64(0xFFFF)
@@ -1268,7 +1276,12 @@ def q_phash_pairs(sf_dir: str):
         keep = np.ones(len(ids), dtype=bool)
         keep[1:] = ids[1:] != ids[:-1]
         ids, ph = ids[keep], ph[keep]
-        ids, ph = ids[:256], ph[:256]  # cap fan-out; truncate, never drop the bucket
+        # fan-out bound: a 16-bit band bucket holds ~(n_rows/65536 +
+        # dup-group size) distinct ids; 4096 is ~100x the sf0.1 maximum
+        # (tests/test_phash.py::test_bucket_sizes_far_below_cap) so the
+        # truncation below never bites a gated tier — it exists only to
+        # bound the O(k^2) pair matrix against adversarial skew
+        ids, ph = ids[:4096], ph[:4096]
         if len(ids) < 2:
             return pa.table(
                 {

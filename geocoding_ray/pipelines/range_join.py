@@ -40,11 +40,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..state import cells
 from ..state.distance import EARTH_RADIUS_M, haversine_m, planar_sq_deg
 from .reverse_shuffle import bbox_cover_rows
-
-_LON_COLS = ("lon", "lat")
 
 
 def disk_bboxes(

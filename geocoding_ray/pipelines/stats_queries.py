@@ -17,8 +17,6 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from .poolsize import auto_pool  # noqa: F401  (kept for parity with sibling modules)
-
 # ---------------------------------------------------------------------------
 # group-wise z-score normalization
 # ---------------------------------------------------------------------------
@@ -101,6 +99,15 @@ def q_group_zscore(sf_dir: str):
         gi = np.searchsorted(kt, et)
         v = np.floor(val * 100.0).astype(np.int64)
         n, s, q = kn[gi], ks[gi], kq[gi]
+        # numpy int64 wraps silently where DuckDB's hugeint stays exact;
+        # fail loudly instead of diverging (preflight in float headroom)
+        if len(n) and max(
+            float(np.max(np.abs(n.astype(np.float64) * q.astype(np.float64)))),
+            float(np.max(s.astype(np.float64) * s.astype(np.float64))),
+        ) > 2.0**62:
+            raise ValueError(
+                "group_zscore int64 partial overflow: rescale v or switch the merge to int128"
+            )
         den_i = n * q - s * s
         num = (n * v - s).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -259,7 +266,7 @@ def _term_partials(batch: pa.Table) -> pa.Table:
         lang = lang.filter(valid)
     if len(text) == 0:
         return empty
-    toks = pc.split_pattern_regex(pc.utf8_lower(text), "[^a-z]+")
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), _TERM_RE.pattern)
     flat = pc.list_flatten(toks)
     offsets = toks.offsets.to_numpy(zero_copy_only=False)
     doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
@@ -356,11 +363,13 @@ def q_quality_filter(sf_dir: str):
         .aggregate(Count(alias_name="cnt"))
         .take_all()  # #langs x #distinct lengths — value-domain-bounded
     )
-    counts = [r for r in counts if r["n_chars"] is not None]
-    langs = sorted({r["lang"] for r in counts})
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in counts:  # one pass, not a rescan per language
+        if r["n_chars"] is not None:
+            by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["cnt"]))
     med: dict[str, int] = {}
-    for lang in langs:
-        rows = sorted((r["n_chars"], r["cnt"]) for r in counts if r["lang"] == lang)
+    for lang, rows in by_lang.items():
+        rows.sort()
         total = sum(c for _, c in rows)
         target = (total - 1) // 2  # 0-based rank of the discrete median
         cum = 0

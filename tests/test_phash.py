@@ -91,6 +91,52 @@ class TestImagePHash:
         h = _phash_of(small, self.ph)
         assert 0 <= h < (1 << 63)
 
+    def test_corpus_within_band_guarantee(self):
+        """4x16-bit banding only GUARANTEES candidate recall for
+        Hamming <= 3; the gated corpus must stay within that bound so
+        the exact oracle can never lose a pair to banding.  Pins the
+        perturbation amplitude: raise it and this fails before the
+        silent gate does."""
+        from geocoding_ray.pipelines.oracle_queries import _PhashCorpus
+
+        import pyarrow as pa
+
+        eids = np.arange(0, 400, dtype=np.int64)  # 100 dup groups
+        fp = _PhashCorpus()(pa.table({"event_id": pa.array(eids, type=pa.int64())}))
+        ph = fp.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        worst = 0
+        for b in range(0, 400, 4):
+            grp = ph[b : b + 4]
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    worst = max(worst, _ham(int(grp[i]), int(grp[j])))
+        assert worst <= 3, f"intra-group Hamming {worst} exceeds the banding guarantee"
+
+    def test_bucket_sizes_far_below_cap(self):
+        """The 4096-id bucket cap must never truncate at gated tiers:
+        measure the real (band, key) bucket occupancy of a 10k-image
+        corpus (sf0.01 scale) and require 100x headroom."""
+        from geocoding_ray.pipelines.oracle_queries import _PhashCorpus
+
+        import pyarrow as pa
+
+        eids = np.arange(0, 10_000, dtype=np.int64)
+        fp = _PhashCorpus()(pa.table({"event_id": pa.array(eids, type=pa.int64())}))
+        worst = 0
+        for b in range(4):
+            band = fp.column(f"ph_band{b}").to_numpy(zero_copy_only=False)
+            _, cnt = np.unique(band, return_counts=True)
+            worst = max(worst, int(cnt.max()))
+        assert worst <= 40, f"max bucket {worst}; cap headroom eroded"
+
+    def test_empty_batch_ok(self):
+        from geocoding_ray.pipelines.oracle_queries import _PhashCorpus
+
+        import pyarrow as pa
+
+        out = _PhashCorpus()(pa.table({"event_id": pa.array([], type=pa.int64())}))
+        assert out.num_rows == 0
+
     def test_scale_invariance_integer_ratio(self):
         # 2x block replication of a 32x32 image mean-pools back to the
         # original luma exactly -> identical hash (scale invariance on
