@@ -182,6 +182,14 @@ def run_bench() -> dict:
     # window, keep sampling (bounded) so every bench run contains at
     # least one contention-classified measurement the grader can trust.
     MAX_EXTRA = int(os.environ.get("GRAFT_BENCH_MAX_EXTRA", "3"))
+    # Global wall budget for the repeat loops: under SUSTAINED host
+    # contention every query extends to its per-query cap and the whole
+    # bench can outgrow the caller's timeout, losing the run entirely.
+    # Once the budget is spent, extension stops (the mandatory `want`
+    # repeats still run) — a degraded-but-complete run with contention
+    # stamps beats a killed one.
+    MAX_WALL_S = float(os.environ.get("GRAFT_BENCH_MAX_WALL_S", "900"))
+    bench_t0 = time.perf_counter()
 
     def timed(name, fn, repeats=None):
         import statistics
@@ -192,7 +200,9 @@ def run_bench() -> dict:
         want = max(1, repeats if repeats is not None else REPEATS)
         budget = want + (MAX_EXTRA if want > 1 else 0)
         while len(samples) < want or (
-            len(samples) < budget and sum(_is_clean(r) for r in recs) < min(2, want)
+            len(samples) < budget
+            and sum(_is_clean(r) for r in recs) < min(2, want)
+            and time.perf_counter() - bench_t0 < MAX_WALL_S
         ):
             load1 = os.getloadavg()[0]
             s0, t0j = _read_steal()
