@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_zscore": sq.q_group_zscore,        # per-group normalization via exact int partials
         "stratified_sample": sq.q_stratified_sample,  # per-stratum deterministic hash quota sample
         "quality_filter": sq.q_quality_filter,    # per-lang median-threshold quality pass
+        "unique_docs": sq.q_unique_docs,          # anti-join: content-unique documents
         "term_df": sq.q_term_df,                  # per-lang top terms by document frequency
         "phash_pairs": oq.q_phash_pairs,          # DCT perceptual-hash image near-dup (real codec path)
         "phash_topk": oq.q_phash_topk,            # image retrieval: Hamming top-k over pHash
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "group_zscore": sq.SQL_GROUP_ZSCORE,
         "stratified_sample": sq.SQL_STRATIFIED_SAMPLE,
         "quality_filter": sq.SQL_QUALITY_FILTER,
+        "unique_docs": sq.SQL_UNIQUE_DOCS,
         "term_df": sq.SQL_TERM_DF,
         "phash_pairs": oq.SQL_PHASH_PAIRS,
         "phash_topk": oq.SQL_PHASH_TOPK,

@@ -400,3 +400,58 @@ SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN med USING (lang)
 WHERE d.n_chars > med.med
 """
+
+
+# ---------------------------------------------------------------------------
+# anti-join: content-unique documents
+# ---------------------------------------------------------------------------
+#
+# The complement of exact dedup: documents whose normalized content
+# hash has NO duplicate partner (the "survivors without siblings"
+# pass a training-data pipeline runs before expensive near-dup work).
+# Distributed anti-join shape: per-batch partial (hash, count) -> tiny
+# groupby sum over realized hashes -> the n == 1 hash set semi-joins
+# the docs stream.  Mirrors q_dedup_exact's md5(text) content key so
+# both gates share one definition of "identical content".
+
+
+def q_unique_docs(sf_dir: str):
+    import hashlib
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hx = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "hx": pa.array(hx, type=pa.string())}
+        )
+
+    hashed_ds = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        hashed, batch_format="pyarrow"
+    ).materialize()  # consumed by the count pass and the anti-join pass
+    counts = hashed_ds.groupby("hx").aggregate(Count(alias_name="n"))
+    dup_hx = counts.filter(expr="n >= 2").select_columns(["hx"]).take_all()
+    # the DUP hash set is the slim side (bounded by the dup mass, the
+    # quantity exact dedup already collects); broadcast it and ANTI-join
+    dup_arr = pa.array(sorted(r["hx"] for r in dup_hx), type=pa.string())
+    dup_ref = ray.put(dup_arr)
+
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = ray.get(dup_ref)
+        mask = pc.invert(pc.is_in(batch.column("hx"), value_set=dup))
+        return batch.filter(mask).select(["doc_id"])
+
+    return hashed_ds.map_batches(keep_unique, batch_format="pyarrow")
+
+
+SQL_UNIQUE_DOCS = """
+SELECT doc_id FROM documents
+QUALIFY COUNT(*) OVER (PARTITION BY md5(text)) = 1
+"""

@@ -134,3 +134,30 @@ class TestTermDF:
             dfs = [x[1] for x in rows]
             assert dfs == sorted(dfs, reverse=True)
             assert len(rows) == min(sq.TOP_TERMS, len(rows))
+
+
+class TestUniqueDocs:
+    def test_excludes_duplicated_content(self, ray_session, tmp_path):
+        import pyarrow.parquet as pqw
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": pa.array(["same", "same", "only", "same", "alone"]),
+                "lang": pa.array(["en"] * 5),
+            }
+        )
+        d = tmp_path / "ud"
+        d.mkdir()
+        pqw.write_table(t, str(d / "documents.parquet"))
+        out = {r["doc_id"] for r in sq.q_unique_docs(str(d)).take_all()}
+        assert out == {3, 5}
+
+    def test_sf01_has_real_duplicates(self, ray_session):
+        # the sf0.1 documents table contains duplicated content, so the
+        # anti-join's non-trivial branch is exercised at bench scale
+        out = sq.q_unique_docs("/root/testdata/sf0.1").take_all()
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile("/root/testdata/sf0.1/documents.parquet").metadata.num_rows
+        assert len(out) < n
