@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from geocoding_ray.pipelines import curation_queries as cq
 from geocoding_ray.pipelines import oracle_queries as oq
 from geocoding_ray.pipelines import range_join as rj
 from geocoding_ray.pipelines import stats_queries as sq
@@ -84,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": tpch.q_pricing_summary,    # Q1 shape: partial-agg shuffle shrink, exact cents
         "revenue_by_nation": tpch.q_revenue_by_nation,  # Q5 shape: fact pre-agg + broadcast dim chain
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
+        "decontaminate": cq.q_decontaminate,      # benchmark decontamination: train/val 5-gram overlap join
+        "pii_redact": cq.q_pii_redact,            # vectorized RE2 scrub (PII-redaction shape) + match counts
+        "rep_ratio": cq.q_rep_ratio,              # duplicate-word-fraction quality signal, exact micros
+        "compact_lww": cq.q_compact_lww,          # last-writer-wins upsert compaction (argmax partials)
+        "bloom_semijoin": cq.q_bloom_semijoin,    # distributed-built Bloom prefilter + exact verify join
+        "order_revenue_topk": cq.q_order_revenue_topk,  # Q3 shape: dim filter + fact-fact join + top-k
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -151,6 +158,12 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": tpch.SQL_REVENUE_BY_NATION,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
+        "decontaminate": cq.SQL_DECONTAMINATE,
+        "pii_redact": cq.SQL_PII_REDACT,
+        "rep_ratio": cq.SQL_REP_RATIO,
+        "compact_lww": cq.SQL_COMPACT_LWW,
+        "bloom_semijoin": cq.SQL_BLOOM_SEMIJOIN,
+        "order_revenue_topk": cq.SQL_ORDER_REVENUE_TOPK,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -1,0 +1,222 @@
+"""Curation operators: n-gram explode brute-force parity and split
+invariance, repetition-ratio parity, LWW argmax merge semantics, and
+Bloom-filter guarantees (no false negatives; distributed OR-merge ==
+one-shot build)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from geocoding_ray.pipelines import curation_queries as cq
+
+
+def _brute_ngrams(doc_id: int, text: str, n: int = cq.NGRAM_N) -> set[tuple[int, str]]:
+    ws = text.split(" ")
+    return {(doc_id, " ".join(ws[i : i + n])) for i in range(len(ws) - n + 1)}
+
+
+class TestNgramRows:
+    TEXTS = [
+        "a b c d e f g",          # 3 five-grams
+        "one two three four",     # too short -> none
+        "x x x x x x",            # repeated words
+        "",                       # empty -> one empty word -> none
+        "p q r s t",              # exactly one
+    ]
+
+    def _batch(self, ids, texts):
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+    def test_counts_match_brute_force(self):
+        """Each doc contributes exactly its distinct window count (the
+        hash side may merge equal n-grams only if the strings are
+        equal; here all windows are distinct per doc except the
+        repeated-word doc whose windows are string-identical)."""
+        ids = [100, 101, 102, 103, 104]
+        # every doc lands in one split side or the other; force them all
+        # through the kernel by testing both sides' union
+        rows: dict[int, set[int]] = {}
+        for want_train in (True, False):
+            out = cq._ngram_rows(self._batch(ids, self.TEXTS), want_train=want_train)
+            for d, h in zip(out.column("doc_id").to_pylist(), out.column("ng_h").to_pylist()):
+                rows.setdefault(d, set()).add(h)
+        brute = {i: _brute_ngrams(i, t) for i, t in zip(ids, self.TEXTS)}
+        for i, t in zip(ids, self.TEXTS):
+            n_windows = max(len(t.split(" ")) - cq.NGRAM_N + 1, 0)
+            got = rows.get(i, set())
+            # hash-set size equals distinct n-gram count
+            assert len(got) == len(brute[i]), (i, t)
+            # and total window emission count is n_windows (duplicates kept)
+            if n_windows == 0:
+                assert i not in rows or len(rows[i]) == 0
+
+    def test_equal_ngrams_hash_equal_across_docs(self):
+        """The decontamination join relies on: same 5-gram string =>
+        same hash, regardless of which doc/batch it came from."""
+        a = cq._ngram_rows(self._batch([1], ["alpha beta gamma delta epsilon zeta"]), want_train=True)
+        b = cq._ngram_rows(self._batch([2], ["PAD alpha beta gamma delta epsilon"]), want_train=True)
+        ha = set(a.column("ng_h").to_pylist())
+        hb = set(b.column("ng_h").to_pylist())
+        # the shared window "alpha beta gamma delta epsilon"
+        assert ha & hb, "shared 5-gram must collide on purpose"
+        assert len(ha & hb) == 1
+
+    def test_split_invariance(self):
+        """Emitting n-gram rows over any row-wise batch cut yields the
+        same multiset as one batch (per-doc windows never cross rows)."""
+        ids = list(range(200, 205))
+        full = cq._ngram_rows(self._batch(ids, self.TEXTS), want_train=True)
+        want = sorted(
+            zip(full.column("doc_id").to_pylist(), full.column("ng_h").to_pylist())
+        )
+        for cut in range(1, len(ids)):
+            p1 = cq._ngram_rows(self._batch(ids[:cut], self.TEXTS[:cut]), want_train=True)
+            p2 = cq._ngram_rows(self._batch(ids[cut:], self.TEXTS[cut:]), want_train=True)
+            got = sorted(
+                zip(
+                    p1.column("doc_id").to_pylist() + p2.column("doc_id").to_pylist(),
+                    p1.column("ng_h").to_pylist() + p2.column("ng_h").to_pylist(),
+                )
+            )
+            assert got == want, cut
+
+
+class TestRepRatio:
+    def test_matches_brute_force(self, ray_session):
+        texts = ["a b a b a", "x y z", "w w w w", "", "solo"]
+        ids = list(range(5))
+        batch = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+        import ray  # noqa: F401  (module import parity with pipeline env)
+
+        # call the per-batch kernel through the query's inner function
+        out = None
+        # rebuild the kernel inline (it is defined nested); replicate here
+        # via the public query over a temp parquet instead:
+        import tempfile
+
+        import pyarrow.parquet as pq
+        import ray.data  # noqa: F401
+
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(batch, f"{td}/documents.parquet")
+            out = {
+                r["doc_id"]: (r["rep_micro"], r["flagged"])
+                for r in cq.q_rep_ratio(td).take_all()
+            }
+        for i, t in zip(ids, texts):
+            ws = t.split(" ")
+            n, d = len(ws), len(set(ws))
+            micro = (n - d) * 1_000_000 // n if n else 0
+            assert out[i] == (micro, micro >= cq.REP_FLAG_MICRO), (i, t)
+
+
+class TestLWWArgmax:
+    def _batch(self, uid, et, ts, eid, val):
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_type": pa.array(et),
+                "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+                "value": pa.array(val, type=pa.float64()),
+            }
+        )
+
+    def test_tie_on_ts_breaks_by_event_id(self):
+        b = self._batch(
+            [1, 1, 1],
+            ["c", "c", "c"],
+            ["2024-01-01T00:00:00", "2024-01-01T00:00:01", "2024-01-01T00:00:01"],
+            [10, 11, 12],
+            [1.0, 2.0, 3.0],
+        )
+        out = cq._lww_argmax(b)
+        assert out.num_rows == 1
+        assert out.column("event_id").to_pylist() == [12]
+        assert out.column("value").to_pylist() == [3.0]
+
+    def test_partial_then_final_equals_global(self):
+        rng = np.random.RandomState(7)
+        n = 400
+        uid = rng.randint(0, 5, n).tolist()
+        et = rng.choice(["a", "b"], n).tolist()
+        ts = (
+            np.datetime64("2024-01-01") + rng.randint(0, 50, n).astype("timedelta64[s]")
+        ).astype("datetime64[us]")
+        eid = rng.permutation(n).tolist()
+        val = rng.uniform(size=n).tolist()
+        full = cq._lww_argmax(self._batch(uid, et, ts, eid, val))
+        want = sorted(
+            zip(
+                full.column("user_id").to_pylist(),
+                full.column("event_type").to_pylist(),
+                full.column("event_id").to_pylist(),
+            )
+        )
+        for cut in (1, 57, 200, 399):
+            p1 = cq._lww_argmax(self._batch(uid[:cut], et[:cut], ts[:cut], eid[:cut], val[:cut]))
+            p2 = cq._lww_argmax(self._batch(uid[cut:], et[cut:], ts[cut:], eid[cut:], val[cut:]))
+            merged = cq._lww_argmax(pa.concat_tables([p1, p2]))
+            got = sorted(
+                zip(
+                    merged.column("user_id").to_pylist(),
+                    merged.column("event_type").to_pylist(),
+                    merged.column("event_id").to_pylist(),
+                )
+            )
+            assert got == want, cut
+
+
+class TestBloom:
+    def test_no_false_negatives_and_or_merge(self):
+        rng = np.random.RandomState(3)
+        keys = np.unique(rng.randint(0, 1 << 40, 3000).astype(np.int64))
+        # one-shot build
+        filt = np.zeros(1 << (cq.BLOOM_BITS_LOG2 - 6), dtype=np.uint64)
+        uw, words = cq._bloom_words_from_keys(keys)
+        filt[uw] = words
+        assert cq._bloom_probe(filt, keys).all(), "bloom filters never false-negative"
+        # distributed build: per-chunk partials OR-merged == one-shot
+        filt2 = np.zeros_like(filt)
+        for chunk in np.array_split(keys, 7):
+            uw2, w2 = cq._bloom_words_from_keys(chunk)
+            filt2[uw2] |= w2
+        assert (filt == filt2).all()
+
+    def test_false_positive_rate_sane(self):
+        rng = np.random.RandomState(4)
+        keys = rng.randint(0, 1 << 40, 3000).astype(np.int64)
+        filt = np.zeros(1 << (cq.BLOOM_BITS_LOG2 - 6), dtype=np.uint64)
+        uw, words = cq._bloom_words_from_keys(keys)
+        filt[uw] = words
+        probe = rng.randint(1 << 41, 1 << 42, 20000).astype(np.int64)
+        fpr = cq._bloom_probe(filt, probe).mean()
+        # theory ~ (1 - e^{-kn/m})^k ≈ 8e-4 at n=3000, m=2^16, k=4
+        assert fpr < 0.01, fpr
+
+
+class TestPIIRedact:
+    def test_matches_python_re(self, ray_session):
+        texts = [
+            "spark and hash walk into a vector",
+            "sparkle hashed avector",  # word-boundary: no matches
+            "spark spark spark",
+            "",
+        ]
+        pat = re.compile(cq.PII_PATTERN)
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+        )
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(batch, f"{td}/documents.parquet")
+            out = {r["doc_id"]: r for r in cq.q_pii_redact(td).take_all()}
+        for i, t in enumerate(texts):
+            assert out[i]["n_redacted"] == len(pat.findall(t)), t
+            assert out[i]["redacted"] == pat.sub(cq.PII_TOKEN, t), t
