@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_lww": cq.q_compact_lww,          # last-writer-wins upsert compaction (argmax partials)
         "bloom_semijoin": cq.q_bloom_semijoin,    # distributed-built Bloom prefilter + exact verify join
         "order_revenue_topk": cq.q_order_revenue_topk,  # Q3 shape: dim filter + fact-fact join + top-k
+        "left_join_enrich": tpch.q_left_join_enrich,    # LEFT OUTER: keep unmatched keys with NULLs
+        "full_outer_align": tpch.q_full_outer_align,    # FULL OUTER: align two sparse aggregates
+        "union_distinct": tpch.q_union_distinct,        # Dataset.union + distinct set-op
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -101,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": tq.q_dedup_clusters,    # near-dup connected components over LSH pairs
         "distinct_users_hll": tq.q_distinct_users_hll,  # HyperLogLog sketch path (error-tested vs exact)
         "reverse_annotations": oq.q_reverse_annotations,  # O4 annotations: DMS/MGRS/sun strings + mercator_y
+        "quantile_sketch": sq.q_quantile_sketch,  # one-pass mergeable histogram quantiles + error bounds
+        "heavy_hitters": sq.q_heavy_hitters,      # Misra-Gries top terms (mergeable, bound-reporting)
     }
 
 
@@ -164,6 +169,9 @@ def oracle_sql() -> dict[str, str]:
         "compact_lww": cq.SQL_COMPACT_LWW,
         "bloom_semijoin": cq.SQL_BLOOM_SEMIJOIN,
         "order_revenue_topk": cq.SQL_ORDER_REVENUE_TOPK,
+        "left_join_enrich": tpch.SQL_LEFT_JOIN_ENRICH,
+        "full_outer_align": tpch.SQL_FULL_OUTER_ALIGN,
+        "union_distinct": tpch.SQL_UNION_DISTINCT,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

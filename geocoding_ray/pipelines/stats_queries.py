@@ -455,3 +455,128 @@ SQL_UNIQUE_DOCS = """
 SELECT doc_id FROM documents
 QUALIFY COUNT(*) OVER (PARTITION BY md5(text)) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# one-pass mergeable sketches (approximate scale paths; rows-only)
+# ---------------------------------------------------------------------------
+#
+# The bounded-state companions to the exact operators: grouped_quantile
+# re-scans per refinement level and term_df carries the vocabulary;
+# these answer in ONE pass with fixed state and self-reported error
+# bounds.  Both deterministic — no sampling — so reshard-stable.
+
+SKETCH_QS = [0.5, 0.9, 0.99]
+HH_K = 32
+_HH_TOTAL = "\x00total"  # sentinel term carrying the processed-token count
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Per-event-type p50/p90/p99 in one pass: per-batch sparse
+    (event_type, bin, n) histogram partials over the order-preserving
+    16-bit key -> groupby sum (rows bounded by #types x occupied bins,
+    a data-independent 2^16 cap per type) -> per-type finalize.  Each
+    estimate is a real bin edge and ships its own rank-error bound
+    (the bin's occupancy)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from geocoding_ray.stages.sketch import N_BINS, quantile_from_histogram, u16_bin
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(val)
+        et, val = et[ok], val[ok]
+        types, codes = np.unique(et, return_inverse=True)
+        key = codes.astype(np.int64) * N_BINS + u16_bin(val)
+        uk, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[(uk // N_BINS)].tolist(), type=pa.string()),
+                "bin": pa.array(uk % N_BINS, type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        bins = group.column("bin").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        counts = np.zeros(N_BINS, dtype=np.int64)
+        counts[bins] = n
+        ests = quantile_from_histogram(counts, SKETCH_QS)
+        cols: dict[str, object] = {"event_type": group.column("event_type").slice(0, 1)}
+        for q, (est, err) in zip(SKETCH_QS, ests):
+            tag = str(int(q * 100))
+            cols[f"p{tag}_est"] = pa.array([est], type=pa.float64())
+            cols[f"p{tag}_rank_err"] = pa.array([err], type=pa.int64())
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries top words over the corpus: per-batch exact counts
+    compressed to <= HH_K counters (plus one sentinel row carrying the
+    batch token count) -> groupby(term) Sum (<= HH_K x #blocks slim
+    rows, the 'sum counters' half of MG merge) -> one final compress.
+    Reported counts are under-estimates by at most n_total/(HH_K+1),
+    and every term above that threshold is guaranteed present
+    (mergeable-summaries bound)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from geocoding_ray.stages.sketch import misra_gries
+
+    def partials(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = wa.values
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        terms, kept = misra_gries(vocab, cnt, HH_K)
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + [_HH_TOTAL], type=pa.string()),
+                "cnt": pa.array(np.concatenate([kept, [len(flat)]]), type=pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        is_total = terms == _HH_TOTAL
+        n_total = int(cnt[is_total].sum())
+        t, c = misra_gries(terms[~is_total], cnt[~is_total], HH_K)
+        order = np.argsort(-c, kind="stable")
+        return pa.table(
+            {
+                "term": pa.array(t[order].tolist(), type=pa.string()),
+                "mg_count": pa.array(c[order], type=pa.int64()),
+                "n_total": pa.array(np.full(len(t), n_total), type=pa.int64()),
+                "undercount_bound": pa.array(
+                    np.full(len(t), n_total // (HH_K + 1)), type=pa.int64()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    summed = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="cnt", alias_name="cnt"))
+    )
+    # final compress: one task over <= HH_K x #blocks + #blocks slim rows
+    return summed.repartition(1).map_batches(finalize, batch_format="pyarrow")

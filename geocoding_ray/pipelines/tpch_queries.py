@@ -172,3 +172,182 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# outer-join and set-op breadth (left outer, full outer, union distinct)
+# ---------------------------------------------------------------------------
+#
+# The engine's join surface is not just inner: data-lake maintenance
+# needs LEFT OUTER (enrich, keep unmatched), FULL OUTER (align two
+# partial aggregates) and UNION + DISTINCT (combine shard outputs).
+# Each is one Ray `Dataset.join`/`union` over slim pre-aggregated
+# sides — the fact tables are reduced per key BEFORE any exchange.
+
+
+def q_left_join_enrich(sf_dir: str):
+    """Every order with its (possibly absent) lineitem revenue rollup:
+    LEFT OUTER keeps orders that have no lineitems, with NULL revenue.
+    Fact side pre-aggregates per orderkey before the join, so the
+    exchange carries one slim row per orderkey on each side."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        keys, inv = np.unique(ok, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, type=pa.int64()),
+                "revenue_micros": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    li = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="revenue_micros", alias_name="revenue_micros"))
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        li, join_type="left_outer", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    return joined.select_columns(["o_orderkey", "o_orderpriority", "revenue_micros"])
+
+
+SQL_LEFT_JOIN_ENRICH = """
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100.0) AS BIGINT))) AS BIGINT)
+           AS revenue_micros
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey, o.o_orderpriority, r.revenue_micros
+FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey
+"""
+
+
+def q_full_outer_align(sf_dir: str):
+    """Align two sparse per-(user, day) aggregates — click counts vs
+    purchase counts — with FULL OUTER semantics: slots present on only
+    one side survive with a NULL on the other.  Both sides shrink to
+    #slots rows inside map_batches before the join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def day_partials(which: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            et = batch.column("event_type")
+            mask = pc.equal(et, which)
+            uid = batch.column("user_id").filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = batch.column("ts").filter(mask)
+            day = pc.strftime(ts, format="%Y-%m-%d").to_numpy(zero_copy_only=False)
+            key = np.char.add(np.char.add(day.astype(str), "|"), uid.astype(str))
+            keys, inv = np.unique(key, return_inverse=True)
+            n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+            parts = [k.split("|") for k in keys.tolist()]
+            return pa.table(
+                {
+                    "user_id": pa.array([int(p[1]) for p in parts], type=pa.int64()),
+                    "day": pa.array([p[0] for p in parts], type=pa.string()),
+                    "n": pa.array(n, type=pa.int64()),
+                }
+            )
+
+        return fn
+
+    def side(which: str, out: str):
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["user_id", "day", out])
+
+        return (
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+            .map_batches(day_partials(which), batch_format="pyarrow")
+            .groupby(["user_id", "day"])
+            .aggregate(Sum(on="n", alias_name=out))
+            .map_batches(rename, batch_format="pyarrow")
+        )
+
+    clicks = side("click", "n_clicks")
+    buys = side("purchase", "n_purchases")
+    joined = clicks.join(
+        buys,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("user_id", "day"),
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in batch.column_names}
+        uid = pc.coalesce(cols["user_id"], cols["user_id_r"]) if "user_id_r" in cols else cols["user_id"]
+        day = pc.coalesce(cols["day"], cols["day_r"]) if "day_r" in cols else cols["day"]
+        return pa.table(
+            {
+                "user_id": uid,
+                "day": day,
+                "n_clicks": cols["n_clicks"],
+                "n_purchases": cols["n_purchases"],
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+SQL_FULL_OUTER_ALIGN = """
+WITH c AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT user_id, day, c.n_clicks, p.n_purchases
+FROM c FULL OUTER JOIN p USING (user_id, day)
+"""
+
+
+def q_union_distinct(sf_dir: str):
+    """Set-op shape: ids active in the event stream UNION customer ids
+    holding orders, deduplicated — `Dataset.union` of two slim
+    per-batch-distinct streams, then one distinct groupby."""
+    import ray.data as rd
+
+    def to_id(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = np.unique(batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"id": pa.array(v, type=pa.int64())})
+
+        return fn
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]).map_batches(
+        to_id("user_id"), batch_format="pyarrow"
+    )
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).map_batches(
+        to_id("o_custkey"), batch_format="pyarrow"
+    )
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["id"])
+
+    return ev.union(od).groupby("id").count().map_batches(proj, batch_format="pyarrow")
+
+
+SQL_UNION_DISTINCT = """
+SELECT DISTINCT id FROM (
+  SELECT user_id AS id FROM events
+  UNION ALL
+  SELECT o_custkey AS id FROM orders)
+"""

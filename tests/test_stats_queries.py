@@ -161,3 +161,115 @@ class TestUniqueDocs:
 
         n = pq.ParquetFile("/root/testdata/sf0.1/documents.parquet").metadata.num_rows
         assert len(out) < n
+
+
+class TestQuantileSketch:
+    def test_bin_key_order_preserving(self):
+        from geocoding_ray.stages.sketch import bin_lower_edge, u16_bin
+
+        rng = np.random.RandomState(5)
+        v = np.concatenate([rng.uniform(-1e6, 1e6, 1000), [-np.inf, np.inf, 0.0, -0.0]])
+        b = u16_bin(v)
+        order = np.argsort(v, kind="stable")
+        assert (np.diff(b[order]) >= 0).all(), "bin key must be monotone in value"
+        # lower edge is a true lower bound for every member of the bin
+        assert (bin_lower_edge(b) <= v).all()
+        # signed zeros share a bin
+        assert u16_bin(np.array([0.0]))[0] == u16_bin(np.array([-0.0]))[0]
+
+    def test_partials_merge_and_bound(self):
+        from geocoding_ray.stages.sketch import (
+            N_BINS,
+            histogram_partial,
+            quantile_from_histogram,
+            u16_bin,
+        )
+
+        rng = np.random.RandomState(6)
+        v = rng.lognormal(3.0, 2.0, 5003)
+        g = np.zeros(len(v), dtype=np.int64)
+        full = histogram_partial(v, g, 1)[0]
+        # merge = elementwise add over any split
+        parts = np.array_split(np.arange(len(v)), 7)
+        merged = np.zeros(N_BINS, dtype=np.int64)
+        for idx in parts:
+            merged += histogram_partial(v[idx], g[idx], 1)[0]
+        assert (merged == full).all()
+        # the estimate's bin contains the exact discrete quantile
+        sv = np.sort(v)
+        for q, (est, err) in zip([0.5, 0.9, 0.99], quantile_from_histogram(full, [0.5, 0.9, 0.99])):
+            exact = sv[int(np.ceil(q * len(v))) - 1]
+            assert u16_bin(np.array([est]))[0] == u16_bin(np.array([exact]))[0]
+            assert est <= exact
+            assert err >= 1
+
+    def test_sketch_query_vs_exact(self, ray_session):
+        import duckdb
+
+        out = {r["event_type"]: r for r in sq.q_quantile_sketch("/root/testdata/sf0.001").take_all()}
+        con = duckdb.connect()
+        exact = con.execute(
+            "SELECT event_type, quantile_disc(value, 0.5) p50, quantile_disc(value, 0.9) p90, "
+            "quantile_disc(value, 0.99) p99 FROM '/root/testdata/sf0.001/events.parquet' "
+            "WHERE NOT isnan(value) GROUP BY 1"
+        ).fetchall()
+        from geocoding_ray.stages.sketch import u16_bin
+
+        for et, p50, p90, p99 in exact:
+            for tag, val in (("50", p50), ("90", p90), ("99", p99)):
+                est = out[et][f"p{tag}_est"]
+                assert est <= val
+                assert u16_bin(np.array([est]))[0] == u16_bin(np.array([val]))[0], (et, tag)
+
+
+class TestHeavyHitters:
+    def test_mg_guarantees_brute_force(self):
+        from geocoding_ray.stages.sketch import mg_merge, misra_gries
+
+        rng = np.random.RandomState(9)
+        # zipf-ish stream: few hot items, long tail
+        items = rng.zipf(1.5, 40000)
+        items = items[items < 5000].astype(np.int64)
+        n = len(items)
+        uniq, true = np.unique(items, return_counts=True)
+        k = 16
+        # simulate per-batch summaries + pairwise merges
+        cur_i = np.array([], dtype=np.int64)
+        cur_c = np.array([], dtype=np.int64)
+        for chunk in np.array_split(np.arange(n), 11):
+            u, c = np.unique(items[chunk], return_counts=True)
+            bi, bc = misra_gries(u, c.astype(np.int64), k)
+            cur_i, cur_c = mg_merge(cur_i, cur_c, bi, bc, k)
+        bound = n // (k + 1)
+        truth = dict(zip(uniq.tolist(), true.tolist()))
+        got = dict(zip(cur_i.tolist(), cur_c.tolist()))
+        assert len(got) <= k
+        for item, c in got.items():
+            assert c <= truth[item], "MG never overcounts"
+            assert truth[item] - c <= bound, "undercount bound"
+        for item, t in truth.items():
+            if t > bound:
+                assert item in got, f"hot item {item} (count {t} > {bound}) must survive"
+
+    def test_query_covers_hot_terms(self, ray_session):
+        import duckdb
+
+        rows = sq.q_heavy_hitters("/root/testdata/sf0.001").take_all()
+        got = {r["term"]: r for r in rows}
+        n_total = rows[0]["n_total"]
+        bound = rows[0]["undercount_bound"]
+        con = duckdb.connect()
+        exact = dict(
+            con.execute(
+                "SELECT w, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) w "
+                "FROM '/root/testdata/sf0.001/documents.parquet') GROUP BY 1"
+            ).fetchall()
+        )
+        assert n_total == sum(exact.values())
+        assert len(got) <= sq.HH_K
+        for term, r in got.items():
+            assert r["mg_count"] <= exact[term]
+            assert exact[term] - r["mg_count"] <= bound
+        for term, t in exact.items():
+            if t > bound:
+                assert term in got, (term, t, bound)
