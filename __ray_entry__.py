@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from geocoding_ray.pipelines import curation_queries as cq
+from geocoding_ray.pipelines import olap_queries as ol
 from geocoding_ray.pipelines import oracle_queries as oq
 from geocoding_ray.pipelines import range_join as rj
 from geocoding_ray.pipelines import stats_queries as sq
@@ -94,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_enrich": tpch.q_left_join_enrich,    # LEFT OUTER: keep unmatched keys with NULLs
         "full_outer_align": tpch.q_full_outer_align,    # FULL OUTER: align two sparse aggregates
         "union_distinct": tpch.q_union_distinct,        # Dataset.union + distinct set-op
+        "running_sum": ol.q_running_sum,          # cumulative window sum: sort + prefix + carry join
+        "global_rank": ol.q_global_rank,          # RANK() via bounded-domain histogram broadcast
+        "pivot_user_value": ol.q_pivot_user_value,  # long->wide pivot over the event-type vocabulary
+        "qty_rollup": ol.q_qty_rollup,            # GROUP BY ROLLUP grouping sets in one scan
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -172,6 +177,10 @@ def oracle_sql() -> dict[str, str]:
         "left_join_enrich": tpch.SQL_LEFT_JOIN_ENRICH,
         "full_outer_align": tpch.SQL_FULL_OUTER_ALIGN,
         "union_distinct": tpch.SQL_UNION_DISTINCT,
+        "running_sum": ol.SQL_RUNNING_SUM,
+        "global_rank": ol.SQL_GLOBAL_RANK,
+        "pivot_user_value": ol.SQL_PIVOT_USER_VALUE,
+        "qty_rollup": ol.SQL_QTY_ROLLUP,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -1,0 +1,326 @@
+"""Window-function and OLAP operators: running totals, global rank,
+pivot, and ROLLUP grouping sets.
+
+Four more shapes a warehouse offload runs daily, each Ray-Data-first
+and DuckDB-gated:
+
+* ``running_sum`` — per-user cumulative sum ordered by (ts, event_id):
+  distributed sort -> per-batch vectorized local prefix + slim
+  per-(user, batch) totals -> per-user exclusive-prefix over the
+  summaries (session-cardinality rows, the sessionize/asof repair
+  pattern) -> one slim join adds each row's carry.  Exact int64 cents.
+* ``global_rank`` — RANK() over the whole table by a value column:
+  the value domain (n_chars) is bounded, so a distributed per-value
+  count histogram -> exclusive prefix -> ``ray.put`` broadcast turns
+  ranking into a vectorized lookup — no global sort of the data.
+* ``pivot_user_value`` — long->wide: per-user value cents split across
+  the event-type vocabulary into columns, one partial-agg pass.
+* ``qty_rollup`` — GROUPING SETS/(ROLLUP): one scan emits partials for
+  every grouping level; the shuffle carries #groups x #levels x
+  #blocks slim rows.
+
+Reference: the reference engine has no relational layer (it is an HTTP
+client, lib.rs:1-66); these extend the brief's first-class
+training-data/warehouse family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# running sum (cumulative window aggregate)
+# ---------------------------------------------------------------------------
+
+ROLL_ALL = "(all)"  # rollup sentinel (the grouped columns are never null)
+
+
+def _running_local(batch: pa.Table) -> pa.Table:
+    """One SORTED (user_id, ts, event_id) batch -> rows with the
+    WITHIN-BATCH running cents per user, plus the batch key (the first
+    row's sort triple) every row carries for the carry join."""
+    n = batch.num_rows
+    empty = {
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "local_cents": pa.array([], type=pa.int64()),
+        "cents": pa.array([], type=pa.int64()),
+        "b_uid": pa.array([], type=pa.int64()),
+        "b_ts": pa.array([], type=pa.int64()),
+        "b_eid": pa.array([], type=pa.int64()),
+    }
+    if n == 0:
+        return pa.table(empty)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    cents = np.floor(val * 100.0).astype(np.int64)
+    run = np.cumsum(cents)
+    starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+    # subtract the prefix before each user's first row in this batch
+    base = np.concatenate(([0], run))[starts]  # cumsum up to (excl.) each run start
+    local = run - np.repeat(base, np.diff(np.concatenate((starts, [n]))))
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "local_cents": pa.array(local, type=pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+            "b_uid": pa.array(np.full(n, uid[0]), type=pa.int64()),
+            "b_ts": pa.array(np.full(n, ts[0]), type=pa.int64()),
+            "b_eid": pa.array(np.full(n, eid[0]), type=pa.int64()),
+        }
+    )
+
+
+def _carry_offsets(group: pa.Table) -> pa.Table:
+    """Per user: exclusive prefix of batch totals in batch-key order —
+    each (user, batch) learns the cents accumulated in EARLIER batches."""
+    bu = group.column("b_uid").to_numpy(zero_copy_only=False)
+    bt = group.column("b_ts").to_numpy(zero_copy_only=False)
+    be = group.column("b_eid").to_numpy(zero_copy_only=False)
+    tot = group.column("tot").to_numpy(zero_copy_only=False)
+    order = np.lexsort((be, bt, bu))
+    carry = np.zeros(len(order), dtype=np.int64)
+    carry[order[1:]] = np.cumsum(tot[order])[:-1]
+    return pa.table(
+        {
+            "user_id": group.column("user_id"),
+            "b_uid": group.column("b_uid"),
+            "b_ts": group.column("b_ts"),
+            "b_eid": group.column("b_eid"),
+            "carry": pa.array(carry, type=pa.int64()),
+        }
+    )
+
+
+def q_running_sum(sf_dir: str):
+    """Per-user running total of integerized value, ordered by
+    (ts, event_id) — SUM OVER (PARTITION BY user ORDER BY ...) at
+    stream scale.  Row-level work is one vectorized pass per sorted
+    batch; the exchange carries per-(user, batch) summaries and the
+    final carry join, never a second copy of the stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    # ONE sort + ONE prefix pass; the result feeds two consumers (the
+    # carry derivation and the final join), so it is materialized once
+    # into the (spillable) object store — the 100-TB analogue persists
+    # the sorted, locally-prefixed run, which a sort materializes anyway.
+    rows = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(_running_local, batch_format="pyarrow")
+        .materialize()
+    )
+    offsets = (
+        rows.select_columns(["user_id", "b_uid", "b_ts", "b_eid", "cents"])
+        .groupby(["user_id", "b_uid", "b_ts", "b_eid"])
+        .aggregate(Sum(on="cents", alias_name="tot"))
+        .groupby("user_id")
+        .map_groups(_carry_offsets, batch_format="pyarrow")
+    )
+    joined = rows.join(
+        offsets,
+        join_type="inner",
+        num_partitions=8,
+        on=("user_id", "b_uid", "b_ts", "b_eid"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        run = pa.compute.add(batch.column("local_cents"), batch.column("carry"))
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "running_cents": run.cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# global rank (bounded-domain window rank without a data sort)
+# ---------------------------------------------------------------------------
+
+
+def q_global_rank(sf_dir: str):
+    """RANK() over all documents by n_chars: a distributed per-value
+    count -> driver exclusive prefix over the VALUE DOMAIN (bounded,
+    data-independent) -> broadcast lookup; the table itself is never
+    sorted or shuffled."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # value-domain-bounded (distinct lengths), driver-small
+    )
+    vals = np.array([r["n_chars"] for r in counts], dtype=np.int64)
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, ns = vals[order], ns[order]
+    rank0 = np.concatenate(([0], np.cumsum(ns)[:-1])) + 1  # RANK of each value
+    ref = ray.put((vals, rank0))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v, r = ray.get(ref)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v, x)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "rnk": pa.array(r[idx], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_GLOBAL_RANK = """
+SELECT doc_id, n_chars,
+       CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (long -> wide)
+# ---------------------------------------------------------------------------
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_value(sf_dir: str):
+    """Per-user value cents split across the event-type vocabulary into
+    one column per type — the long->wide reshape.  One partial-agg scan;
+    the shuffle carries #users x #blocks slim wide rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        users, inv = np.unique(uid, return_inverse=True)
+        cols: dict[str, object] = {"user_id": pa.array(users, type=pa.int64())}
+        for t in PIVOT_TYPES:
+            acc = np.zeros(len(users), dtype=np.int64)
+            m = et == t
+            np.add.at(acc, inv[m], cents[m])
+            cols[f"{t}_cents"] = pa.array(acc, type=pa.int64())
+        return pa.table(cols)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(on=f"{t}_cents", alias_name=f"{t}_cents") for t in PIVOT_TYPES])
+    )
+
+
+SQL_PIVOT_USER_VALUE = """
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(floor(value * 100.0) AS BIGINT) END), 0) AS BIGINT) AS click_cents,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(floor(value * 100.0) AS BIGINT) END), 0) AS BIGINT) AS error_cents,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100.0) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 100.0) AS BIGINT) END), 0) AS BIGINT) AS signup_cents,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(floor(value * 100.0) AS BIGINT) END), 0) AS BIGINT) AS view_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets
+# ---------------------------------------------------------------------------
+
+
+def q_qty_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) on quantity cents in
+    ONE scan: each batch emits partials for all three grouping levels
+    (leaf, flag subtotal, grand total) with a '(all)' sentinel in the
+    rolled-up columns; one slim groupby merges them."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False).astype(object)
+        ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False).astype(object)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        out_rf: list[str] = []
+        out_ls: list[str] = []
+        out_q: list[int] = []
+        out_n: list[int] = []
+        for level_rf, level_ls in ((rf, ls), (rf, None), (None, None)):
+            a = level_rf if level_rf is not None else np.full(len(rf), ROLL_ALL, dtype=object)
+            b = level_ls if level_ls is not None else np.full(len(ls), ROLL_ALL, dtype=object)
+            key = np.char.add(np.char.add(a.astype(str), "|"), b.astype(str))
+            keys, inv = np.unique(key, return_inverse=True)
+            acc = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(acc, inv, qty)
+            n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+            for k, q, c in zip(keys.tolist(), acc.tolist(), n.tolist()):
+                p = k.split("|")
+                out_rf.append(p[0])
+                out_ls.append(p[1])
+                out_q.append(q)
+                out_n.append(c)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_rf, type=pa.string()),
+                "l_linestatus": pa.array(out_ls, type=pa.string()),
+                "sum_qty_cents": pa.array(out_q, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum(on="sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum(on="n", alias_name="n"),
+        )
+    )
+
+
+SQL_QTY_ROLLUP = f"""
+SELECT COALESCE(l_returnflag, '{ROLL_ALL}') AS l_returnflag,
+       COALESCE(l_linestatus, '{ROLL_ALL}') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""

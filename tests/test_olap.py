@@ -1,0 +1,150 @@
+"""OLAP/window operators: running-sum split invariance at every batch
+cut, carry-offset ordering, and rollup partial mergeability."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from geocoding_ray.pipelines import olap_queries as ol
+
+
+def _events(uid, ts, eid, val):
+    return pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "value": pa.array(val, type=pa.float64()),
+        }
+    )
+
+
+def _brute_running(uid, ts, eid, val):
+    cents = np.floor(np.array(val) * 100.0).astype(np.int64)
+    order = np.lexsort((eid, np.array(ts, dtype="datetime64[us]").astype(np.int64), uid))
+    out = {}
+    acc: dict[int, int] = {}
+    for i in order:
+        u = uid[i]
+        acc[u] = acc.get(u, 0) + int(cents[i])
+        out[eid[i]] = acc[u]
+    return out
+
+
+class TestRunningSum:
+    def _mk(self, n=200, seed=3):
+        rng = np.random.RandomState(seed)
+        uid = rng.randint(0, 6, n).tolist()
+        base = np.datetime64("2024-01-01")
+        ts = (base + rng.randint(0, 40, n).astype("timedelta64[s]")).astype("datetime64[us]")
+        eid = rng.permutation(n).tolist()
+        val = rng.uniform(-5, 50, n).tolist()  # negatives exercise non-monotone prefixes
+        return uid, ts, eid, val
+
+    def test_local_plus_carry_equals_global_at_every_cut(self):
+        """Simulate the full plan at arbitrary batch boundaries: sort,
+        cut into batches, _running_local per batch, carry offsets per
+        user over the per-batch totals, local + carry == window SUM."""
+        uid, ts, eid, val = self._mk()
+        n = len(uid)
+        want = _brute_running(uid, ts, eid, val)
+        order = np.lexsort((eid, ts.astype(np.int64), np.array(uid)))
+        tbl = _events(
+            [uid[i] for i in order],
+            ts[order],
+            [eid[i] for i in order],
+            [val[i] for i in order],
+        )
+        for cuts in ([], [1], [n // 3, n // 2], [7, 8, 9, 150], list(range(0, n, 13))):
+            bounds = [0] + [c for c in cuts if 0 < c < n] + [n]
+            parts = [
+                ol._running_local(tbl.slice(lo, hi - lo))
+                for lo, hi in zip(bounds[:-1], bounds[1:])
+            ]
+            rows = pa.concat_tables(parts)
+            # summaries: Sum(cents) per (user, batch key)
+            key_cols = ["user_id", "b_uid", "b_ts", "b_eid"]
+            import collections
+
+            sums: dict[tuple, int] = collections.defaultdict(int)
+            for r in rows.to_pylist():
+                sums[tuple(r[k] for k in key_cols)] += r["cents"]
+            summary = pa.table(
+                {
+                    "user_id": pa.array([k[0] for k in sums], type=pa.int64()),
+                    "b_uid": pa.array([k[1] for k in sums], type=pa.int64()),
+                    "b_ts": pa.array([k[2] for k in sums], type=pa.int64()),
+                    "b_eid": pa.array([k[3] for k in sums], type=pa.int64()),
+                    "tot": pa.array(list(sums.values()), type=pa.int64()),
+                }
+            )
+            carry: dict[tuple, int] = {}
+            for u in set(summary.column("user_id").to_pylist()):
+                g = summary.filter(pa.compute.equal(summary.column("user_id"), u))
+                off = ol._carry_offsets(g)
+                for r in off.to_pylist():
+                    carry[(r["user_id"], r["b_uid"], r["b_ts"], r["b_eid"])] = r["carry"]
+            for r in rows.to_pylist():
+                k = tuple(r[c] for c in key_cols)
+                got = r["local_cents"] + carry[k]
+                assert got == want[r["event_id"]], (cuts, r["event_id"])
+
+    def test_carry_offsets_order(self):
+        """Offsets follow batch-key lexicographic order, matching the
+        global sort order of the batches."""
+        g = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1], type=pa.int64()),
+                "b_uid": pa.array([0, 1, 1], type=pa.int64()),
+                "b_ts": pa.array([50, 10, 20], type=pa.int64()),
+                "b_eid": pa.array([0, 0, 0], type=pa.int64()),
+                "tot": pa.array([5, 7, 11], type=pa.int64()),
+            }
+        )
+        off = ol._carry_offsets(g)
+        got = {
+            (r["b_uid"], r["b_ts"]): r["carry"] for r in off.to_pylist()
+        }
+        # order: (0,50) -> (1,10) -> (1,20)
+        assert got == {(0, 50): 0, (1, 10): 5, (1, 20): 12}
+
+
+class TestRollupPartials:
+    def test_levels_merge_to_rollup(self, ray_session):
+        import duckdb
+
+        out = {
+            (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty_cents"], r["n"])
+            for r in ol.q_qty_rollup("/root/testdata/sf0.001").take_all()
+        }
+        con = duckdb.connect()
+        want = {
+            (rf or ol.ROLL_ALL, ls or ol.ROLL_ALL): (int(q), int(n))
+            for rf, ls, q, n in con.execute(
+                "SELECT l_returnflag, l_linestatus, "
+                "SUM(CAST(floor(l_quantity*100.0) AS BIGINT)), COUNT(*) "
+                "FROM '/root/testdata/sf0.001/lineitem.parquet' "
+                "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+            ).fetchall()
+        }
+        assert out == want
+        # subtotal consistency: leafs sum to their flag subtotal, flags to grand total
+        flags = {k[0] for k in out if k[0] != ol.ROLL_ALL}
+        for f in flags:
+            leaf = sum(v[0] for k, v in out.items() if k[0] == f and k[1] != ol.ROLL_ALL)
+            assert leaf == out[(f, ol.ROLL_ALL)][0]
+        assert sum(v[0] for k, v in out.items() if k[0] != ol.ROLL_ALL and k[1] != ol.ROLL_ALL) == out[(ol.ROLL_ALL, ol.ROLL_ALL)][0]
+
+
+class TestGlobalRank:
+    def test_rank_semantics_with_ties(self, ray_session):
+        rows = ol.q_global_rank("/root/testdata/sf0.001").take_all()
+        by_len: dict[int, list[int]] = {}
+        for r in rows:
+            by_len.setdefault(r["n_chars"], []).append(r["rnk"])
+        total = 0
+        for length in sorted(by_len):
+            rnks = set(by_len[length])
+            assert rnks == {total + 1}, "all ties share the min rank"
+            total += len(by_len[length])
