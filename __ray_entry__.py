@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": ol.q_global_rank,          # RANK() via bounded-domain histogram broadcast
         "pivot_user_value": ol.q_pivot_user_value,  # long->wide pivot over the event-type vocabulary
         "qty_rollup": ol.q_qty_rollup,            # GROUP BY ROLLUP grouping sets in one scan
+        "value_delta": ol.q_value_delta,          # LAG window: prev-row delta via boundary repair
+        "orders_no_lineitem": tpch.q_orders_no_lineitem,  # native left_anti join (NOT EXISTS)
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -181,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "global_rank": ol.SQL_GLOBAL_RANK,
         "pivot_user_value": ol.SQL_PIVOT_USER_VALUE,
         "qty_rollup": ol.SQL_QTY_ROLLUP,
+        "value_delta": ol.SQL_VALUE_DELTA,
+        "orders_no_lineitem": tpch.SQL_ORDERS_NO_LINEITEM,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -36,6 +36,21 @@ import pyarrow as pa
 ROLL_ALL = "(all)"  # rollup sentinel (the grouped columns are never null)
 
 
+def _scrub_empties(ds, num_blocks: int = 4):
+    """Coalesce away SCHEMALESS empty blocks before a join.
+
+    Ray's sort-based groupby emits schemaless empty blocks for empty
+    partitions (the 'RefBundle with a different schema' warning), and
+    ``map_batches`` never calls its fn on empty blocks, so they cannot
+    be normalized in-line.  When such blocks reach ``Dataset.join``, the
+    join can fail to resolve key fields ('No match or multiple matches
+    for key field reference ...').  A small ``repartition`` concatenates
+    empties into real blocks, restoring one consistent schema.  Only
+    ever applied to SLIM summary sides (per-(user, batch) rows), never
+    to the stream."""
+    return ds.repartition(num_blocks)
+
+
 def _running_local(batch: pa.Table) -> pa.Table:
     """One SORTED (user_id, ts, event_id) batch -> rows with the
     WITHIN-BATCH running cents per user, plus the batch key (the first
@@ -118,7 +133,7 @@ def q_running_sum(sf_dir: str):
         .map_batches(_running_local, batch_format="pyarrow")
         .materialize()
     )
-    offsets = (
+    offsets = _scrub_empties(
         rows.select_columns(["user_id", "b_uid", "b_ts", "b_eid", "cents"])
         .groupby(["user_id", "b_uid", "b_ts", "b_eid"])
         .aggregate(Sum(on="cents", alias_name="tot"))
@@ -323,4 +338,190 @@ SELECT COALESCE(l_returnflag, '{ROLL_ALL}') AS l_returnflag,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LAG delta (previous-row window function)
+# ---------------------------------------------------------------------------
+
+
+def _lag_local(batch: pa.Table) -> pa.Table:
+    """One SORTED (user_id, ts, event_id) batch -> rows carrying the
+    integerized value, the within-batch LAG delta (NULL for each user's
+    first row in the batch), a first-in-batch marker, and the batch key
+    for the boundary repair join."""
+    n = batch.num_rows
+    empty = {
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "cents": pa.array([], type=pa.int64()),
+        "delta_local": pa.array([], type=pa.int64()),
+        "is_first": pa.array([], type=pa.bool_()),
+        "b_uid": pa.array([], type=pa.int64()),
+        "b_ts": pa.array([], type=pa.int64()),
+        "b_eid": pa.array([], type=pa.int64()),
+    }
+    if n == 0:
+        return pa.table(empty)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = np.floor(
+        batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    first = np.concatenate(([True], uid[1:] != uid[:-1]))
+    delta = np.empty(n, dtype=np.int64)
+    delta[1:] = cents[1:] - cents[:-1]
+    delta[0] = 0
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "cents": pa.array(cents, type=pa.int64()),
+            "delta_local": pa.array(np.where(first, 0, delta), type=pa.int64()),
+            "is_first": pa.array(first),
+            "b_uid": pa.array(np.full(n, uid[0]), type=pa.int64()),
+            "b_ts": pa.array(np.full(n, ts[0]), type=pa.int64()),
+            "b_eid": pa.array(np.full(n, eid[0]), type=pa.int64()),
+        }
+    )
+
+
+def _lag_boundaries(batch: pa.Table) -> pa.Table:
+    """Slim per-(user, batch-key) LAST-row candidates from _lag_local
+    rows.  Re-batching-proof: rather than trusting contiguity, keep the
+    row with the greatest (ts, event_id) per key seen in THIS map batch
+    (vectorized lexsort argmax); a final per-key merge re-runs the same
+    rule, so any split of the original batch converges to the true last
+    row."""
+    empty = {
+        "user_id": pa.array([], type=pa.int64()),
+        "b_uid": pa.array([], type=pa.int64()),
+        "b_ts": pa.array([], type=pa.int64()),
+        "b_eid": pa.array([], type=pa.int64()),
+        "r_ts": pa.array([], type=pa.int64()),
+        "r_eid": pa.array([], type=pa.int64()),
+        "last_cents": pa.array([], type=pa.int64()),
+    }
+    if batch.num_rows == 0:
+        return pa.table(empty)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    bts = batch.column("b_ts").to_numpy(zero_copy_only=False)
+    beid = batch.column("b_eid").to_numpy(zero_copy_only=False)
+    rts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    reid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = batch.column("cents").to_numpy(zero_copy_only=False)
+    # key by (user, b_ts, b_eid); b_uid rides along (b_* determine it)
+    order = np.lexsort((reid, rts, beid, bts, uid))
+    u_s, t_s, e_s = uid[order], bts[order], beid[order]
+    is_last = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        is_last[:-1] = (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1]) | (e_s[1:] != e_s[:-1])
+    idx = order[is_last]
+    take = pa.array(idx)
+    return pa.table(
+        {
+            "user_id": batch.column("user_id").take(take),
+            "b_uid": batch.column("b_uid").take(take),
+            "b_ts": batch.column("b_ts").take(take),
+            "b_eid": batch.column("b_eid").take(take),
+            "r_ts": pa.array(rts[idx], type=pa.int64()),
+            "r_eid": pa.array(reid[idx], type=pa.int64()),
+            "last_cents": pa.array(cents[idx], type=pa.int64()),
+        }
+    )
+
+
+def _lag_prev(group: pa.Table) -> pa.Table:
+    """Per user over MERGED boundary candidates: collapse candidates to
+    the true last row per batch key (greatest (r_ts, r_eid) wins, the
+    same rule as _lag_boundaries), then each batch learns the PREVIOUS
+    batch's last cents (NaN when this batch holds the user's global
+    first)."""
+    bt0 = group.column("b_ts").to_numpy(zero_copy_only=False)
+    be0 = group.column("b_eid").to_numpy(zero_copy_only=False)
+    rts = group.column("r_ts").to_numpy(zero_copy_only=False)
+    reid = group.column("r_eid").to_numpy(zero_copy_only=False)
+    morder = np.lexsort((reid, rts, be0, bt0))
+    t_s, e_s = bt0[morder], be0[morder]
+    keep = np.ones(len(morder), dtype=bool)
+    if len(morder) > 1:
+        keep[:-1] = (t_s[1:] != t_s[:-1]) | (e_s[1:] != e_s[:-1])
+    sel = pa.array(morder[keep])
+    group = group.take(sel)
+    bu = group.column("b_uid").to_numpy(zero_copy_only=False)
+    bt = group.column("b_ts").to_numpy(zero_copy_only=False)
+    be = group.column("b_eid").to_numpy(zero_copy_only=False)
+    last = group.column("last_cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((be, bt, bu))
+    prev = np.empty(len(order), dtype=np.float64)
+    prev[order[0]] = np.nan
+    prev[order[1:]] = last[order[:-1]]
+    return pa.table(
+        {
+            "user_id": group.column("user_id"),
+            "b_uid": group.column("b_uid"),
+            "b_ts": group.column("b_ts"),
+            "b_eid": group.column("b_eid"),
+            "prev_cents": pa.array(prev, type=pa.float64()),  # NaN = no prev
+        }
+    )
+
+
+def q_value_delta(sf_dir: str):
+    """value - LAG(value) OVER (PARTITION BY user ORDER BY ts, event_id)
+    in integer cents (NULL for each user's first event) — the
+    previous-row window family.  Same physics as running_sum: one sort,
+    one vectorized pass (materialized for its two consumers), boundary
+    repair over slim per-(user, batch) rows, one carry join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    rows = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(_lag_local, batch_format="pyarrow")
+        .materialize()
+    )
+    prev = _scrub_empties(
+        rows.map_batches(_lag_boundaries, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_lag_prev, batch_format="pyarrow")
+    )
+    joined = rows.join(
+        prev, join_type="inner", num_partitions=8, on=("user_id", "b_uid", "b_ts", "b_eid")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        local = batch.column("delta_local").to_numpy(zero_copy_only=False).astype(np.float64)
+        first = batch.column("is_first").to_numpy(zero_copy_only=False)
+        prevc = batch.column("prev_cents").to_numpy(zero_copy_only=False)
+        delta = np.where(first, cents - prevc, local)  # NaN propagates = global first
+        arr = pa.array(delta, type=pa.float64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "delta_cents": pc.cast(
+                    pc.if_else(pc.is_nan(arr), pa.nulls(len(batch), pa.float64()), arr),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VALUE_DELTA = """
+SELECT event_id, user_id, ts,
+       CAST(floor(value * 100.0) AS BIGINT)
+         - LAG(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+FROM events
 """

@@ -351,3 +351,28 @@ SELECT DISTINCT id FROM (
   UNION ALL
   SELECT o_custkey AS id FROM orders)
 """
+
+
+def q_orders_no_lineitem(sf_dir: str):
+    """ANTI-join via the native join operator: orders with NO lineitem
+    rows (the referential-integrity audit shape).  The probe side is
+    reduced to per-batch-distinct keys before the exchange."""
+    import ray.data as rd
+
+    def keys(batch: pa.Table) -> pa.Table:
+        v = np.unique(batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"l_orderkey": pa.array(v, type=pa.int64())})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
+        keys, batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    return orders.join(
+        li, join_type="left_anti", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+
+SQL_ORDERS_NO_LINEITEM = """
+SELECT o_orderkey, o_orderpriority FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""

@@ -148,3 +148,76 @@ class TestGlobalRank:
             rnks = set(by_len[length])
             assert rnks == {total + 1}, "all ties share the min rank"
             total += len(by_len[length])
+
+
+class TestValueDelta:
+    def test_lag_repair_at_every_cut(self, ray_session):
+        """End-to-end plan equals the window LAG under forced tiny
+        batches: run q_value_delta over a small parquet written at
+        several row-group sizes and compare to brute force."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(13)
+        n = 300
+        uid = rng.randint(0, 4, n)
+        ts = (
+            np.datetime64("2024-01-01") + rng.randint(0, 60, n).astype("timedelta64[s]")
+        ).astype("datetime64[us]")
+        eid = rng.permutation(n)
+        val = rng.uniform(-3, 30, n)
+        cents = np.floor(val * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts.astype(np.int64), uid))
+        want: dict[int, object] = {}
+        prev: dict[int, int] = {}
+        for i in order:
+            u = int(uid[i])
+            want[int(eid[i])] = int(cents[i]) - prev[u] if u in prev else None
+            prev[u] = int(cents[i])
+        tbl = pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "ts": pa.array(ts),
+                "value": pa.array(val, type=pa.float64()),
+            }
+        )
+        for rg in (7, 50, n):
+            with tempfile.TemporaryDirectory() as td:
+                pq.write_table(tbl, f"{td}/events.parquet", row_group_size=rg)
+                got = {
+                    r["event_id"]: r["delta_cents"]
+                    for r in ol.q_value_delta(td).take_all()
+                }
+                assert got == want, rg
+
+    def test_boundary_candidates_merge(self):
+        """_lag_boundaries over ANY re-batching of the rows merges (via
+        _lag_prev's collapse rule) to the true per-batch last row."""
+        rows = ol._lag_local(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+                    "ts": pa.array(
+                        np.array(
+                            ["2024-01-01T00:00:00"] * 4, dtype="datetime64[us]"
+                        )
+                    ),
+                    "value": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64()),
+                }
+            )
+        )
+        # split candidate extraction across every cut
+        for cut in (1, 2, 3):
+            cands = pa.concat_tables(
+                [
+                    ol._lag_boundaries(rows.slice(0, cut)),
+                    ol._lag_boundaries(rows.slice(cut)),
+                ]
+            )
+            out = ol._lag_prev(cands)
+            # single batch key -> one collapsed row, prev = NaN
+            assert out.num_rows == 1
+            assert np.isnan(out.column("prev_cents").to_pylist()[0])
