@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_rollup": ol.q_qty_rollup,            # GROUP BY ROLLUP grouping sets in one scan
         "value_delta": ol.q_value_delta,          # LAG window: prev-row delta via boundary repair
         "orders_no_lineitem": tpch.q_orders_no_lineitem,  # native left_anti join (NOT EXISTS)
+        "corr_moments": sq.q_corr_moments,        # COVAR/CORR family via exact int64 moment sums
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "qty_rollup": ol.SQL_QTY_ROLLUP,
         "value_delta": ol.SQL_VALUE_DELTA,
         "orders_no_lineitem": tpch.SQL_ORDERS_NO_LINEITEM,
+        "corr_moments": sq.SQL_CORR_MOMENTS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -580,3 +580,92 @@ def q_heavy_hitters(sf_dir: str):
     )
     # final compress: one task over <= HH_K x #blocks + #blocks slim rows
     return summed.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# correlation / covariance partials (two-variable exact statistics)
+# ---------------------------------------------------------------------------
+#
+# The COVAR/CORR aggregate family, reproducibility-first: the engine
+# never emits the float statistic from a distributed reduction (float
+# summation order is engine-defined); it emits the six EXACT int64
+# moment sums per group — n, Σx, Σy, Σxy, Σx², Σy² over integerized
+# (cents) values — from which covariance/correlation are one fixed-order
+# scalar expression away.  DuckDB reproduces the sums in hugeint and
+# casts down, so the gate is bit-exact; the float corr itself is
+# asserted against numpy in tests (driver-side, #groups rows).
+
+
+def q_corr_moments(sf_dir: str):
+    """Per (l_returnflag): exact moment sums of x = quantity cents,
+    y = extendedprice cents over lineitem.  Per-batch vectorized
+    partials -> slim groupby Sum merge; int64 ranges hold to sf-scale
+    (Σy² <= ~6e18 at sf0.1; the 100-TB path splits Σy² into hi/lo
+    int64 limbs or rescales, same as the zscore note)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys, inv = np.unique(rf, return_inverse=True)
+        out: dict[str, object] = {"l_returnflag": pa.array(keys.tolist(), type=pa.string())}
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        out["n"] = pa.array(n, type=pa.int64())
+        for name, v in (("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x), ("syy", y * y)):
+            acc = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = pa.array(acc, type=pa.int64())
+        return pa.table(out)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="sx", alias_name="sx"),
+            Sum(on="sy", alias_name="sy"),
+            Sum(on="sxy", alias_name="sxy"),
+            Sum(on="sxx", alias_name="sxx"),
+            Sum(on="syy", alias_name="syy"),
+        )
+    )
+
+
+def corr_from_moments(n: int, sx: int, sy: int, sxy: int, sxx: int, syy: int) -> float | None:
+    """Pearson r from exact integer moments, arbitrary-precision until
+    the final float division (Python ints never overflow)."""
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return None
+    import math
+
+    return num / math.sqrt(vx) / math.sqrt(vy)
+
+
+SQL_CORR_MOMENTS = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+  FROM lineitem)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * y) AS BIGINT) AS sxy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(y * y) AS BIGINT) AS syy
+FROM v GROUP BY l_returnflag
+"""

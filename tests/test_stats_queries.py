@@ -273,3 +273,30 @@ class TestHeavyHitters:
         for term, t in exact.items():
             if t > bound:
                 assert term in got, (term, t, bound)
+
+
+class TestCorrMoments:
+    def test_moments_and_corr_vs_numpy(self, ray_session):
+        rows = {r["l_returnflag"]: r for r in sq.q_corr_moments("/root/testdata/sf0.001").take_all()}
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        rf = np.asarray(t.column("l_returnflag").to_pylist(), dtype=object)
+        x = np.floor(t.column("l_quantity").to_numpy() * 100.0).astype(np.int64)
+        y = np.floor(t.column("l_extendedprice").to_numpy() * 100.0).astype(np.int64)
+        for flag in np.unique(rf):
+            m = rf == flag
+            r = rows[flag]
+            assert r["n"] == int(m.sum())
+            assert r["sx"] == int(x[m].sum())
+            assert r["sxy"] == int((x[m] * y[m]).sum())
+            got = sq.corr_from_moments(r["n"], r["sx"], r["sy"], r["sxy"], r["sxx"], r["syy"])
+            want = np.corrcoef(x[m].astype(np.float64), y[m].astype(np.float64))[0, 1]
+            assert got is not None
+            assert abs(got - want) < 1e-9, (flag, got, want)
+
+    def test_zero_variance_returns_none(self):
+        assert sq.corr_from_moments(3, 6, 9, 18, 12, 29) is None  # x constant -> vx=0
