@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_delta": ol.q_value_delta,          # LAG window: prev-row delta via boundary repair
         "orders_no_lineitem": tpch.q_orders_no_lineitem,  # native left_anti join (NOT EXISTS)
         "corr_moments": sq.q_corr_moments,        # COVAR/CORR family via exact int64 moment sums
+        "label_centroids": sq.q_label_centroids,  # vector-column aggregate: exact integerized centroids
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "value_delta": ol.SQL_VALUE_DELTA,
         "orders_no_lineitem": tpch.SQL_ORDERS_NO_LINEITEM,
         "corr_moments": sq.SQL_CORR_MOMENTS,
+        "label_centroids": sq.SQL_LABEL_CENTROIDS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

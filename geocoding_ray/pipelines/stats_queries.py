@@ -669,3 +669,69 @@ SELECT l_returnflag,
        CAST(SUM(y * y) AS BIGINT) AS syy
 FROM v GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (vector-column aggregate)
+# ---------------------------------------------------------------------------
+#
+# The vector-aggregate shape every embedding pipeline needs (class
+# centroids, cluster updates, prototype vectors): mean per label over a
+# list<float> column.  Reproducibility-first like every float aggregate
+# here: components are integerized (floor(x * 1e6), exact in float64
+# for |x| < ~4e9) so the distributed sums are exact int64; the float
+# centroid is sum_e6 / (n * 1e6) derived at the edge.  The shuffle
+# carries #labels x dim x #blocks slim rows — never the vectors.
+
+CENTROID_SCALE = 1_000_000
+
+
+def q_label_centroids(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        widths = np.diff(offs)
+        dim = int(widths[0]) if len(widths) else 0
+        assert (widths == dim).all(), "embedding column must be fixed-width"
+        # zero-copy component view -> exact integerization in float64
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.floor(flat * float(CENTROID_SCALE)).astype(np.int64).reshape(-1, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(keys), dim), dtype=np.int64)
+        np.add.at(sums, inv, e6)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        k = len(keys)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(keys, dim), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k), type=pa.int64()),
+                "sum_e6": pa.array(sums.ravel(), type=pa.int64()),
+                "n": pa.array(np.repeat(n, dim), type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum(on="sum_e6", alias_name="sum_e6"), Sum(on="n", alias_name="n"))
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH x AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_SCALE}.0) AS BIGINT) AS e6
+  FROM embeddings)
+SELECT label, dim,
+       CAST(SUM(e6) AS BIGINT) AS sum_e6,
+       COUNT(*) AS n
+FROM x GROUP BY label, dim
+"""

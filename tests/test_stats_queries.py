@@ -300,3 +300,29 @@ class TestCorrMoments:
 
     def test_zero_variance_returns_none(self):
         assert sq.corr_from_moments(3, 6, 9, 18, 12, 29) is None  # x constant -> vx=0
+
+
+class TestLabelCentroids:
+    def test_centroids_vs_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        rows = sq.q_label_centroids("/root/testdata/sf0.001").take_all()
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet", columns=["label", "embedding"])
+        e = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        lab = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+        e6 = np.floor(e * sq.CENTROID_SCALE).astype(np.int64)
+        got = {}
+        for r in rows:
+            got[(r["label"], r["dim"])] = (r["sum_e6"], r["n"])
+        for lb in np.unique(lab):
+            m = lab == lb
+            want = e6[m].sum(axis=0)
+            for d in range(e.shape[1]):
+                s, n = got[(int(lb), d)]
+                assert s == int(want[d])
+                assert n == int(m.sum())
+            # derived centroid within quantization error of the float mean
+            cent = np.array([got[(int(lb), d)][0] for d in range(e.shape[1])]) / (
+                m.sum() * sq.CENTROID_SCALE
+            )
+            assert np.abs(cent - e[m].mean(axis=0)).max() < 1.0 / sq.CENTROID_SCALE
