@@ -584,3 +584,59 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue_micros DESC, l.l_orderkey
 LIMIT {Q3_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured field extraction (JSON props -> typed column -> rollup)
+# ---------------------------------------------------------------------------
+#
+# The log-processing shape: a free-form JSON-ish string column is
+# parsed into a typed field with one vectorized RE2 pass (no per-row
+# json.loads), then aggregated.  Rows whose props lack the field drop
+# out exactly like SQL's NULL-skipping aggregates.
+
+JSON_K_PATTERN = r'"k":\s*(?P<k>-?\d+)'
+
+
+def q_json_extract(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        ext = pc.extract_regex(batch.column("props").combine_chunks(), pattern=JSON_K_PATTERN)
+        valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        kstr = ext.field("k").to_numpy(zero_copy_only=False)
+        k = np.zeros(len(valid), dtype=np.int64)
+        if valid.any():
+            k[valid] = np.asarray(kstr[valid], dtype=np.int64)
+        keys, inv = np.unique(et[valid], return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, k[valid])
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(keys.tolist(), type=pa.string()),
+                "sum_k": pa.array(acc, type=pa.int64()),
+                "n_k": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum(on="sum_k", alias_name="sum_k"), Sum(on="n_k", alias_name="n_k"))
+    )
+
+
+SQL_JSON_EXTRACT = r"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(k) AS n_k
+FROM x WHERE k IS NOT NULL GROUP BY event_type
+"""

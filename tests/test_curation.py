@@ -220,3 +220,24 @@ class TestPIIRedact:
         for i, t in enumerate(texts):
             assert out[i]["n_redacted"] == len(pat.findall(t)), t
             assert out[i]["redacted"] == pat.sub(cq.PII_TOKEN, t), t
+
+
+class TestJsonExtract:
+    def test_malformed_rows_drop_like_sql_nulls(self, ray_session):
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        batch = pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b", "b"]),
+                "props": pa.array(
+                    ['{"k": 5}', '{"k": -3}', "garbage", '{"other": 1}', '{"k": 7}']
+                ),
+            }
+        )
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(batch, f"{td}/events.parquet")
+            out = {r["event_type"]: r for r in cq.q_json_extract(td).take_all()}
+        assert out["a"]["sum_k"] == 2 and out["a"]["n_k"] == 2
+        assert out["b"]["sum_k"] == 7 and out["b"]["n_k"] == 1
