@@ -735,3 +735,60 @@ SELECT label, dim,
        COUNT(*) AS n
 FROM x GROUP BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling (sequential-Poisson shape)
+# ---------------------------------------------------------------------------
+#
+# Weighted sampling without replacement, deterministic and
+# reshard-stable: each doc gets priority p = u // w where u is a
+# 32-bit md5-derived uniform and w its weight (n_chars) — Ohlsson's
+# sequential Poisson sampling with integer-quantized priorities, so
+# both engines compute the IDENTICAL priorities (no libm pow/log) and
+# the sample is the exact bottom-K.  Higher weight => smaller expected
+# priority => higher inclusion probability (~proportional for
+# w << 2^32).
+
+WSAMPLE_K = 50
+
+
+def q_weighted_sample(sf_dir: str):
+    import hashlib
+
+    import ray.data as rd
+
+    def pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        u = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = np.maximum(
+            batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        p = u // w
+        # partial bottom-K: only K candidates per batch cross the exchange
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), p))[: WSAMPLE_K]
+        take = pa.array(order)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(take),
+                "n_chars": batch.column("n_chars").take(take),
+                "p": pa.array(p[order], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.map_batches(pri, batch_format="pyarrow").sort(["p", "doc_id"]).limit(WSAMPLE_K)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           // greatest(n_chars, 1) AS p
+  FROM documents)
+SELECT doc_id, n_chars, p FROM h ORDER BY p, doc_id LIMIT {WSAMPLE_K}
+"""

@@ -326,3 +326,27 @@ class TestLabelCentroids:
                 m.sum() * sq.CENTROID_SCALE
             )
             assert np.abs(cent - e[m].mean(axis=0)).max() < 1.0 / sq.CENTROID_SCALE
+
+
+class TestWeightedSample:
+    def test_weight_monotone_inclusion(self, ray_session):
+        """Docs with larger weights are sampled at higher rates: the
+        mean n_chars of the sample exceeds the corpus mean (the
+        expected behavior of priority sampling), and the result is the
+        exact bottom-K by (priority, doc_id)."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        rows = sq.q_weighted_sample("/root/testdata/sf0.001").take_all()
+        assert len(rows) == sq.WSAMPLE_K
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"])
+        ids = t.column("doc_id").to_pylist()
+        w = np.maximum(np.asarray(t.column("n_chars").to_pylist(), dtype=np.int64), 1)
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids], dtype=np.int64)
+        p = u // w
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), p))[: sq.WSAMPLE_K]
+        want = {int(np.asarray(ids)[i]) for i in order}
+        assert {r["doc_id"] for r in rows} == want
+        # weight-biased: sample mean length > corpus mean length
+        assert np.mean([r["n_chars"] for r in rows]) > w.mean()
