@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": sq.q_label_centroids,  # vector-column aggregate: exact integerized centroids
         "json_extract": cq.q_json_extract,        # semi-structured field extraction (vectorized RE2) + rollup
         "weighted_sample": sq.q_weighted_sample,  # sequential-Poisson weighted sample, exact int priorities
+        "corpus_pipeline": cq.q_corpus_pipeline,  # end-to-end: dedup -> quality filter -> sequence pack
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": sq.SQL_LABEL_CENTROIDS,
         "json_extract": cq.SQL_JSON_EXTRACT,
         "weighted_sample": sq.SQL_WEIGHTED_SAMPLE,
+        "corpus_pipeline": cq.SQL_CORPUS_PIPELINE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

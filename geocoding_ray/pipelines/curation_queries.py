@@ -640,3 +640,141 @@ SELECT event_type,
        COUNT(k) AS n_k
 FROM x WHERE k IS NOT NULL GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus pipeline (dedup -> quality filter -> sequence pack)
+# ---------------------------------------------------------------------------
+#
+# The integration showcase: the full curation flow a training run
+# actually executes, composed from the repo's gated operators in one
+# lazy Ray plan — exact dedup (min-doc_id winner per content hash),
+# per-language median quality threshold computed over the DEDUPED
+# corpus, then partition-keyed sequence packing of the survivors.
+# The text column is dropped inside the first scan; everything that
+# shuffles afterwards is slim (ids, hashes, counts).
+
+PIPE_PARTS = 4
+
+
+def q_corpus_pipeline(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from geocoding_ray.pipelines.text_queries import SEQ_PACK_BUDGET, seq_pack_group
+    from geocoding_ray.stages.dedup import add_md5
+    from geocoding_ray.stages.text import token_count
+
+    def attrs(batch: pa.Table) -> pa.Table:
+        b = token_count(add_md5(batch))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text_md5": b.column("text_md5"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "n_tokens": b.column("n_tokens"),
+            }
+        )
+
+    # ONE text scan; the slim attr rows feed three consumers (winner
+    # derivation, median stats, final filter+pack), so they are
+    # materialized once — text never leaves the scan tasks.
+    slim = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+        )
+        .map_batches(attrs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["text_md5", "doc_id"]).group_by("text_md5").aggregate(
+            [("doc_id", "min")]
+        )
+        return pa.table({"text_md5": g.column("text_md5"), "w": g.column("doc_id_min")})
+
+    winners = (
+        slim.map_batches(win_partial, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min(on="w", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .repartition(4)  # scrub sort-groupby's schemaless empties pre-join
+    )
+    dd = slim.join(winners, join_type="left_semi", num_partitions=8, on=("doc_id",))
+
+    # per-lang discrete median of the DEDUPED corpus (value-domain-bounded)
+    counts = dd.groupby(["lang", "n_chars"]).aggregate(Count(alias_name="cnt")).take_all()
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["cnt"]))
+    med: dict[str, int] = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        total = sum(c for _, c in rows)
+        target = (total - 1) // 2
+        cum = 0
+        for v, c in rows:
+            cum += c
+            if cum > target:
+                med[lang] = v
+                break
+    med_ref = ray.put(med)
+
+    def surv_slim(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        thr = np.array([m.get(v, np.iinfo(np.int64).max) for v in lang], dtype=np.int64)
+        keep = pa.array(np.asarray(nc > thr))
+        t = batch.filter(keep)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "part": pa.array(did % PIPE_PARTS, type=pa.int64()),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        return seq_pack_group(g, SEQ_PACK_BUDGET)
+
+    return (
+        dd.map_batches(surv_slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
+from geocoding_ray.pipelines.text_queries import SEQ_PACK_BUDGET as _PIPE_BUDGET  # noqa: E402
+
+SQL_CORPUS_PIPELINE = rf"""
+WITH RECURSIVE
+win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d AS (
+  SELECT doc.doc_id, doc.lang, doc.n_chars, doc.text
+  FROM documents doc JOIN win USING (doc_id)),
+med AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med FROM d GROUP BY lang),
+surv AS (
+  SELECT d.doc_id, d.text FROM d JOIN med USING (lang) WHERE d.n_chars > med.med),
+toks AS (
+  SELECT doc_id, doc_id % {PIPE_PARTS} AS part,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt
+  FROM surv),
+ord AS (
+  SELECT doc_id, part, nt,
+         row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+  FROM toks),
+pack(part, rn, doc_id, seq_id, seq_pos, acc) AS (
+  SELECT part, rn, doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), nt
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.doc_id,
+         CASE WHEN p.acc + o.nt > {_PIPE_BUDGET} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + o.nt > {_PIPE_BUDGET} THEN CAST(0 AS BIGINT) ELSE p.seq_pos + 1 END,
+         CASE WHEN p.acc + o.nt > {_PIPE_BUDGET} THEN o.nt ELSE p.acc + o.nt END
+  FROM pack p JOIN ord o ON o.part = p.part AND o.rn = p.rn + 1)
+SELECT doc_id, part, seq_id, seq_pos FROM pack
+"""

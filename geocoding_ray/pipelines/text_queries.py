@@ -105,36 +105,43 @@ def q_seq_pack(sf_dir: str, budget: int = SEQ_PACK_BUDGET, n_parts: int = SEQ_PA
         )
 
     def pack_group(g: pa.Table) -> pa.Table:
-        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        nt = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(did, kind="stable")
-        did, nt = did[order], nt[order]
-        seq = np.zeros(len(did), dtype=np.int64)
-        pos = np.zeros(len(did), dtype=np.int64)
-        acc = 0
-        cur = 0
-        p = 0
-        for i in range(len(did)):  # O(#docs-per-partition) over scalar counts
-            if i and acc + nt[i] > budget:
-                cur += 1
-                acc = 0
-                p = 0
-            acc += nt[i]
-            seq[i] = cur
-            pos[i] = p
-            p += 1
-        return pa.table(
-            {
-                "doc_id": pa.array(did, type=pa.int64()),
-                "part": g.column("part").take(pa.array(order, type=pa.int64())),
-                "seq_id": pa.array(seq, type=pa.int64()),
-                "seq_pos": pa.array(pos, type=pa.int64()),
-            }
-        )
+        return seq_pack_group(g, budget)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(slim, batch_format="pyarrow").groupby("part").map_groups(
         pack_group, batch_format="pyarrow"
+    )
+
+
+def seq_pack_group(g: pa.Table, budget: int = SEQ_PACK_BUDGET) -> pa.Table:
+    """Greedy token-budget packing of ONE partition's (doc_id, part,
+    n_tokens) rows in doc_id order — the per-group kernel of q_seq_pack,
+    module-level so composed pipelines can reuse it."""
+    did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nt = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(did, kind="stable")
+    did, nt = did[order], nt[order]
+    seq = np.zeros(len(did), dtype=np.int64)
+    pos = np.zeros(len(did), dtype=np.int64)
+    acc = 0
+    cur = 0
+    p = 0
+    for i in range(len(did)):  # O(#docs-per-partition) over scalar counts
+        if i and acc + nt[i] > budget:
+            cur += 1
+            acc = 0
+            p = 0
+        acc += nt[i]
+        seq[i] = cur
+        pos[i] = p
+        p += 1
+    return pa.table(
+        {
+            "doc_id": pa.array(did, type=pa.int64()),
+            "part": g.column("part").take(pa.array(order, type=pa.int64())),
+            "seq_id": pa.array(seq, type=pa.int64()),
+            "seq_pos": pa.array(pos, type=pa.int64()),
+        }
     )
 
 

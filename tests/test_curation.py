@@ -241,3 +241,46 @@ class TestJsonExtract:
             out = {r["event_type"]: r for r in cq.q_json_extract(td).take_all()}
         assert out["a"]["sum_k"] == 2 and out["a"]["n_k"] == 2
         assert out["b"]["sum_k"] == 7 and out["b"]["n_k"] == 1
+
+
+class TestCorpusPipeline:
+    def test_dedup_branch_drops_losers(self, ray_session):
+        """With synthetic exact dups: only the min-doc_id winner of each
+        content class survives into packing, and every packed doc beats
+        its language's median length."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        texts = (
+            ["alpha beta gamma delta epsilon"] * 3   # dups: winner doc_id 0
+            + ["one two", "uno dos", "ichi ni"]      # short: below median
+            + ["long text %d with many many words here" % i for i in range(6)]
+        )
+        n = len(texts)
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(batch, f"{td}/documents.parquet")
+            rows = cq.q_corpus_pipeline(td).take_all()
+        ids = {r["doc_id"] for r in rows}
+        assert 1 not in ids and 2 not in ids, "dup losers must not be packed"
+        # survivors strictly above the deduped corpus median length
+        kept_lens = sorted(len(texts[i]) for i in ids)
+        dd_lens = sorted(len(texts[i]) for i in [0] + list(range(3, n)))
+        med = dd_lens[(len(dd_lens) - 1) // 2]
+        assert all(length > med for length in kept_lens)
+        # pack invariants: per (part, seq) token budget respected
+        from geocoding_ray.pipelines.text_queries import SEQ_PACK_BUDGET
+
+        by_seq: dict[tuple, int] = {}
+        for r in rows:
+            nt = len(texts[r["doc_id"]].split())
+            by_seq[(r["part"], r["seq_id"])] = by_seq.get((r["part"], r["seq_id"]), 0) + nt
+        assert all(v <= SEQ_PACK_BUDGET for v in by_seq.values())
