@@ -46,6 +46,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "reverse_annotations_num",
         "grouped_median",
         "sessionize",
+        # round-4 batch-3 families: curation, join breadth, window/OLAP,
+        # stats, composition
+        "decontaminate",
+        "bloom_semijoin",
+        "full_outer_align",
+        "running_sum",
+        "value_delta",
+        "corr_moments",
+        "label_centroids",
+        "weighted_sample",
+        "corpus_pipeline",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
