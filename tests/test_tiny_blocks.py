@@ -1,0 +1,68 @@
+"""Tiny-block robustness: every join/window/composition query from the
+round-4 batch must produce oracle-exact results when the input parquet
+is written with pathological row-group sizes (many tiny blocks, many
+empty shuffle partitions) — the regime that exposed the schemaless
+empty-block join failure."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+TABLES = ["documents", "events", "orders", "lineitem", "customer"]
+ROW_GROUP = 16
+
+QUERIES = [
+    "decontaminate",
+    "compact_lww",
+    "bloom_semijoin",
+    "order_revenue_topk",
+    "left_join_enrich",
+    "full_outer_align",
+    "union_distinct",
+    "running_sum",
+    "value_delta",
+    "orders_no_lineitem",
+    "qty_rollup",
+    "corpus_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_rg")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(tbl, f"{d}/{t}.parquet", row_group_size=ROW_GROUP)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck(tiny_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tiny_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype) in ("int32", "uint32", "uint64", "int16", "int8", "bool"):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_tiny_row_groups_match_oracle(ray_session, tiny_dir, duck, name):
+    import __ray_entry__ as em
+
+    got = em.queries()[name](tiny_dir).to_pandas()
+    exp = duck.sql(em.oracle_sql()[name]).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False, check_exact=True)
