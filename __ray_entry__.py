@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": cq.q_json_extract,        # semi-structured field extraction (vectorized RE2) + rollup
         "weighted_sample": sq.q_weighted_sample,  # sequential-Poisson weighted sample, exact int priorities
         "corpus_pipeline": cq.q_corpus_pipeline,  # end-to-end: dedup -> quality filter -> sequence pack
+        "snapshot_diff": cq.q_snapshot_diff,      # CDC diff of two LWW states (added/changed/unchanged)
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": cq.SQL_JSON_EXTRACT,
         "weighted_sample": sq.SQL_WEIGHTED_SAMPLE,
         "corpus_pipeline": cq.SQL_CORPUS_PIPELINE,
+        "snapshot_diff": cq.SQL_SNAPSHOT_DIFF,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

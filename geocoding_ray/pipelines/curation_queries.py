@@ -778,3 +778,111 @@ pack(part, rn, doc_id, seq_id, seq_pos, acc) AS (
   FROM pack p JOIN ord o ON o.part = p.part AND o.rn = p.rn + 1)
 SELECT doc_id, part, seq_id, seq_pos FROM pack
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (CDC-style table comparison)
+# ---------------------------------------------------------------------------
+#
+# Diff two materialized states of the same keyed table — the
+# change-data-capture audit every incremental pipeline runs: state A
+# is the LWW compaction of events BEFORE a cutoff, state B over the
+# full stream; each key is classified added / changed / unchanged
+# (removed cannot occur in an append-only stream).  Both states are
+# slim (one row per key) before the single outer join.
+
+SNAPSHOT_CUTOFF = np.datetime64("2024-01-15")
+
+
+def q_snapshot_diff(sf_dir: str):
+    import ray.data as rd
+
+    from geocoding_ray.pipelines.olap_queries import _scrub_empties
+
+    def lww_state(ds, out_col: str):
+        def slim(batch: pa.Table) -> pa.Table:
+            t = _lww_argmax(batch)
+            cents = np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "ts": t.column("ts"),
+                    "event_id": t.column("event_id"),
+                    "cents": pa.array(cents, type=pa.int64()),
+                }
+            )
+
+        def final(group: pa.Table) -> pa.Table:
+            w = _lww_argmax(group)
+            return pa.table(
+                {
+                    "user_id": w.column("user_id"),
+                    "event_type": w.column("event_type"),
+                    out_col: w.column("cents"),
+                }
+            )
+
+        return _scrub_empties(
+            ds.map_batches(slim, batch_format="pyarrow")
+            .groupby(["user_id", "event_type"])
+            .map_groups(final, batch_format="pyarrow")
+        )
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    full = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def before_cutoff(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return batch.filter(pa.array(ts < SNAPSHOT_CUTOFF))
+
+    b_state = lww_state(full, "new_cents")
+    a_state = lww_state(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols).map_batches(
+            before_cutoff, batch_format="pyarrow"
+        ),
+        "old_cents",
+    )
+    joined = b_state.join(
+        a_state, join_type="left_outer", num_partitions=8, on=("user_id", "event_type")
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        old = batch.column("old_cents")
+        new = batch.column("new_cents")
+        valid = pc.is_valid(old).to_numpy(zero_copy_only=False)
+        o = old.to_numpy(zero_copy_only=False)
+        n = new.to_numpy(zero_copy_only=False)
+        change = np.where(~valid, "added", np.where(o != n, "changed", "unchanged"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "old_cents": old,
+                "new_cents": new,
+                "change": pa.array(change.tolist(), type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH b AS (
+  SELECT user_id, event_type, CAST(floor(value * 100.0) AS BIGINT) AS new_cents
+  FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1),
+a AS (
+  SELECT user_id, event_type, CAST(floor(value * 100.0) AS BIGINT) AS old_cents
+  FROM events WHERE ts < TIMESTAMP '2024-01-15'
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1)
+SELECT b.user_id, b.event_type, a.old_cents, b.new_cents,
+       CASE WHEN a.old_cents IS NULL THEN 'added'
+            WHEN a.old_cents <> b.new_cents THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM b LEFT JOIN a USING (user_id, event_type)
+"""

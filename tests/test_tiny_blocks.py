@@ -29,6 +29,7 @@ QUERIES = [
     "orders_no_lineitem",
     "qty_rollup",
     "corpus_pipeline",
+    "snapshot_diff",
 ]
 
 
