@@ -525,3 +525,46 @@ SELECT event_id, user_id, ts,
              PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered group collect (array_agg / string_agg)
+# ---------------------------------------------------------------------------
+
+
+def q_user_journey(sf_dir: str):
+    """Ordered collect per group — each user's event-type sequence in
+    (ts, event_id) order, joined to one string (the clickstream-journey
+    shape).  Collecting is inherently row-carrying: the shuffle moves
+    (user, type, ts, id) slim rows, grouped per user, and the per-group
+    work is one vectorized lexsort + join.  Per-group cardinality is the
+    user's own event count — the operator's scale bound is max events
+    per key, not stream size."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def collect(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "journey": pa.array([",".join(et[order].tolist())], type=pa.string()),
+                "n_events": pa.array([len(order)], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(collect, batch_format="pyarrow")
+
+
+SQL_USER_JOURNEY = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""

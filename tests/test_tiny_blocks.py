@@ -30,6 +30,7 @@ QUERIES = [
     "qty_rollup",
     "corpus_pipeline",
     "snapshot_diff",
+    "user_journey",
 ]
 
 
