@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_pipeline": cq.q_corpus_pipeline,  # end-to-end: dedup -> quality filter -> sequence pack
         "snapshot_diff": cq.q_snapshot_diff,      # CDC diff of two LWW states (added/changed/unchanged)
         "user_journey": ol.q_user_journey,        # ordered group collect (string_agg / array_agg shape)
+        "ntile": ol.q_ntile,                      # global ROW_NUMBER + NTILE via sort + distributed prefix
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": cq.SQL_CORPUS_PIPELINE,
         "snapshot_diff": cq.SQL_SNAPSHOT_DIFF,
         "user_journey": ol.SQL_USER_JOURNEY,
+        "ntile": ol.SQL_NTILE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

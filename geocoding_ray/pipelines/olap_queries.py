@@ -568,3 +568,133 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# global ROW_NUMBER / NTILE (total-order bucketing)
+# ---------------------------------------------------------------------------
+
+NTILE_K = 4
+
+
+def _ntile_of(rn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Standard SQL NTILE: the first n % k buckets get ceil(n/k) rows.
+    Closed form over 1-based row numbers, pure integer ops."""
+    sz = n // k
+    big = n % k
+    cut = big * (sz + 1)
+    in_big = rn <= cut
+    b = np.where(
+        in_big,
+        (rn - 1) // max(sz + 1, 1) + 1,
+        big + np.where(sz > 0, (rn - 1 - cut) // max(sz, 1), 0) + 1,
+    )
+    return b.astype(np.int64)
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) over documents in (n_chars, doc_id) total order — the
+    row_number family at stream scale: ONE distributed sort, per-batch
+    local indexes + slim per-batch counts, ONE global exclusive prefix
+    over #batches rows, carry join, then the NTILE closed form.  No
+    stage ever holds more than a batch; the prefix side is
+    #batches-sized regardless of data volume."""
+    import ray.data as rd
+
+    def local_idx(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                    "li": pa.array([], type=pa.int64()),
+                    "b_nc": pa.array([], type=pa.int64()),
+                    "b_did": pa.array([], type=pa.int64()),
+                }
+            )
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "li": pa.array(np.arange(1, n + 1, dtype=np.int64), type=pa.int64()),
+                "b_nc": pa.array(np.full(n, nc[0]), type=pa.int64()),
+                "b_did": pa.array(np.full(n, did[0]), type=pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"])
+        .map_batches(local_idx, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        bn = batch.column("b_nc").to_numpy(zero_copy_only=False)
+        bd = batch.column("b_did").to_numpy(zero_copy_only=False)
+        uk, counts = np.unique(np.stack([bn, bd], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "b_nc": pa.array(uk[:, 0], type=pa.int64()),
+                "b_did": pa.array(uk[:, 1], type=pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), type=pa.int64()),
+                "one": pa.array(np.zeros(len(uk), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def prefix(group: pa.Table) -> pa.Table:
+        bn = group.column("b_nc").to_numpy(zero_copy_only=False)
+        bd = group.column("b_did").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bd, bn))
+        carry = np.zeros(len(order), dtype=np.int64)
+        carry[order[1:]] = np.cumsum(cnt[order])[:-1]
+        total = int(cnt.sum())
+        return pa.table(
+            {
+                "b_nc": group.column("b_nc"),
+                "b_did": group.column("b_did"),
+                "carry": pa.array(carry, type=pa.int64()),
+                "total": pa.array(np.full(len(order), total), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    offsets = _scrub_empties(
+        rows.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["b_nc", "b_did"])
+        .aggregate(Sum(on="cnt", alias_name="cnt"), Sum(on="one", alias_name="one"))
+        .groupby("one")  # single group: #batches rows, the global prefix
+        .map_groups(prefix, batch_format="pyarrow")
+    )
+    joined = rows.join(offsets, join_type="inner", num_partitions=8, on=("b_nc", "b_did"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rn = (
+            batch.column("li").to_numpy(zero_copy_only=False)
+            + batch.column("carry").to_numpy(zero_copy_only=False)
+        )
+        total = batch.column("total").to_numpy(zero_copy_only=False)
+        n = int(total[0]) if len(total) else 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "rn": pa.array(rn, type=pa.int64()),
+                "tile": pa.array(_ntile_of(rn, n, NTILE_K), type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NTILE = f"""
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+       CAST(NTILE({NTILE_K}) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+"""

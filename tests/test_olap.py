@@ -221,3 +221,21 @@ class TestValueDelta:
             # single batch key -> one collapsed row, prev = NaN
             assert out.num_rows == 1
             assert np.isnan(out.column("prev_cents").to_pylist()[0])
+
+
+class TestNtileClosedForm:
+    def test_matches_duckdb_ntile(self):
+        import duckdb
+
+        con = duckdb.connect()
+        for n in (1, 4, 5, 7, 100, 101, 103):
+            rn = np.arange(1, n + 1, dtype=np.int64)
+            got = ol._ntile_of(rn, n, ol.NTILE_K).tolist()
+            want = [
+                t
+                for (t,) in con.execute(
+                    f"SELECT NTILE({ol.NTILE_K}) OVER (ORDER BY i) "
+                    f"FROM range(1, {n + 1}) t(i) ORDER BY i"
+                ).fetchall()
+            ]
+            assert got == want, n

@@ -31,6 +31,7 @@ QUERIES = [
     "corpus_pipeline",
     "snapshot_diff",
     "user_journey",
+    "ntile",
 ]
 
 
