@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": cq.q_snapshot_diff,      # CDC diff of two LWW states (added/changed/unchanged)
         "user_journey": ol.q_user_journey,        # ordered group collect (string_agg / array_agg shape)
         "ntile": ol.q_ntile,                      # global ROW_NUMBER + NTILE via sort + distributed prefix
+        "lang_mode": sq.q_lang_mode,              # MODE aggregate: bounded-domain count + per-group argmax
+        "value_histogram": sq.q_value_histogram,  # equi-width binning report, exact integer buckets
+        "daily_dense": sq.q_daily_dense,          # grid densification: zero-filled (day x type) matrix
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -201,6 +204,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": cq.SQL_SNAPSHOT_DIFF,
         "user_journey": ol.SQL_USER_JOURNEY,
         "ntile": ol.SQL_NTILE,
+        "lang_mode": sq.SQL_LANG_MODE,
+        "value_histogram": sq.SQL_VALUE_HISTOGRAM,
+        "daily_dense": sq.SQL_DAILY_DENSE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

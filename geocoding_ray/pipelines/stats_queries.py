@@ -792,3 +792,163 @@ WITH h AS (
   FROM documents)
 SELECT doc_id, n_chars, p FROM h ORDER BY p, doc_id LIMIT {WSAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped MODE (most frequent value)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_mode(sf_dir: str):
+    """Most frequent n_chars per language (ties -> smallest value) —
+    the MODE aggregate.  Distributed shape: (lang, n_chars) count
+    groupby (value-domain-bounded) -> per-lang vectorized argmax."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def argmax(group: pa.Table) -> pa.Table:
+        v = group.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.lexsort((v, -c))[0]
+        return pa.table(
+            {
+                "lang": group.column("lang").slice(0, 1),
+                "mode_n_chars": pa.array([int(v[i])], type=pa.int64()),
+                "mode_count": pa.array([int(c[i])], type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .groupby("lang")
+        .map_groups(argmax, batch_format="pyarrow")
+    )
+
+
+SQL_LANG_MODE = """
+WITH c AS (
+  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY lang, n_chars)
+SELECT lang, n_chars AS mode_n_chars, cnt AS mode_count FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, n_chars ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-width value histogram (OLAP binning report)
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 25  # cents-bucket width over integerized value
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width histogram of integerized value per event type —
+    buckets are floor(cents / W), exact ints both engines (negative
+    values floor toward -inf in numpy; DuckDB reproduces with an
+    explicit floor-division form).  One partial-agg scan."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        bucket = cents // HIST_WIDTH  # floor division (negatives toward -inf)
+        types, tinv = np.unique(et, return_inverse=True)
+        comp = tinv.astype(np.int64) * np.int64(1 << 32) + (bucket + (1 << 30))
+        uc, n = np.unique(comp, return_counts=True)
+        t_idx = (uc >> np.int64(32)).astype(np.int64)
+        b_val = (uc & np.int64((1 << 32) - 1)) - (1 << 30)
+        return pa.table(
+            {
+                "event_type": pa.array(types[t_idx].tolist(), type=pa.string()),
+                "bucket": pa.array(b_val, type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events),
+b AS (
+  SELECT event_type,
+         CAST(floor(CAST(cents AS DOUBLE) / {HIST_WIDTH}) AS BIGINT) AS bucket
+  FROM v)
+SELECT event_type, bucket, COUNT(*) AS n FROM b GROUP BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# grid densification (zero-filled reporting matrix)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_dense(sf_dir: str):
+    """Zero-filled (day x event_type) count matrix — the reporting
+    densification op: missing combinations appear with n = 0.  The
+    distributed part is the count groupby; the dense fill happens on
+    the REPORT-sized result (|days| x |types| rows by definition), so
+    the driver never touches event rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(day.astype(str), "|"), et.astype(str))
+        keys, n = np.unique(key, return_counts=True)
+        parts = [k.split("|") for k in keys.tolist()]
+        return pa.table(
+            {
+                "day": pa.array([p[0] for p in parts], type=pa.string()),
+                "event_type": pa.array([p[1] for p in parts], type=pa.string()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # report-sized: |days| x |types| upper bound
+    )
+    days = sorted({r["day"] for r in counts})
+    types = sorted({r["event_type"] for r in counts})
+    have = {(r["day"], r["event_type"]): int(r["n"]) for r in counts}
+    out_day, out_type, out_n = [], [], []
+    for d in days:
+        for t in types:
+            out_day.append(d)
+            out_type.append(t)
+            out_n.append(have.get((d, t), 0))
+    return pa.table(
+        {
+            "day": pa.array(out_day, type=pa.string()),
+            "event_type": pa.array(out_type, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+        }
+    )
+
+
+SQL_DAILY_DENSE = """
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+d AS (SELECT DISTINCT day FROM c),
+t AS (SELECT DISTINCT event_type FROM c)
+SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+FROM d CROSS JOIN t
+LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+"""
