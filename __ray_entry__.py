@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mode": sq.q_lang_mode,              # MODE aggregate: bounded-domain count + per-group argmax
         "value_histogram": sq.q_value_histogram,  # equi-width binning report, exact integer buckets
         "daily_dense": sq.q_daily_dense,          # grid densification: zero-filled (day x type) matrix
+        "grouped_mad": sq.q_grouped_mad,          # robust stats: median absolute deviation, exact ints
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_mode": sq.SQL_LANG_MODE,
         "value_histogram": sq.SQL_VALUE_HISTOGRAM,
         "daily_dense": sq.SQL_DAILY_DENSE,
+        "grouped_mad": sq.SQL_GROUPED_MAD,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -952,3 +952,119 @@ SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
 FROM d CROSS JOIN t
 LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped MAD (median absolute deviation — robust statistics)
+# ---------------------------------------------------------------------------
+#
+# MAD = median(|x - median(x)|) per group, over integerized cents.
+# Two passes of the VALUE-DOMAIN-BOUNDED exact-median plan (the
+# quality_filter pattern): a (group, cents) count groupby + driver rank
+# walk gives each group's median; a second count groupby over the
+# derived |cents - med| deviations gives the MAD.  Both exchanges are
+# bounded by #groups x #distinct values, never by row count.  (The
+# general-domain float path is grouped_quantile's 16-bit histogram
+# refinement; this is the integer-metric fast path.)
+
+
+def _rank_walk(rows, key_col: str, val_col: str, cnt_col: str) -> dict:
+    """Discrete median per key from (key, value, count) rows — the
+    quantile_disc ceil(q*n)-1 rule at q=0.5."""
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[key_col], []).append((r[val_col], r[cnt_col]))
+    out: dict = {}
+    for k, vs in by_key.items():
+        vs.sort()
+        total = sum(c for _, c in vs)
+        target = (total - 1) // 2
+        cum = 0
+        for v, c in vs:
+            cum += c
+            if cum > target:
+                out[k] = v
+                break
+    return out
+
+
+def q_grouped_mad(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+
+    def cents_counts(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(val)
+        et, val = et[ok], val[ok]
+        c = np.floor(val * 100.0).astype(np.int64)
+        types, tinv = np.unique(et, return_inverse=True)
+        comp = tinv.astype(np.int64) * np.int64(1 << 40) + (c + (1 << 38))
+        uc, n = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[(uc >> np.int64(40))].tolist(), type=pa.string()),
+                "cents": pa.array((uc & np.int64((1 << 40) - 1)) - (1 << 38), type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(cents_counts, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # #groups x #distinct cents — domain-bounded
+    )
+    med = _rank_walk(counts, "event_type", "cents", "n")
+    med_ref = ray.put(med)
+
+    def dev_counts(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        t = cents_counts(batch)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        meds = np.array([m[v] for v in et], dtype=np.int64)
+        dev = np.abs(c - meds)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "dev": pa.array(dev, type=pa.int64()),
+                "n": t.column("n"),
+            }
+        )
+
+    dev_rows = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(dev_counts, batch_format="pyarrow")
+        .groupby(["event_type", "dev"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()
+    )
+    mad = _rank_walk(dev_rows, "event_type", "dev", "n")
+    keys = sorted(med)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, type=pa.string()),
+            "med_cents": pa.array([med[k] for k in keys], type=pa.int64()),
+            "mad_cents": pa.array([mad[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
+SQL_GROUPED_MAD = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+m AS (SELECT event_type, quantile_disc(c, 0.5) AS med_cents FROM v GROUP BY 1),
+d AS (
+  SELECT v.event_type, abs(v.c - m.med_cents) AS dev
+  FROM v JOIN m USING (event_type))
+SELECT m.event_type, m.med_cents,
+       quantile_disc(d.dev, 0.5) AS mad_cents
+FROM d JOIN m USING (event_type)
+GROUP BY m.event_type, m.med_cents
+"""

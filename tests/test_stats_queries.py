@@ -350,3 +350,24 @@ class TestWeightedSample:
         assert {r["doc_id"] for r in rows} == want
         # weight-biased: sample mean length > corpus mean length
         assert np.mean([r["n_chars"] for r in rows]) > w.mean()
+
+
+class TestGroupedMAD:
+    def test_mad_vs_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        out = {r["event_type"]: r for r in sq.q_grouped_mad("/root/testdata/sf0.001").to_pylist()}
+        t = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["event_type", "value"])
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = np.floor(t.column("value").to_numpy() * 100.0).astype(np.int64)
+
+        def disc_median(x):
+            s = np.sort(x)
+            return int(s[(len(s) - 1) // 2])
+
+        for g in np.unique(et):
+            m = et == g
+            med = disc_median(c[m])
+            mad = disc_median(np.abs(c[m] - med))
+            assert out[g]["med_cents"] == med
+            assert out[g]["mad_cents"] == mad
