@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": sq.q_value_histogram,  # equi-width binning report, exact integer buckets
         "daily_dense": sq.q_daily_dense,          # grid densification: zero-filled (day x type) matrix
         "grouped_mad": sq.q_grouped_mad,          # robust stats: median absolute deviation, exact ints
+        "funnel": ol.q_funnel,                    # sequential pattern match: signup -> click -> purchase
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": sq.SQL_VALUE_HISTOGRAM,
         "daily_dense": sq.SQL_DAILY_DENSE,
         "grouped_mad": sq.SQL_GROUPED_MAD,
+        "funnel": ol.SQL_FUNNEL,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

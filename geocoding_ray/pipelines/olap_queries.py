@@ -698,3 +698,73 @@ SELECT doc_id, n_chars,
        CAST(NTILE({NTILE_K}) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (sequential pattern matching)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def q_funnel(sf_dir: str):
+    """Users who performed signup -> click -> purchase in strict
+    timestamp order (the product-analytics funnel).  Greedy-earliest
+    matching is exact for subsequence existence: take the earliest
+    step-1 event, then the earliest step-2 event strictly after it, and
+    so on — if the greedy chain fails, no chain exists.  Distributed
+    shape: the stream is pre-filtered to funnel event types, then one
+    groupby(user) with a vectorized per-group chain walk; per-group
+    cardinality is the user's own funnel-event count."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).filter(expr=f"event_type in {FUNNEL_STEPS!r}")
+
+    def chain(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cur = np.int64(np.iinfo(np.int64).min)
+        stamps = []
+        for step in FUNNEL_STEPS:
+            m = (et == step) & (ts > cur)
+            if not m.any():
+                return pa.table(
+                    {
+                        "user_id": pa.array([], type=pa.int64()),
+                        "t_signup": pa.array([], type=pa.timestamp("us")),
+                        "t_click": pa.array([], type=pa.timestamp("us")),
+                        "t_purchase": pa.array([], type=pa.timestamp("us")),
+                    }
+                )
+            cur = ts[m].min()
+            stamps.append(cur)
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "t_signup": pa.array(np.array([stamps[0]], dtype="datetime64[us]")),
+                "t_click": pa.array(np.array([stamps[1]], dtype="datetime64[us]")),
+                "t_purchase": pa.array(np.array([stamps[2]], dtype="datetime64[us]")),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(chain, batch_format="pyarrow")
+
+
+SQL_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s.t_signup GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT p.user_id, s.t_signup, c.t_click, p.t_purchase
+FROM p JOIN c USING (user_id) JOIN s USING (user_id)
+"""

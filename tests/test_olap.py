@@ -239,3 +239,47 @@ class TestNtileClosedForm:
                 ).fetchall()
             ]
             assert got == want, n
+
+
+class TestFunnel:
+    def test_order_sensitivity(self, ray_session):
+        """The greedy chain only matches strictly ordered funnels: a
+        user whose purchase precedes their click must NOT qualify."""
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        def ev(uid, et, t, i):
+            return (i, uid, et, np.datetime64(t, "us"), 1.0)
+
+        rows = [
+            # user 1: proper order -> qualifies
+            ev(1, "signup", "2024-01-01T00:00", 1),
+            ev(1, "click", "2024-01-02T00:00", 2),
+            ev(1, "purchase", "2024-01-03T00:00", 3),
+            # user 2: purchase before click -> fails
+            ev(2, "signup", "2024-01-01T00:00", 4),
+            ev(2, "purchase", "2024-01-02T00:00", 5),
+            ev(2, "click", "2024-01-03T00:00", 6),
+            # user 3: missing click -> fails
+            ev(3, "signup", "2024-01-01T00:00", 7),
+            ev(3, "purchase", "2024-01-02T00:00", 8),
+            # user 4: early failed chain, later complete chain -> qualifies
+            ev(4, "click", "2024-01-01T00:00", 9),
+            ev(4, "signup", "2024-01-02T00:00", 10),
+            ev(4, "click", "2024-01-03T00:00", 11),
+            ev(4, "purchase", "2024-01-04T00:00", 12),
+        ]
+        batch = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "ts": pa.array(np.array([r[3] for r in rows], dtype="datetime64[us]")),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(batch, f"{td}/events.parquet")
+            got = {r["user_id"] for r in ol.q_funnel(td).take_all()}
+        assert got == {1, 4}
