@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_dense": sq.q_daily_dense,          # grid densification: zero-filled (day x type) matrix
         "grouped_mad": sq.q_grouped_mad,          # robust stats: median absolute deviation, exact ints
         "funnel": ol.q_funnel,                    # sequential pattern match: signup -> click -> purchase
+        "word_cooc": sq.q_word_cooc,              # market-basket co-occurrence: top word pairs per corpus
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_dense": sq.SQL_DAILY_DENSE,
         "grouped_mad": sq.SQL_GROUPED_MAD,
         "funnel": ol.SQL_FUNNEL,
+        "word_cooc": sq.SQL_WORD_COOC,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -1068,3 +1068,114 @@ SELECT m.event_type, m.med_cents,
 FROM d JOIN m USING (event_type)
 GROUP BY m.event_type, m.med_cents
 """
+
+
+# ---------------------------------------------------------------------------
+# word co-occurrence (market-basket / association analysis)
+# ---------------------------------------------------------------------------
+
+COOC_K = 25
+
+
+def q_word_cooc(sf_dir: str):
+    """Top word pairs by document co-occurrence — the market-basket
+    shape.  Per batch: one dictionary-encode, per-doc DISTINCT word
+    codes, vectorized upper-triangle pair explode, partial pair counts;
+    the shuffle carries (w1, w2, n) rows bounded by vocabulary^2 (a
+    corpus property, not row count); final global top-k by
+    (count desc, pair asc).  Per-doc pair mass is O(distinct words per
+    doc squared) — the inherent cost of exact co-occurrence; the scale
+    lever is a vocabulary or per-doc-distinct cap."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = wa.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        n_docs = len(offs) - 1
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        # per-doc distinct (doc, code) pairs
+        dk = np.unique(doc_idx * np.int64(1 << 32) + codes)
+        d = (dk >> np.int64(32)).astype(np.int64)
+        c = (dk & np.int64((1 << 32) - 1)).astype(np.int64)
+        # upper-triangle pair explode per doc (codes sorted within doc by
+        # construction of np.unique on the composite key)
+        starts = np.searchsorted(d, np.arange(n_docs, dtype=np.int64))
+        ends = np.searchsorted(d, np.arange(1, n_docs + 1, dtype=np.int64))
+        sizes = ends - starts
+        n_pairs = sizes * (sizes - 1) // 2
+        total = int(n_pairs.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], type=pa.string()),
+                    "w2": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        # build (i, j) index pairs for all docs at once
+        doc_of_pair = np.repeat(np.arange(n_docs, dtype=np.int64), n_pairs)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_pairs)[:-1])), n_pairs
+        )
+        sz = sizes[doc_of_pair]
+        # map linear within-index -> (i, j) of the upper triangle:
+        # i = row such that cum pairs before row i <= within; vectorized
+        # via the quadratic-formula inverse of t(i) = i*sz - i(i+1)/2
+        i = np.floor(
+            (2 * sz - 1 - np.sqrt((2 * sz - 1) ** 2 - 8 * within.astype(np.float64))) / 2
+        ).astype(np.int64)
+        before = i * sz - i * (i + 1) // 2
+        # float guard: fix any off-by-one from the sqrt
+        over = before > within
+        i[over] -= 1
+        before = i * sz - i * (i + 1) // 2
+        under = (within - before) >= (sz - 1 - i)
+        i[under] += 1
+        before = i * sz - i * (i + 1) // 2
+        j = i + 1 + (within - before)
+        base = starts[doc_of_pair]
+        a = c[base + i]
+        b = c[base + j]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pk, n = np.unique(lo * np.int64(1 << 32) + hi, return_counts=True)
+        # canonicalize by STRING order (the SQL's a.w < b.w), not code
+        # order — dictionary codes are batch-local and not lexicographic
+        s1 = vocab[(pk >> np.int64(32))]
+        s2 = vocab[(pk & np.int64((1 << 32) - 1))]
+        swap = s1 > s2
+        w1 = np.where(swap, s2, s1)
+        w2 = np.where(swap, s1, s2)
+        return pa.table(
+            {
+                "w1": pa.array(w1.tolist(), type=pa.string()),
+                "w2": pa.array(w2.tolist(), type=pa.string()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(COOC_K)
+    )
+
+
+SQL_WORD_COOC = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY a.w, b.w
+ORDER BY n DESC, w1, w2
+LIMIT {COOC_K}
+"""
