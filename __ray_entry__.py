@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mad": sq.q_grouped_mad,          # robust stats: median absolute deviation, exact ints
         "funnel": ol.q_funnel,                    # sequential pattern match: signup -> click -> purchase
         "word_cooc": sq.q_word_cooc,              # market-basket co-occurrence: top word pairs per corpus
+        "retention": ol.q_retention,              # cohort retention matrix (first-day cohorts x offsets)
+        "winsorized_mean": sq.q_winsorized_mean,  # robust mean: [p10,p90]-clamped exact integer sums
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -213,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mad": sq.SQL_GROUPED_MAD,
         "funnel": ol.SQL_FUNNEL,
         "word_cooc": sq.SQL_WORD_COOC,
+        "retention": ol.SQL_RETENTION,
+        "winsorized_mean": sq.SQL_WINSORIZED_MEAN,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -768,3 +768,81 @@ p AS (
 SELECT p.user_id, s.t_signup, c.t_click, p.t_purchase
 FROM p JOIN c USING (user_id) JOIN s USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts (cohort-day x day-offset active-user matrix)
+# ---------------------------------------------------------------------------
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST active day; for
+    each (cohort_day, day_offset) the number of distinct cohort users
+    active that day.  Distributed shape: per-user first-day groupby Min
+    (slim) -> join back onto per-(user, day) distinct activity (slim,
+    one row per user-day) -> exact distinct-user count per cell via the
+    count groupby (cells bounded by days², users deduped per cell by
+    construction)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day_i = (
+            batch.column("ts")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // np.int64(86_400_000_000)
+        )
+        key = uid * np.int64(1 << 20) + day_i  # day index < 2^20 (through y4779)
+        uk = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array((uk >> np.int64(20)).astype(np.int64), type=pa.int64()),
+                "day_i": pa.array(uk & np.int64((1 << 20) - 1), type=pa.int64()),
+            }
+        )
+
+    activity = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(user_days, batch_format="pyarrow")
+        .groupby(["user_id", "day_i"])
+        .count()
+    )
+    first = _scrub_empties(
+        activity.groupby("user_id").aggregate(Min(on="day_i", alias_name="first_i"))
+    )
+    joined = activity.join(first, join_type="inner", num_partitions=8, on=("user_id",))
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        fi = batch.column("first_i").to_numpy(zero_copy_only=False).astype(np.int64)
+        di = batch.column("day_i").to_numpy(zero_copy_only=False).astype(np.int64)
+        off = di - fi
+        key = fi * np.int64(1 << 20) + off
+        uk, n = np.unique(key, return_counts=True)  # user-days already distinct
+        return pa.table(
+            {
+                "cohort_i": pa.array((uk >> np.int64(20)).astype(np.int64), type=pa.int64()),
+                "day_offset": pa.array(uk & np.int64((1 << 20) - 1), type=pa.int64()),
+                "n_users": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(cell_partials, batch_format="pyarrow")
+        .groupby(["cohort_i", "day_offset"])
+        .aggregate(Sum(on="n_users", alias_name="n_users"))
+    )
+
+
+SQL_RETENTION = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_i
+  FROM events),
+f AS (SELECT user_id, MIN(day_i) AS first_i FROM ud GROUP BY user_id)
+SELECT f.first_i AS cohort_i, ud.day_i - f.first_i AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -968,9 +968,11 @@ LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
 # refinement; this is the integer-metric fast path.)
 
 
-def _rank_walk(rows, key_col: str, val_col: str, cnt_col: str) -> dict:
-    """Discrete median per key from (key, value, count) rows — the
-    quantile_disc ceil(q*n)-1 rule at q=0.5."""
+def _rank_walk(rows, key_col: str, val_col: str, cnt_col: str, q: float = 0.5) -> dict:
+    """Discrete quantile per key from (key, value, count) rows — the
+    quantile_disc ceil(q*n)-1 rule (== (n-1)//2 at q=0.5)."""
+    import math
+
     by_key: dict = {}
     for r in rows:
         by_key.setdefault(r[key_col], []).append((r[val_col], r[cnt_col]))
@@ -978,7 +980,7 @@ def _rank_walk(rows, key_col: str, val_col: str, cnt_col: str) -> dict:
     for k, vs in by_key.items():
         vs.sort()
         total = sum(c for _, c in vs)
-        target = (total - 1) // 2
+        target = max(math.ceil(q * total) - 1, 0)
         cum = 0
         for v, c in vs:
             cum += c
@@ -1178,4 +1180,99 @@ FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
 GROUP BY a.w, b.w
 ORDER BY n DESC, w1, w2
 LIMIT {COOC_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized mean (robust location estimate)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.1
+WINSOR_HI = 0.9
+
+
+def q_winsorized_mean(sf_dir: str):
+    """Per-group winsorized sums: values clamped to the group's
+    [p10, p90] discrete quantiles, then EXACT int64 sums — the
+    robust-mean companion to grouped_mad, same value-domain-bounded
+    two-phase plan (count groupby + rank walks -> broadcast clamps ->
+    streaming clamp + partial sums).  The mean itself is sum/n, one
+    float division away; the gate compares the exact integers."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+
+    def cents_counts(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(val)
+        et, val = et[ok], val[ok]
+        c = np.floor(val * 100.0).astype(np.int64)
+        types, tinv = np.unique(et, return_inverse=True)
+        comp = tinv.astype(np.int64) * np.int64(1 << 40) + (c + (1 << 38))
+        uc, n = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[(uc >> np.int64(40))].tolist(), type=pa.string()),
+                "cents": pa.array((uc & np.int64((1 << 40) - 1)) - (1 << 38), type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(cents_counts, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # domain-bounded
+    )
+    lo = _rank_walk(counts, "event_type", "cents", "n", q=WINSOR_LO)
+    hi = _rank_walk(counts, "event_type", "cents", "n", q=WINSOR_HI)
+    clamp_ref = ray.put((lo, hi))
+
+    def clamped_partials(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(clamp_ref)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        ok = np.isfinite(val)
+        et, val = et[ok], val[ok]
+        c = np.floor(val * 100.0).astype(np.int64)
+        lo_a = np.array([lo[v] for v in et], dtype=np.int64)
+        hi_a = np.array([hi[v] for v in et], dtype=np.int64)
+        w = np.minimum(np.maximum(c, lo_a), hi_a)
+        types, inv = np.unique(et, return_inverse=True)
+        acc = np.zeros(len(types), dtype=np.int64)
+        np.add.at(acc, inv, w)
+        n = np.bincount(inv, minlength=len(types)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types.tolist(), type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "sum_wins_cents": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(clamped_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum(on="n", alias_name="n"), Sum(on="sum_wins_cents", alias_name="sum_wins_cents"))
+    )
+
+
+SQL_WINSORIZED_MEAN = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+q AS (
+  SELECT event_type,
+         quantile_disc(c, {WINSOR_LO}) AS lo,
+         quantile_disc(c, {WINSOR_HI}) AS hi
+  FROM v GROUP BY event_type)
+SELECT v.event_type, COUNT(*) AS n,
+       CAST(SUM(LEAST(GREATEST(v.c, q.lo), q.hi)) AS BIGINT) AS sum_wins_cents
+FROM v JOIN q USING (event_type)
+GROUP BY v.event_type
 """
