@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_cooc": sq.q_word_cooc,              # market-basket co-occurrence: top word pairs per corpus
         "retention": ol.q_retention,              # cohort retention matrix (first-day cohorts x offsets)
         "winsorized_mean": sq.q_winsorized_mean,  # robust mean: [p10,p90]-clamped exact integer sums
+        "tfidf_top_term": sq.q_tfidf_top_term,    # keyword extraction: integer-exact TF-IDF argmax per doc
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "word_cooc": sq.SQL_WORD_COOC,
         "retention": ol.SQL_RETENTION,
         "winsorized_mean": sq.SQL_WINSORIZED_MEAN,
+        "tfidf_top_term": sq.SQL_TFIDF_TOP_TERM,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

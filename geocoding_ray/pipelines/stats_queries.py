@@ -1276,3 +1276,123 @@ SELECT v.event_type, COUNT(*) AS n,
 FROM v JOIN q USING (event_type)
 GROUP BY v.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (integer-exact scoring)
+# ---------------------------------------------------------------------------
+#
+# Top keyword per document by tf * N // df — an integer-exact TF-IDF
+# variant (integer division replaces log(N/df): same ordering intent,
+# zero libm, both engines bit-identical).  Distributed shape: the df
+# table is vocabulary-bounded (distributed distinct-(doc, term) count ->
+# broadcast); the scoring pass is per-document and needs NO shuffle
+# because a document never spans rows.
+
+
+def q_tfidf_top_term(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.ParquetFile(path).metadata.num_rows  # footer metadata only
+
+    df_rows = (
+        rd.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(_tfidf_df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="df", alias_name="df"))
+        .take_all()  # vocabulary-bounded
+    )
+    terms = np.asarray([r["term"] for r in df_rows], dtype=object)
+    dfs = np.asarray([r["df"] for r in df_rows], dtype=np.int64)
+    order = np.argsort(terms, kind="stable")
+    df_ref = ray.put((terms[order], dfs[order], int(n_docs)))
+
+    def top_term(batch: pa.Table) -> pa.Table:
+        vterms, vdf, nd = ray.get(df_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text").combine_chunks()), _TERM_RE.pattern
+        )
+        wa = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = wa.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        nonempty = vocab != ""
+        doc_idx = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+        keep = nonempty[codes]
+        doc_idx, codes = doc_idx[keep], codes[keep]
+        # tf per (doc, code)
+        dk, tf = np.unique(doc_idx * np.int64(1 << 32) + codes, return_counts=True)
+        d = (dk >> np.int64(32)).astype(np.int64)
+        c = (dk & np.int64((1 << 32) - 1)).astype(np.int64)
+        code_df = vdf[np.searchsorted(vterms, vocab[c])]
+        score = tf.astype(np.int64) * nd // code_df
+        # argmax per doc: sort by (doc, -score, term) and take firsts
+        term_strs = vocab[c]
+        o = np.lexsort((term_strs, -score, d))
+        ds_, first = d[o], np.ones(len(o), dtype=bool)
+        first[1:] = ds_[1:] != ds_[:-1]
+        sel = o[first]
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[d[sel]], type=pa.int64()),
+                "term": pa.array(term_strs[sel].tolist(), type=pa.string()),
+                "tf": pa.array(tf[sel].astype(np.int64), type=pa.int64()),
+                "score": pa.array(score[sel], type=pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        top_term, batch_format="pyarrow"
+    )
+
+
+def _tfidf_df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequency: distinct (doc, term) ->
+    per-term counts.  Mergeable by Sum because a document never spans
+    batches (one row per doc)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text").combine_chunks()), _TERM_RE.pattern
+    )
+    wa = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = wa.values.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+    keep = (vocab != "")[codes]
+    dk = np.unique(doc_idx[keep] * np.int64(1 << 32) + codes[keep])
+    c = (dk & np.int64((1 << 32) - 1)).astype(np.int64)
+    uc, n = np.unique(c, return_counts=True)
+    return pa.table(
+        {
+            "term": pa.array(vocab[uc].tolist(), type=pa.string()),
+            "df": pa.array(n.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+SQL_TFIDF_TOP_TERM = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+t AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term, tf, score FROM (
+  SELECT t.doc_id, t.term, t.tf, t.tf * nd.n // df.df AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY t.tf * nd.n // df.df DESC, t.term ASC) AS rn
+  FROM t JOIN df USING (term) CROSS JOIN nd)
+WHERE rn = 1
+"""
