@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": ol.q_retention,              # cohort retention matrix (first-day cohorts x offsets)
         "winsorized_mean": sq.q_winsorized_mean,  # robust mean: [p10,p90]-clamped exact integer sums
         "tfidf_top_term": sq.q_tfidf_top_term,    # keyword extraction: integer-exact TF-IDF argmax per doc
+        "transitions": ol.q_transitions,          # Markov transition counts over per-user event bigrams
+        "profile_orders": tpch.q_profile_orders,  # data-profiling report: nulls/min/max/distinct in one pass
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "retention": ol.SQL_RETENTION,
         "winsorized_mean": sq.SQL_WINSORIZED_MEAN,
         "tfidf_top_term": sq.SQL_TFIDF_TOP_TERM,
+        "transitions": ol.SQL_TRANSITIONS,
+        "profile_orders": tpch.SQL_PROFILE_ORDERS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

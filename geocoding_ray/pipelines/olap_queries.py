@@ -846,3 +846,63 @@ SELECT f.first_i AS cohort_i, ud.day_i - f.first_i AS day_offset,
 FROM ud JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix (per-user consecutive-event bigrams)
+# ---------------------------------------------------------------------------
+
+
+def q_transitions(sf_dir: str):
+    """Markov-style transition counts: consecutive event-type pairs
+    along each user's (ts, event_id)-ordered stream.  Per-user groupby
+    with one vectorized lexsort + shift per group, then a
+    vocabulary²-bounded pair-count groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def bigrams(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        seq = et[order]
+        if len(seq) < 2:
+            return pa.table(
+                {
+                    "src": pa.array([], type=pa.string()),
+                    "dst": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        key = np.char.add(np.char.add(seq[:-1].astype(str), "|"), seq[1:].astype(str))
+        uk, n = np.unique(key, return_counts=True)
+        parts = [k.split("|") for k in uk.tolist()]
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in parts], type=pa.string()),
+                "dst": pa.array([p[1] for p in parts], type=pa.string()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(bigrams, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+
+SQL_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events)
+SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY src, dst
+"""

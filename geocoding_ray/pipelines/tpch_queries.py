@@ -376,3 +376,85 @@ SQL_ORDERS_NO_LINEITEM = """
 SELECT o_orderkey, o_orderpriority FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
+
+
+def q_profile_orders(sf_dir: str):
+    """Data-profiling report over orders: per column the null count,
+    plus min/max of the numeric/temporal columns and distinct count of
+    the categorical one — one vectorized partial pass, merged by a
+    slim constant-key reduce (the output is one report row)."""
+    import pyarrow.compute as pac
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out: dict[str, object] = {}
+        for c in cols:
+            out[f"nulls_{c}"] = pa.array(
+                [batch.column(c).null_count], type=pa.int64()
+            )
+        price = batch.column("o_totalprice")
+        cents = pac.cast(
+            pac.floor(pac.multiply(price, pa.scalar(100.0))), pa.int64()
+        )
+        out["min_price_cents"] = pa.array([pac.min(cents).as_py()], type=pa.int64())
+        out["max_price_cents"] = pa.array([pac.max(cents).as_py()], type=pa.int64())
+        od = batch.column("o_orderdate").cast(pa.int64())
+        out["min_date_us"] = pa.array([pac.min(od).as_py()], type=pa.int64())
+        out["max_date_us"] = pa.array([pac.max(od).as_py()], type=pa.int64())
+        out["n_rows"] = pa.array([batch.num_rows], type=pa.int64())
+        out["one"] = pa.array([0], type=pa.int64())
+        return pa.table(out)
+
+    def statuses(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.unique(np.asarray(batch.column("o_orderstatus").to_pylist(), dtype=object))
+        return pa.table({"s": pa.array(v.tolist(), type=pa.string())})
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    agg = base.map_batches(partials, batch_format="pyarrow").groupby("one").aggregate(
+        *(
+            [Sum(on=f"nulls_{c}", alias_name=f"nulls_{c}") for c in cols]
+            + [
+                Min(on="min_price_cents", alias_name="min_price_cents"),
+                Max(on="max_price_cents", alias_name="max_price_cents"),
+                Min(on="min_date_us", alias_name="min_date_us"),
+                Max(on="max_date_us", alias_name="max_date_us"),
+                Sum(on="n_rows", alias_name="n_rows"),
+            ]
+        )
+    )
+    n_status = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+        .map_batches(statuses, batch_format="pyarrow")
+        .groupby("s")
+        .count()
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.drop_columns(["one"])
+        return t.append_column("n_status", pa.array([int(n_status)] * t.num_rows, type=pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PROFILE_ORDERS = """
+SELECT
+  COUNT(*) - COUNT(o_orderkey) AS nulls_o_orderkey,
+  COUNT(*) - COUNT(o_custkey) AS nulls_o_custkey,
+  COUNT(*) - COUNT(o_orderstatus) AS nulls_o_orderstatus,
+  COUNT(*) - COUNT(o_totalprice) AS nulls_o_totalprice,
+  COUNT(*) - COUNT(o_orderdate) AS nulls_o_orderdate,
+  COUNT(*) - COUNT(o_orderpriority) AS nulls_o_orderpriority,
+  CAST(MIN(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS min_price_cents,
+  CAST(MAX(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS max_price_cents,
+  CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
+  CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT o_orderstatus) AS n_status
+FROM orders
+"""
