@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": sq.q_weighted_sample,  # sequential-Poisson weighted sample, exact int priorities
         "corpus_pipeline": cq.q_corpus_pipeline,  # end-to-end: dedup -> quality filter -> sequence pack
         "snapshot_diff": cq.q_snapshot_diff,      # CDC diff of two LWW states (added/changed/unchanged)
+        "chunk_dedup": cq.q_chunk_dedup,          # span-level boilerplate strip: explode -> count -> reassemble
         "user_journey": ol.q_user_journey,        # ordered group collect (string_agg / array_agg shape)
         "ntile": ol.q_ntile,                      # global ROW_NUMBER + NTILE via sort + distributed prefix
         "lang_mode": sq.q_lang_mode,              # MODE aggregate: bounded-domain count + per-group argmax
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean": sq.q_winsorized_mean,  # robust mean: [p10,p90]-clamped exact integer sums
         "tfidf_top_term": sq.q_tfidf_top_term,    # keyword extraction: integer-exact TF-IDF argmax per doc
         "transitions": ol.q_transitions,          # Markov transition counts over per-user event bigrams
+        "twap": ol.q_twap,                        # time-weighted (LOCF-integral) average per user
         "profile_orders": tpch.q_profile_orders,  # data-profiling report: nulls/min/max/distinct in one pass
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -210,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": sq.SQL_WEIGHTED_SAMPLE,
         "corpus_pipeline": cq.SQL_CORPUS_PIPELINE,
         "snapshot_diff": cq.SQL_SNAPSHOT_DIFF,
+        "chunk_dedup": cq.SQL_CHUNK_DEDUP,
         "user_journey": ol.SQL_USER_JOURNEY,
         "ntile": ol.SQL_NTILE,
         "lang_mode": sq.SQL_LANG_MODE,
@@ -222,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_mean": sq.SQL_WINSORIZED_MEAN,
         "tfidf_top_term": sq.SQL_TFIDF_TOP_TERM,
         "transitions": ol.SQL_TRANSITIONS,
+        "twap": ol.SQL_TWAP,
         "profile_orders": tpch.SQL_PROFILE_ORDERS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design

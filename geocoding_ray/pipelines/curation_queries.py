@@ -886,3 +886,126 @@ SELECT b.user_id, b.event_type, a.old_cents, b.new_cents,
             ELSE 'unchanged' END AS change
 FROM b LEFT JOIN a USING (user_id, event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# aligned-chunk boilerplate strip (explode -> corpus count -> reassemble)
+# ---------------------------------------------------------------------------
+
+CHUNK_K = 3  # words per aligned chunk
+CHUNK_HOT_MIN = 4  # corpus occurrences at which a chunk is boilerplate
+
+
+def _explode_chunks(batch: pa.Table) -> pa.Table:
+    """Vectorized doc -> aligned K-word chunk rows (doc_id, chunk_id,
+    chunk).  One Arrow split per batch; the chunk texts are built with
+    a single ``binary_join`` over a re-offsetted ListArray view of the
+    SAME flat word buffer — no Python loop, no per-word copies."""
+    empty = {
+        "doc_id": pa.array([], type=pa.int64()),
+        "chunk_id": pa.array([], type=pa.int64()),
+        "chunk": pa.array([], type=pa.string()),
+    }
+    if batch.num_rows == 0:
+        return pa.table(empty)
+    words = pc.split_pattern(batch.column("text"), pattern=" ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nw = np.diff(offs)  # words per doc (>=1: split of "" yields [""])
+    n_chunks = (nw + CHUNK_K - 1) // CHUNK_K
+    if int(n_chunks.sum()) == 0:
+        return pa.table(empty)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_rep = np.repeat(doc, n_chunks)
+    # chunk_id within each doc: global arange minus each doc's first slot
+    first_slot = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_id = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(first_slot, n_chunks)
+    starts = np.repeat(offs[:-1], n_chunks) + CHUNK_K * chunk_id
+    list_offs = pa.array(np.concatenate((starts, [offs[-1]])), type=pa.int64())
+    chunks = pc.binary_join(
+        pa.LargeListArray.from_arrays(list_offs, words.values), " "
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "chunk": chunks.cast(pa.string()),
+        }
+    )
+
+
+def _reassemble(group: pa.Table) -> pa.Table:
+    """Per doc: surviving chunks back to one text, original order."""
+    cid = group.column("chunk_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(cid)
+    txt = " ".join(group.column("chunk").take(pa.array(order)).to_pylist())
+    return pa.table(
+        {
+            "doc_id": pa.array([int(group.column("doc_id")[0].as_py())], type=pa.int64()),
+            "clean_text": pa.array([txt], type=pa.string()),
+        }
+    )
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Span-level boilerplate removal (the RefinedWeb/CCNet line-dedup
+    shape, aligned K-word chunks standing in for lines since the
+    synthetic corpus has no newlines): explode every document into
+    aligned chunks, count each chunk's corpus-wide occurrences, strip
+    chunks appearing >= CHUNK_HOT_MIN times, and reassemble each
+    document's survivors in order.  Docs whose every chunk is
+    boilerplate drop out (same as the SQL GROUP BY).
+
+    Scale shape: the explode streams (flat_map over batches); the count
+    shuffle carries per-batch DISTINCT (chunk, n) partials; the hot set
+    is boilerplate-bounded and meets the stream in a native left_anti
+    join (never a broadcast of the corpus); reassembly is one groupby
+    whose per-group mass is a single document.  At 100 TB the chunk key
+    would be a 128-bit content hash instead of the text itself — the
+    text key keeps the oracle exact here."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    chunks = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_explode_chunks, batch_format="pyarrow")
+        .materialize()  # two consumers: the count pass and the strip join
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("chunk").aggregate([("chunk", "count")])
+        return pa.table(
+            {
+                "chunk": agg.column("chunk"),
+                "n": agg.column("chunk_count").cast(pa.int64()),
+            }
+        )
+
+    hot = (
+        chunks.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("chunk")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .filter(expr=f"n >= {CHUNK_HOT_MIN}")
+        .select_columns(["chunk"])
+        .repartition(4)  # scrub sort-groupby's schemaless empties pre-join
+    )
+    kept = chunks.join(hot, join_type="left_anti", num_partitions=8, on=("chunk",))
+    return kept.groupby("doc_id").map_groups(_reassemble, batch_format="pyarrow")
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+c AS (
+  SELECT doc_id, (ord - 1) // {CHUNK_K} AS chunk_id,
+         string_agg(word, ' ' ORDER BY ord) AS chunk
+  FROM w GROUP BY doc_id, (ord - 1) // {CHUNK_K}),
+hot AS (
+  SELECT chunk FROM c GROUP BY chunk HAVING COUNT(*) >= {CHUNK_HOT_MIN})
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+FROM c
+WHERE chunk NOT IN (SELECT chunk FROM hot)
+GROUP BY doc_id
+"""

@@ -906,3 +906,131 @@ WITH s AS (
   FROM events)
 SELECT src, dst, COUNT(*) AS n FROM s WHERE dst IS NOT NULL GROUP BY src, dst
 """
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (LOCF integral over the per-user stream)
+# ---------------------------------------------------------------------------
+
+
+def _twap_local(batch: pa.Table) -> pa.Table:
+    """One SORTED (user_id, ts, event_id) contiguous run -> ONE summary
+    row per user SEGMENT in this batch: the within-segment LOCF
+    integral (sum of cents_i * (ts_{i+1} - ts_i) over consecutive
+    same-user pairs, int64-exact) plus the segment's first/last
+    endpoints, which the per-user merge needs to add the bridge gaps
+    between adjacent batches.  Exchange mass = per-(user, batch) rows —
+    the sessionize/running_sum repair-cardinality pattern."""
+    empty = {
+        "user_id": pa.array([], type=pa.int64()),
+        "f_ts": pa.array([], type=pa.int64()),
+        "f_eid": pa.array([], type=pa.int64()),
+        "l_ts": pa.array([], type=pa.int64()),
+        "l_cents": pa.array([], type=pa.int64()),
+        "wsum": pa.array([], type=pa.int64()),
+    }
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(empty)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    cents = np.floor(val * 100.0).astype(np.int64)
+    # numpy int64 wraps silently where DuckDB's BIGINT*BIGINT raises;
+    # fail loudly instead of diverging (preflight in float headroom):
+    # any within-batch segment integral is bounded by max|cents| x the
+    # batch's own time span.
+    span_f = float(ts.max() - ts.min())
+    if float(np.max(np.abs(cents))) * max(span_f, 1.0) > 2.0**62:
+        raise ValueError("twap int64 partial overflow: rescale cents or dt")
+    starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+    ends = np.concatenate((starts[1:], [n])) - 1  # last row index per segment
+    # pair i = (row i, row i+1); zero cross-user pairs, pad one trailing
+    # zero so reduceat over `starts` covers the final segment.
+    if n > 1:
+        w = cents[:-1] * (ts[1:] - ts[:-1])
+        w[uid[1:] != uid[:-1]] = 0
+        wp = np.concatenate((w, [0]))
+    else:
+        wp = np.zeros(1, dtype=np.int64)
+    wsum = np.add.reduceat(wp, starts)
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "f_ts": pa.array(ts[starts], type=pa.int64()),
+            "f_eid": pa.array(eid[starts], type=pa.int64()),
+            "l_ts": pa.array(ts[ends], type=pa.int64()),
+            "l_cents": pa.array(cents[ends], type=pa.int64()),
+            "wsum": pa.array(wsum, type=pa.int64()),
+        }
+    )
+
+
+def _twap_merge(group: pa.Table) -> pa.Table:
+    """Per user over the slim segment summaries: order segments along
+    the stream, add each bridge gap's LOCF contribution
+    (l_cents_i * (f_ts_{i+1} - l_ts_i)), divide by the total span.
+    Python ints -> the 128-bit-safe exact merge (segment counts are
+    #batches per user, driver-free and tiny)."""
+    fts = group.column("f_ts").to_numpy(zero_copy_only=False)
+    feid = group.column("f_eid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((feid, fts))
+    lts = group.column("l_ts").to_numpy(zero_copy_only=False)[order]
+    lcents = group.column("l_cents").to_numpy(zero_copy_only=False)[order]
+    wsum = group.column("wsum").to_numpy(zero_copy_only=False)[order]
+    fts = fts[order]
+    span = int(lts[-1]) - int(fts[0])
+    empty = {
+        "user_id": pa.array([], type=pa.int64()),
+        "twap_cents": pa.array([], type=pa.int64()),
+    }
+    if span <= 0:  # single event or zero-width stream: no LOCF interval
+        return pa.table(empty)
+    total = sum(int(x) for x in wsum)
+    for i in range(len(order) - 1):
+        total += int(lcents[i]) * (int(fts[i + 1]) - int(lts[i]))
+    return pa.table(
+        {
+            "user_id": pa.array([int(group.column("user_id")[0].as_py())], type=pa.int64()),
+            "twap_cents": pa.array([total // span], type=pa.int64()),
+        }
+    )
+
+
+def q_twap(sf_dir: str):
+    """Per-user TIME-WEIGHTED average value in integer cents: each
+    event's value holds (LOCF) until the user's next event; the answer
+    is the exact integral of that step function divided by the user's
+    observed span — the canonical irregular-time-series aggregate
+    (sensor/pricing pipelines).  ONE distributed sort, one vectorized
+    pass emitting per-(user, batch) segment summaries, one
+    segment-cardinality groupby merge.  No join back to the stream: the
+    output is per-user, so the stream is touched exactly once."""
+    import ray.data as rd
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(_twap_local, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_twap_merge, batch_format="pyarrow")
+    )
+
+
+SQL_TWAP = """
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT user_id,
+       CAST(SUM(cents * date_diff('microsecond', ts, nxt))
+            // SUM(date_diff('microsecond', ts, nxt)) AS BIGINT) AS twap_cents
+FROM g
+WHERE nxt IS NOT NULL
+GROUP BY user_id
+HAVING SUM(date_diff('microsecond', ts, nxt)) > 0
+"""

@@ -284,3 +284,60 @@ class TestCorpusPipeline:
             nt = len(texts[r["doc_id"]].split())
             by_seq[(r["part"], r["seq_id"])] = by_seq.get((r["part"], r["seq_id"]), 0) + nt
         assert all(v <= SEQ_PACK_BUDGET for v in by_seq.values())
+
+
+class TestChunkDedup:
+    """Vectorized explode parity with a Python brute split, and the
+    no-hot-chunk round trip (reassembly restores every document)."""
+
+    def _docs(self):
+        texts = [
+            "a b c d e f g",      # ragged tail (7 words -> chunks of 3,3,1)
+            "x y z",              # exactly one chunk
+            "w",                  # single word
+            "",                   # empty string (one empty-string word)
+            "a b c a b c a b c",  # repeated chunk WITHIN one doc
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    @staticmethod
+    def _brute(texts, k):
+        rows = []
+        for d, t in enumerate(texts):
+            w = t.split(" ")
+            for ci in range((len(w) + k - 1) // k):
+                rows.append((d, ci, " ".join(w[ci * k:(ci + 1) * k])))
+        return rows
+
+    def test_explode_matches_brute(self):
+        tbl = self._docs()
+        got = cq._explode_chunks(tbl)
+        got_rows = list(
+            zip(
+                got.column("doc_id").to_pylist(),
+                got.column("chunk_id").to_pylist(),
+                got.column("chunk").to_pylist(),
+            )
+        )
+        assert got_rows == self._brute(tbl.column("text").to_pylist(), cq.CHUNK_K)
+
+    def test_explode_rebatching_invariant(self):
+        tbl = self._docs()
+        whole = cq._explode_chunks(tbl)
+        parts = pa.concat_tables(
+            [cq._explode_chunks(tbl.slice(i, 1)) for i in range(tbl.num_rows)]
+        )
+        assert whole.equals(parts)
+
+    def test_reassemble_round_trip(self):
+        tbl = self._docs()
+        chunks = cq._explode_chunks(tbl)
+        for d in range(tbl.num_rows):
+            g = chunks.filter(pa.compute.equal(chunks.column("doc_id"), d))
+            out = cq._reassemble(g)
+            assert out.column("clean_text")[0].as_py() == tbl.column("text")[d].as_py()

@@ -283,3 +283,73 @@ class TestFunnel:
             pq.write_table(batch, f"{td}/events.parquet")
             got = {r["user_id"] for r in ol.q_funnel(td).take_all()}
         assert got == {1, 4}
+
+
+class TestTwap:
+    """LOCF-integral split invariance: at EVERY batch cut, per-batch
+    segment summaries + the per-user bridge merge reproduce the
+    brute-force time-weighted average."""
+
+    def _mk(self, n=120, seed=11):
+        rng = np.random.RandomState(seed)
+        uid = rng.randint(0, 5, n)
+        base = np.datetime64("2024-01-01")
+        ts = (base + rng.randint(0, 500, n).astype("timedelta64[s]")).astype("datetime64[us]")
+        # microsecond jitter so spans are not second-aligned
+        ts = ts + rng.randint(0, 1_000_000, n).astype("timedelta64[us]")
+        eid = rng.permutation(n)
+        val = rng.uniform(0.01, 300, n)
+        return uid, ts, eid, val
+
+    @staticmethod
+    def _brute(uid, ts, eid, val):
+        cents = np.floor(np.array(val) * 100.0).astype(np.int64)
+        tsi = ts.astype(np.int64)
+        out = {}
+        for u in np.unique(uid):
+            m = uid == u
+            order = np.lexsort((eid[m], tsi[m]))
+            t, c = tsi[m][order], cents[m][order]
+            if len(t) < 2 or t[-1] == t[0]:
+                continue
+            num = sum(int(c[i]) * (int(t[i + 1]) - int(t[i])) for i in range(len(t) - 1))
+            out[int(u)] = num // (int(t[-1]) - int(t[0]))
+        return out
+
+    def test_merge_invariant_at_every_cut(self):
+        uid, ts, eid, val = self._mk()
+        n = len(uid)
+        want = self._brute(uid, ts, eid, val)
+        order = np.lexsort((eid, ts.astype(np.int64), uid))
+        tbl = _events(uid[order].tolist(), ts[order], eid[order].tolist(), val[order].tolist())
+        for cuts in ([], [1], [n - 1], [n // 3, n // 2], list(range(0, n, 7))):
+            bounds = [0] + [c for c in cuts if 0 < c < n] + [n]
+            parts = [
+                ol._twap_local(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                for i in range(len(bounds) - 1)
+            ]
+            summaries = pa.concat_tables([p for p in parts if p.num_rows])
+            got = {}
+            for u in np.unique(summaries.column("user_id").to_numpy()):
+                g = summaries.filter(pa.compute.equal(summaries.column("user_id"), int(u)))
+                res = ol._twap_merge(g)
+                if res.num_rows:
+                    got[int(u)] = res.column("twap_cents")[0].as_py()
+            assert got == want, f"cuts={cuts}"
+
+    def test_zero_span_and_singletons_drop(self):
+        # one user with a single event, one with two events at the SAME ts
+        tbl = _events(
+            [1, 2, 2],
+            np.array(["2024-01-01T00:00:00"] * 3, dtype="datetime64[us]"),
+            [10, 11, 12],
+            [5.0, 7.0, 9.0],
+        )
+        seg = ol._twap_local(tbl)
+        out = pa.concat_tables(
+            [
+                ol._twap_merge(seg.filter(pa.compute.equal(seg.column("user_id"), u)))
+                for u in (1, 2)
+            ]
+        )
+        assert out.num_rows == 0

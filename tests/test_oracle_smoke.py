@@ -57,6 +57,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "label_centroids",
         "weighted_sample",
         "corpus_pipeline",
+        # round-4 batch-5: time-weighted aggregate + span-level dedup
+        "twap",
+        "chunk_dedup",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
