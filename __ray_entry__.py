@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": ol.q_transitions,          # Markov transition counts over per-user event bigrams
         "twap": ol.q_twap,                        # time-weighted (LOCF-integral) average per user
         "profile_orders": tpch.q_profile_orders,  # data-profiling report: nulls/min/max/distinct in one pass
+        "fuzzy_dedup": cq.q_fuzzy_dedup,          # exact edit-distance pairs: length-band blocking + banded DP
+        "skyline": ol.q_skyline,                  # 2-D Pareto skyline: lossless local prune + tiny merge
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -227,6 +229,8 @@ def oracle_sql() -> dict[str, str]:
         "transitions": ol.SQL_TRANSITIONS,
         "twap": ol.SQL_TWAP,
         "profile_orders": tpch.SQL_PROFILE_ORDERS,
+        "fuzzy_dedup": cq.SQL_FUZZY_DEDUP,
+        "skyline": ol.SQL_SKYLINE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -1009,3 +1009,209 @@ FROM c
 WHERE chunk NOT IN (SELECT chunk FROM hot)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy near-dup pairs: banded Levenshtein with length-band blocking
+# ---------------------------------------------------------------------------
+#
+# The record-linkage dedup family the hash families (minhash / simhash
+# / n-gram Jaccard) cannot express: pairs within edit distance
+# FUZZY_T, exact.  Blocking: band = n_chars // FUZZY_BAND per (lang,
+# band); every doc is emitted to its own band and band+1, so every
+# same-lang pair with |len diff| <= FUZZY_T (< FUZZY_BAND) co-occurs in
+# at least one block; a pair is counted only in the block equal to the
+# MAX of the two native bands, so no pair is ever emitted twice and no
+# distinct-shuffle is needed.  The verify stage is a banded
+# (2*FUZZY_T+1)-diagonal Levenshtein DP vectorized across the PAIR
+# axis: the Python loop is O(max_len * band_width) numpy calls
+# regardless of how many pairs are in the batch.  At 100 TB the block
+# key bounds pair mass per (lang, length-band); a hot band would be
+# salted by a cheap second key (e.g. first-token hash) exactly like
+# the forward join's hot-cell salting.
+
+
+FUZZY_T = 10  # max edit distance (and max |len diff|)
+FUZZY_BAND = 16  # chars per length band; must be > FUZZY_T
+
+
+def _fuzzy_emit(batch: pa.Table) -> pa.Table:
+    """Emit each doc to (lang, band) and (lang, band + 1)."""
+    n = batch.num_rows
+    band = pc.divide(batch.column("n_chars"), FUZZY_BAND)
+    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), 2))
+    base = batch.select(["doc_id", "lang", "n_chars", "text"]).take(idx)
+    nat = band.to_numpy(zero_copy_only=False).astype(np.int64)
+    emit = np.concatenate((nat, nat + 1))
+    return base.append_column("band", pa.array(emit, type=pa.int64())).append_column(
+        "nband", pa.array(np.tile(nat, 2), type=pa.int64())
+    )
+
+
+def _fuzzy_pairs(group: pa.Table) -> pa.Table:
+    """All candidate pairs of one (lang, band) block: |len diff| <=
+    FUZZY_T, counted here only if max(native bands) == this block."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "text_a": pa.array([], type=pa.string()),
+            "text_b": pa.array([], type=pa.string()),
+        }
+    )
+    n = group.num_rows
+    if n < 2:
+        return empty
+    band = int(group.column("band")[0].as_py())
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    ln = group.column("n_chars").to_numpy(zero_copy_only=False)
+    nb = group.column("nband").to_numpy(zero_copy_only=False)
+    ai, bi = np.triu_indices(n, k=1)
+    # canonical id order + blocking filters, all vectorized
+    swap = ids[ai] > ids[bi]
+    ai, bi = np.where(swap, bi, ai), np.where(swap, ai, bi)
+    keep = (
+        (np.abs(ln[ai] - ln[bi]) <= FUZZY_T)
+        & (np.maximum(nb[ai], nb[bi]) == band)
+        & (ids[ai] != ids[bi])
+    )
+    ai, bi = ai[keep], bi[keep]
+    if len(ai) == 0:
+        return empty
+    txt = group.column("text")
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ai], type=pa.int64()),
+            "doc_b": pa.array(ids[bi], type=pa.int64()),
+            "text_a": txt.take(pa.array(ai)),
+            "text_b": txt.take(pa.array(bi)),
+        }
+    )
+
+
+def _banded_lev(text_a: pa.ChunkedArray | pa.Array, text_b) -> np.ndarray:
+    """Exact Levenshtein distance per pair, banded at FUZZY_T,
+    vectorized across the pair axis; returns FUZZY_T + 1 for any pair
+    whose distance exceeds the threshold.  ASCII fast path (the
+    synthetic corpus is ASCII; DuckDB's levenshtein counts characters,
+    so multi-byte rows take an exact per-row fallback)."""
+    def char_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
+        """(P, maxlen) codepoint matrix + per-row length, zero-copy from
+        the Arrow buffers on the ASCII fast path (one fancy-index gather,
+        no per-row Python); per-row ord() decode only for multi-byte."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens_b = np.diff(offs)
+        lo, hi = int(offs[0]), int(offs[-1])
+        if hi == lo or data[lo:hi].max() < 128:
+            n, ml = len(lens_b), int(lens_b.max()) if len(lens_b) else 0
+            M = np.zeros((n, ml), dtype=np.int32)
+            col = np.arange(ml)
+            mask = col < lens_b[:, None]
+            M[mask] = data[(offs[:-1, None] + col)[mask]]
+            return M, lens_b
+        rows = [np.frombuffer(s.as_py().encode("utf-32-le"), dtype=np.uint32) for s in arr]
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        M = np.zeros((len(rows), int(lens.max()) if len(rows) else 0), dtype=np.int32)
+        for i, r in enumerate(rows):
+            M[i, : len(r)] = r
+        return M, lens
+
+    T = FUZZY_T
+    W = 2 * T + 1
+    INF = np.int16(0x3FFF)
+    A, la = char_matrix(text_a)
+    B, lb = char_matrix(text_b)
+    P = len(la)
+    max_la, max_lb = A.shape[1], B.shape[1]
+    res = np.full(P, INF, dtype=np.int16)
+    # row 0: D[0][j] = j for j in [0, T]
+    cur = np.full((P, W), INF, dtype=np.int16)
+    for k in range(T, W):
+        cur[:, k] = k - T
+    done0 = la == 0
+    if done0.any():
+        kk = np.clip(lb[done0] + T, 0, W - 1)
+        res[done0] = cur[done0, kk]
+    pairs = np.arange(P)
+    for i in range(max_la):
+        prev = cur
+        cur = np.full((P, W), INF, dtype=np.int16)
+        jj = i + 1 + np.arange(W) - T  # column per diagonal at this row
+        for k in range(W):
+            j = jj[k]
+            best = np.full(P, INF, dtype=np.int16)
+            if k + 1 < W:
+                best = np.minimum(best, prev[:, k + 1] + 1)
+            if k > 0:
+                best = np.minimum(best, cur[:, k - 1] + 1)
+            bj = i + k - T  # B index for the substitution move
+            if 0 <= bj < max_lb:
+                cost = (A[:, i] != B[:, bj]).astype(np.int16)
+                best = np.minimum(best, prev[:, k] + cost)
+            # j out of [0, lb] is outside the DP table for that pair
+            invalid = (j < 0) | (j > lb) | (i + 1 > la)
+            best[invalid] = INF
+            np.minimum(best, INF, out=best)
+            cur[:, k] = best
+        hit = la == i + 1
+        if hit.any():
+            kk = np.clip(lb[hit] - la[hit] + T, 0, W - 1)
+            res[hit] = cur[pairs[hit], kk]
+    res[np.abs(lb - la) > T] = INF  # outside the band by length alone
+    return np.minimum(res.astype(np.int64), T + 1)
+
+
+def _fuzzy_verify(batch: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    d = _banded_lev(batch.column("text_a").combine_chunks(), batch.column("text_b").combine_chunks())
+    keep = d <= FUZZY_T
+    if not keep.any():
+        return empty
+    sel = pa.array(np.flatnonzero(keep))
+    return pa.table(
+        {
+            "doc_a": batch.column("doc_a").take(sel),
+            "doc_b": batch.column("doc_b").take(sel),
+            "dist": pa.array(d[keep], type=pa.int64()),
+        }
+    )
+
+
+def q_fuzzy_dedup(sf_dir: str):
+    """Exact edit-distance near-dup pairs, oracle-gated against
+    DuckDB's levenshtein()."""
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
+        )
+        .map_batches(_fuzzy_emit, batch_format="pyarrow")
+        .groupby(["lang", "band"])
+        .map_groups(_fuzzy_pairs, batch_format="pyarrow")
+        .map_batches(_fuzzy_verify, batch_format="pyarrow")
+    )
+
+
+SQL_FUZZY_DEDUP = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 10
+ AND levenshtein(a.text, b.text) <= 10
+"""

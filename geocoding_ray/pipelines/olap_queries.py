@@ -1034,3 +1034,74 @@ WHERE nxt IS NOT NULL
 GROUP BY user_id
 HAVING SUM(date_diff('microsecond', ts, nxt)) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (maximize o_totalprice, minimize o_orderdate)
+# ---------------------------------------------------------------------------
+#
+# The dominance query every "best tradeoff" report runs: keep the
+# orders no other order beats on BOTH axes (higher-or-equal price AND
+# earlier-or-equal date, strictly better on at least one).  The
+# distributed shape is the classic two-phase skyline: a vectorized
+# LOCAL skyline inside every batch (dominated rows can never re-enter
+# the global skyline, so pruning is lossless), then one final pass over
+# the union of local skylines.  For randomly-ordered data the local
+# skyline of a batch is O(log^{d-1} B) rows, so the merge input is tiny
+# relative to the stream; the worst case (input pre-sorted so every row
+# is a local survivor) degrades to a repartition of the full candidate
+# set and would take a tournament-tree merge at 100 TB — noted, not
+# needed for d=2.  Comparisons use the raw float64 price and int64
+# microsecond date, so the kernel's ordering is bit-identical to the
+# oracle's double/timestamp comparisons — no quantization.
+
+
+def _skyline_kernel(batch: pa.Table) -> pa.Table:
+    """Exact 2-D skyline of one batch, fully vectorized.
+
+    Sort by price asc; per distinct price take the min date; a price
+    group survives iff its min date is strictly below the running min
+    date of all strictly-higher prices; within a surviving group keep
+    every row tying the group min date (mutually non-dominating)."""
+    if batch.num_rows == 0:
+        return batch
+    p = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+    d = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, p))  # price asc, date asc within ties
+    ps, ds = p[order], d[order]
+    grp_start = np.flatnonzero(np.concatenate(([True], ps[1:] != ps[:-1])))
+    m = ds[grp_start]  # min date per price group (date-sorted within group)
+    # running min of group-min-dates over strictly HIGHER prices:
+    # reverse (desc price), exclusive cumulative min, reverse back
+    rev = m[::-1]
+    run = np.concatenate(([np.iinfo(np.int64).max], np.minimum.accumulate(rev)[:-1]))[::-1]
+    keep_grp = m < run
+    n_grp = len(grp_start)
+    grp_id = np.cumsum(np.concatenate(([False], ps[1:] != ps[:-1])))
+    keep = keep_grp[grp_id] & (ds == m[grp_id])
+    return batch.take(pa.array(order[keep]))
+
+
+def q_skyline(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return (
+        ds.map_batches(_skyline_kernel, batch_format="pyarrow")
+        .repartition(1)  # union of local skylines: small by construction
+        .map_batches(_skyline_kernel, batch_format="pyarrow")
+    )
+
+
+SQL_SKYLINE = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE d.o_totalprice >= o.o_totalprice
+    AND d.o_orderdate <= o.o_orderdate
+    AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate < o.o_orderdate))
+"""

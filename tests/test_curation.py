@@ -341,3 +341,92 @@ class TestChunkDedup:
             g = chunks.filter(pa.compute.equal(chunks.column("doc_id"), d))
             out = cq._reassemble(g)
             assert out.column("clean_text")[0].as_py() == tbl.column("text")[d].as_py()
+
+
+class TestBandedLev:
+    """Banded Levenshtein kernel: exact parity with the classic O(nm)
+    DP (clamped at FUZZY_T + 1), including the multi-byte fallback and
+    the length-band blocking no-miss / no-dup guarantees."""
+
+    @staticmethod
+    def _ref_lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_kernel_matches_reference(self):
+        rng = np.random.default_rng(7)
+        alpha = "abcdef"
+        pa_texts, pb_texts = [], []
+        for _ in range(300):
+            n = int(rng.integers(0, 40))
+            a = "".join(rng.choice(list(alpha), size=n)) if n else ""
+            b = list(a)
+            for _ in range(int(rng.integers(0, 16))):
+                op = rng.integers(0, 3)
+                pos = int(rng.integers(0, max(len(b), 1)))
+                if op == 0 and b:
+                    b[pos] = rng.choice(list(alpha))
+                elif op == 1:
+                    b.insert(pos, rng.choice(list(alpha)))
+                elif b:
+                    del b[pos % len(b)]
+            pa_texts.append(a)
+            pb_texts.append("".join(b))
+        got = cq._banded_lev(pa.array(pa_texts), pa.array(pb_texts))
+        exp = np.minimum(
+            [self._ref_lev(a, b) for a, b in zip(pa_texts, pb_texts)], cq.FUZZY_T + 1
+        )
+        assert (got == exp).all()
+
+    def test_multibyte_fallback(self):
+        a = pa.array(["héllo wörld", "naïve", "", "abc"])
+        b = pa.array(["hello world", "naive", "é", "abd"])
+        got = cq._banded_lev(a, b)
+        exp = [self._ref_lev(x.as_py(), y.as_py()) for x, y in zip(a, b)]
+        assert got.tolist() == exp
+
+    def test_blocking_no_miss_no_dup(self):
+        """Every same-lang pair with |len diff| <= FUZZY_T is counted in
+        EXACTLY one (lang, band) block by the max-native-band rule."""
+        rng = np.random.default_rng(3)
+        n = 200
+        batch = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "lang": pa.array(rng.choice(["en", "fr"], size=n)),
+                "n_chars": pa.array(rng.integers(0, 120, size=n), type=pa.int64()),
+                "text": pa.array(["x"] * n),
+            }
+        )
+        emitted = cq._fuzzy_emit(batch)
+        seen: dict[tuple[int, int], int] = {}
+        df = emitted.to_pandas()
+        for (lang, band), g in df.groupby(["lang", "band"]):
+            ids = g["doc_id"].to_numpy()
+            ln = g["n_chars"].to_numpy()
+            nb = g["nband"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    if abs(int(ln[i]) - int(ln[j])) > cq.FUZZY_T:
+                        continue
+                    if max(nb[i], nb[j]) != band:
+                        continue
+                    key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                    seen[key] = seen.get(key, 0) + 1
+        lang_of = dict(zip(df.doc_id, df.lang))
+        len_of = dict(zip(df.doc_id, df.n_chars))
+        expect = {
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if lang_of[i] == lang_of[j] and abs(int(len_of[i]) - int(len_of[j])) <= cq.FUZZY_T
+        }
+        assert set(seen) == expect
+        assert all(v == 1 for v in seen.values())

@@ -353,3 +353,66 @@ class TestTwap:
             ]
         )
         assert out.num_rows == 0
+
+
+class TestSkyline:
+    """2-D skyline kernel: brute-force dominance parity and the
+    lossless-local-prune property (kernel over concatenated local
+    skylines == kernel over the whole input)."""
+
+    @staticmethod
+    def _orders(rng, n):
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+                "o_totalprice": pa.array(
+                    np.round(rng.uniform(10, 1000, size=n), 2), type=pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    rng.integers(0, 50, size=n).astype("datetime64[D]").astype("datetime64[us]")
+                ),
+            }
+        )
+
+    @staticmethod
+    def _brute(tbl):
+        p = tbl.column("o_totalprice").to_numpy()
+        d = tbl.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = []
+        for i in range(len(p)):
+            dominated = (
+                (p >= p[i]) & (d <= d[i]) & ((p > p[i]) | (d < d[i]))
+            ).any()
+            if not dominated:
+                keep.append(i)
+        return set(tbl.column("o_orderkey").take(pa.array(keep)).to_pylist())
+
+    def test_kernel_matches_brute_force(self):
+        rng = np.random.default_rng(11)
+        tbl = self._orders(rng, 400)
+        got = set(ol._skyline_kernel(tbl).column("o_orderkey").to_pylist())
+        assert got == self._brute(tbl)
+
+    def test_local_prune_lossless(self):
+        rng = np.random.default_rng(13)
+        tbl = self._orders(rng, 600)
+        whole = set(ol._skyline_kernel(tbl).column("o_orderkey").to_pylist())
+        for cut in (1, 37, 300, 599):
+            parts = [tbl.slice(0, cut), tbl.slice(cut)]
+            merged = pa.concat_tables([ol._skyline_kernel(t) for t in parts])
+            got = set(ol._skyline_kernel(merged).column("o_orderkey").to_pylist())
+            assert got == whole
+
+    def test_price_tie_rows_all_survive(self):
+        # equal (price, date) rows never dominate each other
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                "o_totalprice": pa.array([5.0, 5.0, 4.0], type=pa.float64()),
+                "o_orderdate": pa.array(
+                    np.array([0, 0, 0], dtype="datetime64[us]")
+                ),
+            }
+        )
+        got = set(ol._skyline_kernel(tbl).column("o_orderkey").to_pylist())
+        assert got == {1, 2}

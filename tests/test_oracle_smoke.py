@@ -60,6 +60,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         # round-4 batch-5: time-weighted aggregate + span-level dedup
         "twap",
         "chunk_dedup",
+        # round-4 batch-6: record-linkage edit distance + dominance query
+        "fuzzy_dedup",
+        "skyline",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
