@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": tpch.q_profile_orders,  # data-profiling report: nulls/min/max/distinct in one pass
         "fuzzy_dedup": cq.q_fuzzy_dedup,          # exact edit-distance pairs: length-band blocking + banded DP
         "skyline": ol.q_skyline,                  # 2-D Pareto skyline: lossless local prune + tiny merge
+        "kmeans": sq.q_kmeans,                    # Lloyd k-means: exact-int distances, streaming per-round partials
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": tpch.SQL_PROFILE_ORDERS,
         "fuzzy_dedup": cq.SQL_FUZZY_DEDUP,
         "skyline": ol.SQL_SKYLINE,
+        "kmeans": sq.SQL_KMEANS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

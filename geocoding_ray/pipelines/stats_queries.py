@@ -1396,3 +1396,162 @@ SELECT doc_id, term, tf, score FROM (
   FROM t JOIN df USING (term) CROSS JOIN nd)
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's algorithm, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+#
+# The canonical iterative-ML operator over the embedding column:
+# KMEANS_ITERS rounds of assign -> update from a deterministic seed
+# (the embeddings of vec_id 0..K-1), then a final assignment under the
+# converged centroids.  Bit-reproducibility discipline: vectors are
+# quantized once to int64 (floor(x * 4096) — float32->float64 cast and
+# one multiply, both IEEE-exact), every distance is an exact int64 sum
+# of squares, ties break to the lowest cluster id (numpy argmin ==
+# ROW_NUMBER ORDER BY d, c), and the centroid update is
+# floor(sum / n) where the only float op is one exactly-rounded
+# int->double division — identical in numpy and DuckDB.
+#
+# Distributed shape (the 100-TB story): the model state is K x D int64
+# (2 KB) and lives on the driver — that is legitimate driver state,
+# not a materialization.  Each iteration is ONE streaming pass:
+# map_batches computes per-batch partial sums via np.add.at (K*D rows
+# out per batch), a native groupby shrinks them to K*D total rows, and
+# only those 256 numbers return to the driver.  The input is re-read
+# from parquet each round rather than materialized — at 10^12 rows a
+# cached quantized copy would be ~0.5 PB of object store; re-scanning
+# column-pruned parquet per iteration is the fixed-memory answer.
+# Empty clusters keep their previous centroid on both sides.
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+KMEANS_SCALE = 4096
+
+
+def _emb_qmatrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 quantized matrix) from one Arrow batch."""
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = np.diff(offs)
+    dim = int(widths[0]) if len(widths) else 0
+    assert (widths == dim).all(), "embedding column must be fixed-width"
+    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    X = np.floor(flat * float(KMEANS_SCALE)).astype(np.int64).reshape(-1, dim)
+    X = X[offs[0] // dim if dim else 0 :][: batch.num_rows]  # honor sliced arrays
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, X
+
+
+def _kmeans_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact int64 squared distances, (n, K); K passes of a vectorized
+    einsum — no (n, K, D) intermediate."""
+    out = np.empty((len(X), len(C)), dtype=np.int64)
+    for j in range(len(C)):
+        d = X - C[j]
+        out[:, j] = np.einsum("ij,ij->i", d, d)
+    return out
+
+
+def q_kmeans(sf_dir: str):
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    seed = pqt.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],  # row-group-stat pushdown: K rows, not the table
+    )
+    sids, C = _emb_qmatrix(seed)
+    C = C[np.argsort(sids)]
+    dim = C.shape[1]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    for _ in range(KMEANS_ITERS):
+        Cit = C  # 2 KB — shipped in the task closure, cheaper than ray.put
+
+        def partials(batch: pa.Table, _C=Cit) -> pa.Table:
+            _, X = _emb_qmatrix(batch)
+            a = np.argmin(_kmeans_dists(X, _C), axis=1)
+            sums = np.zeros((KMEANS_K, X.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, X)
+            n = np.bincount(a, minlength=KMEANS_K).astype(np.int64)
+            return pa.table(
+                {
+                    "c": pa.array(np.repeat(np.arange(KMEANS_K, dtype=np.int64), X.shape[1])),
+                    "dim": pa.array(np.tile(np.arange(X.shape[1], dtype=np.int64), KMEANS_K)),
+                    "s": pa.array(sums.ravel(), type=pa.int64()),
+                    "n": pa.array(np.repeat(n, X.shape[1]), type=pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["c", "dim"])
+            .aggregate(Sum(on="s", alias_name="s"), Sum(on="n", alias_name="n"))
+            .take_all()  # K*D rows — the model update, not a data materialization
+        )
+        newC = C.copy()  # empty cluster -> keep previous centroid
+        for r in rows:
+            if r["n"] > 0:
+                newC[r["c"], r["dim"]] = int(np.floor(float(r["s"]) / float(r["n"])))
+        C = newC
+
+    Cfin = C
+
+    def assign(batch: pa.Table, _C=Cfin) -> pa.Table:
+        ids, X = _emb_qmatrix(batch)
+        d = _kmeans_dists(X, _C)
+        a = np.argmin(d, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), type=pa.int64()),
+                "dist": pa.array(d[np.arange(len(a)), a], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_kmeans() -> str:
+    """ITERS unrolled Lloyd rounds as chained CTEs (assign_i under
+    c_{i-1}, update to c_i), final assignment under c_ITERS."""
+    parts = [
+        f"""WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id AS c, dim, qv AS cv FROM q WHERE vec_id < {KMEANS_K})"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""d{i} AS (
+  SELECT q.vec_id, c.c, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+  FROM q JOIN c{i - 1} c USING (dim) GROUP BY q.vec_id, c.c),
+a{i} AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d{i})
+  WHERE rn = 1),
+s{i} AS (
+  SELECT a.cluster AS c, q.dim,
+         CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM q JOIN a{i} a USING (vec_id) GROUP BY a.cluster, q.dim),
+c{i} AS (
+  SELECT p.c, p.dim, COALESCE(s{i}.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN s{i} USING (c, dim))""")
+    n = KMEANS_ITERS
+    parts.append(f"""df AS (
+  SELECT q.vec_id, c.c, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+  FROM q JOIN c{n} c USING (dim) GROUP BY q.vec_id, c.c)
+SELECT vec_id, c AS cluster, CAST(d AS BIGINT) AS dist FROM (
+  SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df)
+WHERE rn = 1""")
+    return ",\n".join(parts)
+
+
+SQL_KMEANS = _sql_kmeans()

@@ -63,6 +63,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         # round-4 batch-6: record-linkage edit distance + dominance query
         "fuzzy_dedup",
         "skyline",
+        "kmeans",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):

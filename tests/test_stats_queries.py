@@ -371,3 +371,52 @@ class TestGroupedMAD:
             mad = disc_median(np.abs(c[m] - med))
             assert out[g]["med_cents"] == med
             assert out[g]["mad_cents"] == mad
+
+
+class TestKMeans:
+    """Lloyd k-means: the distributed round (per-batch partials +
+    groupby merge) must equal a single-node reference on the same
+    quantized data, and the partial rows must be split-invariant."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _reference(X, C, iters):
+        C = C.copy()
+        for _ in range(iters):
+            d = sq._kmeans_dists(X, C)
+            a = np.argmin(d, axis=1)
+            for j in range(len(C)):
+                m = a == j
+                if m.any():
+                    C[j] = np.floor(
+                        X[m].sum(axis=0, dtype=np.int64).astype(np.float64) / float(m.sum())
+                    ).astype(np.int64)
+        d = sq._kmeans_dists(X, C)
+        a = np.argmin(d, axis=1)
+        return a, d[np.arange(len(a)), a]
+
+    def _load(self):
+        import pyarrow.parquet as pqt
+
+        t = pqt.read_table(f"{self.SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids, X = sq._emb_qmatrix(t)
+        order = np.argsort(ids)
+        return ids[order], X[order]
+
+    def test_distributed_matches_single_node(self, ray_session):
+        ids, X = self._load()
+        a, d = self._reference(X, X[: sq.KMEANS_K].copy(), sq.KMEANS_ITERS)
+        got = sq.q_kmeans(self.SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert (got["vec_id"].to_numpy() == ids).all()
+        assert (got["cluster"].to_numpy() == a).all()
+        assert (got["dist"].to_numpy() == d).all()
+
+    def test_every_cluster_nonempty_and_tiebreak(self):
+        ids, X = self._load()
+        a, _ = self._reference(X, X[: sq.KMEANS_K].copy(), sq.KMEANS_ITERS)
+        assert set(np.unique(a)) == set(range(sq.KMEANS_K))
+        # duplicate of a seed vector must land on the LOWEST matching cluster
+        Xdup = np.vstack([X[: sq.KMEANS_K], X[:1]])
+        d = sq._kmeans_dists(Xdup, Xdup[: sq.KMEANS_K])
+        assert np.argmin(d, axis=1)[-1] == 0
