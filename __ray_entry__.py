@@ -17,6 +17,8 @@ from collections.abc import Callable
 from typing import Any
 
 from geocoding_ray.pipelines import curation_queries as cq
+from geocoding_ray.pipelines import geo_analytics as ga
+from geocoding_ray.pipelines import graph_queries as gq
 from geocoding_ray.pipelines import olap_queries as ol
 from geocoding_ray.pipelines import oracle_queries as oq
 from geocoding_ray.pipelines import range_join as rj
@@ -125,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup": cq.q_fuzzy_dedup,          # exact edit-distance pairs: length-band blocking + banded DP
         "skyline": ol.q_skyline,                  # 2-D Pareto skyline: lossless local prune + tiny merge
         "kmeans": sq.q_kmeans,                    # Lloyd k-means: exact-int distances, streaming per-round partials
+        "spatial_hotspots": ga.q_spatial_hotspots,  # grid-cell density + 3x3 k-ring smoothing, grid-bounded joins
+        "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -233,6 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_dedup": cq.SQL_FUZZY_DEDUP,
         "skyline": ol.SQL_SKYLINE,
         "kmeans": sq.SQL_KMEANS,
+        "spatial_hotspots": ga.SQL_SPATIAL_HOTSPOTS,
+        "pagerank": gq.SQL_PAGERANK,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design
     }

@@ -1,0 +1,166 @@
+"""Graph analytics operators: PageRank over the customer-supplier
+bipartite graph derived from orders x lineitem.
+
+The iterative-join-aggregate family (the shape label propagation /
+connected components / PageRank all share): a persisted edge Dataset,
+a node-keyed rank Dataset, and per-iteration edge-rank joins + a
+dst-keyed groupby.  Bit-reproducibility discipline: ranks are scaled
+integers (PR_SCALE), the damping step is integer cross-multiplication
+(85 * sum // 100), and every per-edge contribution is an int64 floor
+division — numpy and DuckDB agree exactly, so the whole iterative
+algorithm is value-hash gated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# PageRank (symmetric bipartite graph, PR_ITERS unrolled rounds)
+# ---------------------------------------------------------------------------
+#
+# Nodes: customers (2 * custkey) and suppliers (2 * suppkey + 1) that
+# co-occur on an order line; edges are the DISTINCT (cust, supp) pairs,
+# emitted in both directions so the graph is symmetric and has no
+# dangling nodes.  rank_0 = PR_SCALE for every node with an edge;
+# rank_{t+1}(v) = BASE + 85 * SUM_{(u,v) in E} (rank_t(u) // deg(u)) // 100.
+#
+# Distributed shape (the 100-TB story): the edge list is built by ONE
+# large orders-lineitem hash join + a distinct groupby, then
+# materialized — it is the algorithm's working set, re-read every
+# round (at 10^12 rows the alternative, re-running the build join per
+# iteration, does strictly more work; the materialized edge set is
+# O(|E|), not O(input)).  Each round is edge ⋈ rank (node-keyed hash
+# join) -> per-edge int contribution -> dst groupby sum: rank state
+# never leaves the cluster, and the driver holds only the loop counter.
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+PR_BASE = 15 * PR_SCALE // 100
+
+
+def _build_edges(sf_dir: str):
+    """DISTINCT symmetric (src, dst) edges + per-src degree, as one
+    Dataset (src, dst, deg)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .olap_queries import _scrub_empties
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    pairs = orders.join(
+        line.rename_columns({"l_orderkey": "o_orderkey"}),
+        join_type="inner",
+        on=("o_orderkey",),
+        num_partitions=8,
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([2 * c, 2 * s + 1])
+        dst = np.concatenate([2 * s + 1, 2 * c])
+        # per-batch pre-distinct: shrink the shuffle before the global dedup
+        key = np.unique(src << np.int64(21) | dst)  # keys < 2^20 in this data
+        return pa.table(
+            {
+                "src": pa.array(key >> np.int64(21), type=pa.int64()),
+                "dst": pa.array(key & np.int64((1 << 21) - 1), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .map_batches(lambda b: b.select(["src", "dst"]), batch_format="pyarrow")
+    )
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    return _scrub_empties(edges, 8).join(
+        _scrub_empties(deg, 4), join_type="inner", on=("src",), num_partitions=8
+    )
+
+
+def q_pagerank(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .olap_queries import _scrub_empties
+
+    edges = _build_edges(sf_dir).materialize()  # the algorithm's working set
+
+    # rank_0: every src node (symmetric graph => src set == node set)
+    ranks = (
+        edges.groupby("src")
+        .count()
+        .map_batches(lambda b: b.select(["src"]), batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "r", pa.array(np.full(b.num_rows, PR_SCALE, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .rename_columns({"src": "node"})
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy(zero_copy_only=False)
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("dst"),
+                "c": pa.array(r // d, type=pa.int64()),
+            }
+        )
+
+    def damp(batch: pa.Table) -> pa.Table:
+        s = batch.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "r": pa.array(PR_BASE + 85 * s // 100, type=pa.int64()),
+            }
+        )
+
+    for _ in range(PR_ITERS):
+        joined = edges.join(
+            _scrub_empties(ranks.rename_columns({"node": "src"}), 4),
+            join_type="inner",
+            on=("src",),
+            num_partitions=8,
+        )
+        ranks = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum(on="c", alias_name="c"))
+            .map_batches(damp, batch_format="pyarrow")
+        )
+    return ranks
+
+
+def _sql_pagerank() -> str:
+    parts = [
+        f"""WITH e AS (
+  SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  UNION
+  SELECT DISTINCT 2 * l.l_suppkey + 1, 2 * o.o_custkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""r{i} AS (
+  SELECT e.dst AS node,
+         {PR_BASE} + 85 * CAST(SUM(p.r // deg.d) AS BIGINT) // 100 AS r
+  FROM e JOIN deg USING (src) JOIN r{i - 1} p ON p.node = e.src
+  GROUP BY e.dst)""")
+    parts.append(f"SELECT node, r FROM r{PR_ITERS}")
+    return ",\n".join(parts[:-1]) + "\n" + parts[-1]
+
+
+SQL_PAGERANK = _sql_pagerank()

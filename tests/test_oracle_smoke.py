@@ -64,6 +64,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "fuzzy_dedup",
         "skyline",
         "kmeans",
+        "spatial_hotspots",
+        "pagerank",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
