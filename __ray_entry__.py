@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": ol.q_skyline,                  # 2-D Pareto skyline: lossless local prune + tiny merge
         "kmeans": sq.q_kmeans,                    # Lloyd k-means: exact-int distances, streaming per-round partials
         "spatial_hotspots": ga.q_spatial_hotspots,  # grid-cell density + 3x3 k-ring smoothing, grid-bounded joins
+        "knn_join": ga.q_knn_join,                # ring-bounded kNN join, both sides large, one cell co-shuffle
+        "tile_pyramid": ga.q_tile_pyramid,        # multi-zoom tile rollup, log-many grid-bounded shuffles
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -238,6 +240,8 @@ def oracle_sql() -> dict[str, str]:
         "skyline": ol.SQL_SKYLINE,
         "kmeans": sq.SQL_KMEANS,
         "spatial_hotspots": ga.SQL_SPATIAL_HOTSPOTS,
+        "knn_join": ga.SQL_KNN_JOIN,
+        "tile_pyramid": ga.SQL_TILE_PYRAMID,
         "pagerank": gq.SQL_PAGERANK,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design

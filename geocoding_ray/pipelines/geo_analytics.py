@@ -139,3 +139,252 @@ rings AS (
 SELECT c.x, c.y, c.n, r.ring_n, 9 * c.n > 2 * r.ring_n AS is_hotspot
 FROM counts c JOIN rings r USING (x, y)
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN join: both sides large, ring-bounded, one cell-keyed co-shuffle
+# ---------------------------------------------------------------------------
+#
+# The spatial-join sibling of reverse_knn (stages/reverse.py) for the
+# case where NEITHER side fits in a broadcast index: every query point
+# gets its KNN_K nearest database points among those lying in the
+# query's 3x3 cell ring at KNN_LEVEL (lon wraps, lat clamps).  Ring-
+# bounded kNN is the standard distributed formulation (a radius-bounded
+# join): exactness holds within the declared window and the oracle
+# reproduces exactly that window, so the operator is value-hash gated
+# end to end — including the float64 squared planar distance, which
+# both engines compute with the identical (dx*dx + dy*dy) op order.
+#
+# Distributed shape: db rows are replicated to the 9 ring cells they
+# can serve (a bounded 9x fan-out of the db stream — never a
+# broadcast), queries are keyed by their own cell, and ONE
+# groupby(cell).map_groups computes each cell's dense nq x nd distance
+# matrix vectorized.  At 100 TB both sides stream through the same
+# single hash shuffle; per-group work is bounded by grid occupancy
+# (pick KNN_LEVEL so cell population ~ thousands), and hot cells can be
+# salted on the query side since db replication is cell-deterministic.
+
+KNN_LEVEL = 6
+_KN = 1 << KNN_LEVEL
+KNN_K = 3
+KNN_Q_MOD = 23  # event_id % 23 == 0 -> query side, else db side
+
+
+def _knn_sides(batch: pa.Table) -> pa.Table:
+    """events batch -> tagged, cell-keyed rows: queries once at their
+    own cell (side 0), db points replicated to their 3x3 ring (side 1,
+    pre-sorted by id inside the batch so group-side stable argsort
+    tie-breaks on id for free)."""
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    lon, lat = _pip_lonlat(eid)
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * _KN).astype(np.int64), 0, _KN - 1)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * _KN).astype(np.int64), 0, _KN - 1)
+    isq = (eid % KNN_Q_MOD) == 0
+
+    q_cell = x[isq] * _KN + y[isq]
+    dm = ~isq
+    dx, dy = np.meshgrid(np.arange(-1, 2), np.arange(-1, 2))
+    dx, dy = dx.ravel(), dy.ravel()
+    rx = (x[dm][:, None] + dx[None, :] + _KN) % _KN
+    ry = y[dm][:, None] + dy[None, :]
+    keep = (ry >= 0) & (ry < _KN)
+    d_cell = (rx * _KN + ry)[keep]
+    d_rep = np.broadcast_to(np.arange(dm.sum())[:, None], keep.shape)[keep]
+
+    cell = np.concatenate([q_cell, d_cell])
+    side = np.concatenate(
+        [np.zeros(len(q_cell), dtype=np.int8), np.ones(len(d_cell), dtype=np.int8)]
+    )
+    ids = np.concatenate([eid[isq], eid[dm][d_rep]])
+    lons = np.concatenate([lon[isq], lon[dm][d_rep]])
+    lats = np.concatenate([lat[isq], lat[dm][d_rep]])
+    return pa.table(
+        {
+            "cell": pa.array(cell, type=pa.int64()),
+            "side": pa.array(side, type=pa.int8()),
+            "id": pa.array(ids, type=pa.int64()),
+            "lon": pa.array(lons, type=pa.float64()),
+            "lat": pa.array(lats, type=pa.float64()),
+        }
+    )
+
+
+def _knn_group(group: pa.Table) -> pa.Table:
+    side = group.column("side").to_numpy(zero_copy_only=False)
+    ids = group.column("id").to_numpy(zero_copy_only=False)
+    lon = group.column("lon").to_numpy(zero_copy_only=False)
+    lat = group.column("lat").to_numpy(zero_copy_only=False)
+    q = side == 0
+    d = ~q
+    empty = pa.table(
+        {
+            "qid": pa.array([], type=pa.int64()),
+            "nid": pa.array([], type=pa.int64()),
+            "d2": pa.array([], type=pa.float64()),
+            "rk": pa.array([], type=pa.int64()),
+        }
+    )
+    if not q.any() or not d.any():
+        return empty
+    qid, qlon, qlat = ids[q], lon[q], lat[q]
+    order = np.argsort(ids[d], kind="stable")
+    nid, dlon, dlat = ids[d][order], lon[d][order], lat[d][order]
+    dl = qlon[:, None] - dlon[None, :]
+    dp = qlat[:, None] - dlat[None, :]
+    d2 = dl * dl + dp * dp
+    k = min(KNN_K, len(nid))
+    # columns are in ascending nid order, so ONE stable argsort breaks
+    # d2 ties by ascending nid exactly like the oracle's ORDER BY d2,
+    # nid.  (argpartition pruning would be faster but mis-keeps ties
+    # that straddle the k boundary; the scale knob is KNN_LEVEL, which
+    # bounds per-cell population, not the per-row sort.)
+    srt = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    d2s = np.take_along_axis(d2, srt, axis=1)
+    nids = nid[srt]
+    return pa.table(
+        {
+            "qid": pa.array(np.repeat(qid, k), type=pa.int64()),
+            "nid": pa.array(nids.ravel(), type=pa.int64()),
+            "d2": pa.array(d2s.ravel(), type=pa.float64()),
+            "rk": pa.array(np.tile(np.arange(1, k + 1), len(qid)), type=pa.int64()),
+        }
+    )
+
+
+def q_knn_join(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return (
+        ds.map_batches(_knn_sides, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(_knn_group, batch_format="pyarrow")
+    )
+
+
+SQL_KNN_JOIN = f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+xy AS (
+  SELECT id, lon, lat,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {_KN}) AS BIGINT), 0), {_KN - 1}) AS x,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {_KN}) AS BIGINT), 0), {_KN - 1}) AS y
+  FROM pts),
+q AS (SELECT * FROM xy WHERE id % {KNN_Q_MOD} = 0),
+d AS (SELECT * FROM xy WHERE id % {KNN_Q_MOD} <> 0),
+ranked AS (
+  SELECT q.id AS qid, d.id AS nid,
+         (q.lon - d.lon) * (q.lon - d.lon) + (q.lat - d.lat) * (q.lat - d.lat) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.id
+           ORDER BY (q.lon - d.lon) * (q.lon - d.lon) + (q.lat - d.lat) * (q.lat - d.lat),
+                    d.id) AS rk
+  FROM q JOIN d
+    ON ((d.x - q.x + {_KN}) % {_KN}) IN (0, 1, {_KN - 1})
+   AND d.y BETWEEN q.y - 1 AND q.y + 1)
+SELECT qid, nid, d2, rk FROM ranked WHERE rk <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tile pyramid: multi-zoom rollup, log-many grid-bounded shuffles
+# ---------------------------------------------------------------------------
+#
+# The tiling engine's core aggregate (north rule: "spatial-join +
+# tiling engine"): per-tile point counts at every zoom level 0..PYR_Z,
+# web-map-style (z, x, y) addressing.  One pass over the point stream
+# produces finest-level partials; every coarser level is derived from
+# the previous one by (x >> 1, y >> 1) halving — so after the first
+# grid-bounded groupby NOTHING is proportional to the input: PYR_Z more
+# shuffles of <= 4^z rows each.  The finest level is materialized (it
+# is the working set, <= 4^PYR_Z rows) so the lazy lineage does not
+# re-scan the points per level.
+
+PYR_Z = 6  # finest level; output levels 0..PYR_Z
+
+
+def _pyr_partials(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    lon, lat = _pip_lonlat(eid)
+    m = 1 << PYR_Z
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * m).astype(np.int64), 0, m - 1)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * m).astype(np.int64), 0, m - 1)
+    key, cnt = np.unique(x * m + y, return_counts=True)
+    return pa.table(
+        {
+            "x": pa.array(key // m, type=pa.int64()),
+            "y": pa.array(key % m, type=pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def q_tile_pyramid(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    level = (
+        ds.map_batches(_pyr_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .materialize()  # <= 4^PYR_Z rows: the pyramid working set
+    )
+
+    def stamp(z):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "z", pa.array(np.full(batch.num_rows, z, dtype=np.int64))
+            ).select(["z", "x", "y", "n"])
+
+        return fn
+
+    out = level.map_batches(stamp(PYR_Z), batch_format="pyarrow")
+    for z in range(PYR_Z - 1, -1, -1):
+
+        def halve(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "x": pc.shift_right(batch.column("x"), 1),
+                    "y": pc.shift_right(batch.column("y"), 1),
+                    "n": batch.column("n"),
+                }
+            )
+
+        level = (
+            level.map_batches(halve, batch_format="pyarrow")
+            .groupby(["x", "y"])
+            .aggregate(Sum(on="n", alias_name="n"))
+            .materialize()
+        )
+        out = out.union(level.map_batches(stamp(z), batch_format="pyarrow"))
+    return out
+
+
+def _sql_tile_pyramid() -> str:
+    m = 1 << PYR_Z
+    levels = "\nUNION ALL\n".join(
+        f"SELECT {z} AS z, x // {1 << (PYR_Z - z)} AS x, y // {1 << (PYR_Z - z)} AS y,"
+        f" COUNT(*) AS n FROM xy GROUP BY 2, 3"
+        if z < PYR_Z
+        else f"SELECT {z} AS z, x, y, COUNT(*) AS n FROM xy GROUP BY 2, 3"
+        for z in range(PYR_Z, -1, -1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+xy AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {m}) AS BIGINT), 0), {m - 1}) AS x,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {m}) AS BIGINT), 0), {m - 1}) AS y
+  FROM pts)
+{levels}
+"""
+
+
+SQL_TILE_PYRAMID = _sql_tile_pyramid()

@@ -63,6 +63,76 @@ class TestHotspots:
         assert len(got) == int((grid > 0).sum())
 
 
+class TestKnnJoin:
+    def test_matches_brute_force_ring(self, ray_session):
+        """Brute-force reference over ALL query/db pairs, filtered to the
+        declared 3x3-ring window, ranked by (d2, id)."""
+        import pyarrow.parquet as pqt
+
+        eid = (
+            pqt.read_table(f"{SF}/events.parquet", columns=["event_id"])
+            .column("event_id")
+            .to_numpy()
+            .astype(np.int64)
+        )
+        from geocoding_ray.pipelines.oracle_queries import _pip_lonlat
+
+        lon, lat = _pip_lonlat(eid)
+        n = ga._KN
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+        isq = (eid % ga.KNN_Q_MOD) == 0
+        exp = []
+        qidx = np.nonzero(isq)[0]
+        didx = np.nonzero(~isq)[0]
+        for qi in qidx:
+            dxm = (x[didx] - x[qi] + n) % n
+            in_ring = ((dxm == 0) | (dxm == 1) | (dxm == n - 1)) & (
+                np.abs(y[didx] - y[qi]) <= 1
+            )
+            cand = didx[in_ring]
+            if len(cand) == 0:
+                continue
+            dl = lon[qi] - lon[cand]
+            dp = lat[qi] - lat[cand]
+            d2 = dl * dl + dp * dp
+            order = np.lexsort((eid[cand], d2))[: ga.KNN_K]
+            for rk, j in enumerate(order, 1):
+                exp.append((eid[qi], eid[cand[j]], d2[j], rk))
+        got = ga.q_knn_join(SF).to_pandas().sort_values(["qid", "rk"]).reset_index(drop=True)
+        exp_df = sorted(exp)
+        got_t = sorted(zip(got["qid"], got["nid"], got["d2"], got["rk"]))
+        assert got_t == exp_df
+        # every query emits at most K rows, ranks dense from 1
+        g = got.groupby("qid")["rk"].agg(["min", "max", "count"])
+        assert (g["min"] == 1).all() and (g["max"] == g["count"]).all()
+        assert (g["count"] <= ga.KNN_K).all()
+
+
+class TestTilePyramid:
+    def test_levels_telescope(self, ray_session):
+        """Every level's total equals the point count; each parent tile
+        equals the sum of its <=4 children."""
+        got = ga.q_tile_pyramid(SF).to_pandas()
+        import pyarrow.parquet as pqt
+
+        n_pts = pqt.read_metadata(f"{SF}/events.parquet").num_rows
+        for z in range(ga.PYR_Z + 1):
+            lvl = got[got["z"] == z]
+            assert lvl["n"].sum() == n_pts
+            assert lvl["x"].between(0, (1 << z) - 1).all()
+            assert lvl["y"].between(0, (1 << z) - 1).all()
+        for z in range(1, ga.PYR_Z + 1):
+            child = got[got["z"] == z].copy()
+            child["px"] = child["x"] // 2
+            child["py"] = child["y"] // 2
+            rolled = child.groupby(["px", "py"])["n"].sum()
+            parent = got[got["z"] == z - 1].set_index(["x", "y"])["n"]
+            assert rolled.sort_index().equals(parent.sort_index())
+        # level 0 is the single world tile
+        assert len(got[got["z"] == 0]) == 1
+
+
 class TestPageRank:
     @staticmethod
     def _reference(edges: set[tuple[int, int]], iters: int) -> dict[int, int]:

@@ -66,6 +66,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "kmeans",
         "spatial_hotspots",
         "pagerank",
+        "knn_join",
+        "tile_pyramid",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
