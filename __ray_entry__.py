@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_hotspots": ga.q_spatial_hotspots,  # grid-cell density + 3x3 k-ring smoothing, grid-bounded joins
         "knn_join": ga.q_knn_join,                # ring-bounded kNN join, both sides large, one cell co-shuffle
         "tile_pyramid": ga.q_tile_pyramid,        # multi-zoom tile rollup, log-many grid-bounded shuffles
+        "trajectory_len": ga.q_trajectory_len,    # per-user path length, order-free scaled-int segments
+        "geo_extent": ga.q_geo_extent,            # per-user bbox: pure native min/max partials, one slim shuffle
+        "morton_range_scan": ga.q_morton_range_scan,  # two-phase index scan: Morton range prune + exact refine
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
@@ -242,6 +245,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_hotspots": ga.SQL_SPATIAL_HOTSPOTS,
         "knn_join": ga.SQL_KNN_JOIN,
         "tile_pyramid": ga.SQL_TILE_PYRAMID,
+        "trajectory_len": ga.SQL_TRAJECTORY_LEN,
+        "geo_extent": ga.SQL_GEO_EXTENT,
+        "morton_range_scan": ga.SQL_MORTON_RANGE_SCAN,
         "pagerank": gq.SQL_PAGERANK,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings: rows-only by design

@@ -388,3 +388,204 @@ xy AS (
 
 
 SQL_TILE_PYRAMID = _sql_tile_pyramid()
+
+
+# ---------------------------------------------------------------------------
+# trajectory length: per-user planar path length, scaled-int segments
+# ---------------------------------------------------------------------------
+#
+# Each user's events, ordered by (ts, event_id), trace a polyline over
+# the synthetic point field; the operator reports the number of points
+# and the total path length.  Segment lengths are planar
+# sqrt(dlon^2 + dlat^2) floored to micro-degree ints BEFORE summing, so
+# the aggregate is order-free and bit-exact across any partitioning
+# (float sums are order-dependent; scaled-int sums are not — the same
+# discipline as the repo's cents-based money aggregates).  sqrt, *, and
+# floor are all correctly-rounded IEEE ops, so numpy and DuckDB agree
+# per segment.
+#
+# Distributed shape: ONE user-keyed hash shuffle, then per-group
+# vectorized sort + diff.  The partitioning assumption (documented, as
+# SURVEY.md §2 requires for custom operators): per-user event counts
+# are bounded (thousands), user cardinality scales with the data — the
+# same assumption sessionization states.  For unbounded single-key
+# streams the sessionize sort + boundary-repair plan is the fallback.
+
+TRAJ_SCALE = 1_000_000.0
+
+
+def _traj_group(group: pa.Table) -> pa.Table:
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = group.column("ts").to_numpy(zero_copy_only=False).view(np.int64)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts))
+    lon, lat = _pip_lonlat(eid[order])
+    if len(lon) > 1:
+        dl = lon[1:] - lon[:-1]
+        dp = lat[1:] - lat[:-1]
+        seg = np.floor(np.sqrt(dl * dl + dp * dp) * TRAJ_SCALE).astype(np.int64)
+        path = int(seg.sum())
+    else:
+        path = 0
+    return pa.table(
+        {
+            "user_id": pa.array([uid[0]], type=pa.int64()),
+            "n_pts": pa.array([len(uid)], type=pa.int64()),
+            "path_int": pa.array([path], type=pa.int64()),
+        }
+    )
+
+
+def q_trajectory_len(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return ds.groupby("user_id").map_groups(_traj_group, batch_format="pyarrow")
+
+
+SQL_TRAJECTORY_LEN = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+seg AS (
+  SELECT user_id,
+         CAST(floor(sqrt((lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w)
+                       + (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w))
+                    * {TRAJ_SCALE}) AS BIGINT) AS d
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, COUNT(*) AS n_pts,
+       CAST(COALESCE(SUM(d), 0) AS BIGINT) AS path_int
+FROM seg GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo extent: per-user activity bounding box (ST_Extent analogue)
+# ---------------------------------------------------------------------------
+#
+# Min/max are order-free even over floats, so this is pure native
+# partial aggregation: per-batch combine inside Ray's groupby, one slim
+# shuffle of per-(batch, user) partials — the cheapest possible shape
+# for a 100-TB extent scan.
+
+def _extent_pts(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    lon, lat = _pip_lonlat(eid)
+    return pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "lon": pa.array(lon, type=pa.float64()),
+            "lat": pa.array(lat, type=pa.float64()),
+        }
+    )
+
+
+def q_geo_extent(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    return (
+        ds.map_batches(_extent_pts, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min(on="lon", alias_name="min_lon"),
+            Max(on="lon", alias_name="max_lon"),
+            Min(on="lat", alias_name="min_lat"),
+            Max(on="lat", alias_name="max_lat"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+SQL_GEO_EXTENT = """
+WITH pts AS (
+  SELECT user_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events)
+SELECT user_id, MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+       MIN(lat) AS min_lat, MAX(lat) AS max_lat, COUNT(*) AS n
+FROM pts GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Morton range scan: two-phase spatial index scan (prune + refine)
+# ---------------------------------------------------------------------------
+#
+# The read-side story of the cell index (state/cells.py): an
+# axis-aligned bbox is compiled ONCE into sorted contiguous Morton key
+# ranges at MRS_LEVEL (grid-bounded: <= 4^level keys, driver-tiny, the
+# same object a Lance/parquet reader would push down as key-range
+# predicates), every batch then does a two-sided searchsorted against
+# the range table — points outside any range never leave the scan — and
+# survivors get the exact bbox refine.  The refine makes the result
+# independent of MRS_LEVEL, which the determinism test exercises; the
+# oracle is the plain bbox filter the index scan must equal.
+
+MRS_LEVEL = 7
+MRS_BBOX = (-10.0, 35.0, 30.0, 60.0)  # minx, miny, maxx, maxy ("Europe")
+
+
+def _morton_ranges(bbox, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (starts, ends) inclusive Morton-key ranges covering bbox."""
+    from ..state.cells import cell_from_xy, lonlat_to_xy
+
+    minx, miny, maxx, maxy = bbox
+    x0, y0 = lonlat_to_xy(np.array([minx]), np.array([miny]), level)
+    x1, y1 = lonlat_to_xy(np.array([maxx]), np.array([maxy]), level)
+    xs = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
+    ys = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    keys = np.sort(cell_from_xy(gx.ravel(), gy.ravel(), level).astype(np.uint64))
+    cut = np.nonzero(np.diff(keys) != np.uint64(1))[0]
+    starts = keys[np.concatenate([[0], cut + 1])]
+    ends = keys[np.concatenate([cut, [len(keys) - 1]])]
+    return starts, ends
+
+
+def q_morton_range_scan(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import encode
+
+    starts, ends = _morton_ranges(MRS_BBOX, MRS_LEVEL)
+    ranges_ref = ray.put((starts, ends))
+    minx, miny, maxx, maxy = MRS_BBOX
+
+    def scan(batch: pa.Table) -> pa.Table:
+        st, en = ray.get(ranges_ref)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        key = encode(lon, lat, MRS_LEVEL).astype(np.uint64)
+        pos = np.searchsorted(st, key, side="right") - 1
+        cand = (pos >= 0) & (key <= en[np.clip(pos, 0, None)])
+        # exact refine: half-open [min, max) on both axes
+        hit = cand & (lon >= minx) & (lon < maxx) & (lat >= miny) & (lat < maxy)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[hit], type=pa.int64()),
+                "lon": pa.array(lon[hit], type=pa.float64()),
+                "lat": pa.array(lat[hit], type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+SQL_MORTON_RANGE_SCAN = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events)
+SELECT event_id, lon, lat FROM pts
+WHERE lon >= {MRS_BBOX[0]} AND lon < {MRS_BBOX[2]}
+  AND lat >= {MRS_BBOX[1]} AND lat < {MRS_BBOX[3]}
+"""

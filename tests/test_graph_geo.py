@@ -133,6 +133,66 @@ class TestTilePyramid:
         assert len(got[got["z"] == 0]) == 1
 
 
+class TestMortonRangeScan:
+    def test_ranges_cover_bbox_exactly(self):
+        """Every level-MRS_LEVEL cell key inside the bbox is in exactly
+        one range; ranges are sorted, disjoint, non-adjacent."""
+        starts, ends = ga._morton_ranges(ga.MRS_BBOX, ga.MRS_LEVEL)
+        assert (starts <= ends).all()
+        assert (starts[1:] > ends[:-1] + np.uint64(1)).all()  # maximally merged
+        from geocoding_ray.state.cells import cell_from_xy, lonlat_to_xy
+
+        minx, miny, maxx, maxy = ga.MRS_BBOX
+        x0, y0 = lonlat_to_xy(np.array([minx]), np.array([miny]), ga.MRS_LEVEL)
+        x1, y1 = lonlat_to_xy(np.array([maxx]), np.array([maxy]), ga.MRS_LEVEL)
+        gx, gy = np.meshgrid(np.arange(x0[0], x1[0] + 1), np.arange(y0[0], y1[0] + 1))
+        keys = cell_from_xy(gx.ravel(), gy.ravel(), ga.MRS_LEVEL).astype(np.uint64)
+        pos = np.searchsorted(starts, keys, side="right") - 1
+        assert (pos >= 0).all() and (keys <= ends[pos]).all()
+        # total range mass == number of covered cells (no overshoot)
+        assert int((ends - starts + np.uint64(1)).sum()) == len(keys)
+
+    def test_scan_is_level_independent(self, ray_session, monkeypatch):
+        """The exact refine makes the result identical at a coarser
+        prune level (the index is an optimization, not a semantic)."""
+        base = (
+            ga.q_morton_range_scan(SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(ga, "MRS_LEVEL", 4)
+        coarse = (
+            ga.q_morton_range_scan(SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert base.equals(coarse)
+
+
+class TestTrajectory:
+    def test_matches_single_node_reference(self, ray_session):
+        import pyarrow.parquet as pqt
+
+        from geocoding_ray.pipelines.oracle_queries import _pip_lonlat
+
+        t = pqt.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+        eid = t.column("event_id").to_numpy()
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().view(np.int64)
+        exp = {}
+        for u in np.unique(uid):
+            m = uid == u
+            order = np.lexsort((eid[m], ts[m]))
+            lon, lat = _pip_lonlat(eid[m][order])
+            dl, dp = lon[1:] - lon[:-1], lat[1:] - lat[:-1]
+            seg = np.floor(np.sqrt(dl * dl + dp * dp) * ga.TRAJ_SCALE).astype(np.int64)
+            exp[int(u)] = (int(m.sum()), int(seg.sum()))
+        got = ga.q_trajectory_len(SF).to_pandas()
+        assert {int(r.user_id): (int(r.n_pts), int(r.path_int)) for r in got.itertuples()} == exp
+
+
 class TestPageRank:
     @staticmethod
     def _reference(edges: set[tuple[int, int]], iters: int) -> dict[int, int]:

@@ -68,6 +68,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "pagerank",
         "knn_join",
         "tile_pyramid",
+        "trajectory_len",
+        "geo_extent",
+        "morton_range_scan",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
