@@ -18,6 +18,7 @@ from typing import Any
 
 from geocoding_ray.pipelines import curation_queries as cq
 from geocoding_ray.pipelines import geo_analytics as ga
+from geocoding_ray.pipelines import geo_cluster as gc
 from geocoding_ray.pipelines import graph_queries as gq
 from geocoding_ray.pipelines import olap_queries as ol
 from geocoding_ray.pipelines import oracle_queries as oq
@@ -134,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_extent": ga.q_geo_extent,            # per-user bbox: pure native min/max partials, one slim shuffle
         "morton_range_scan": ga.q_morton_range_scan,  # two-phase index scan: Morton range prune + exact refine
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
+        "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
+        "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
+        "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -249,6 +253,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_extent": ga.SQL_GEO_EXTENT,
         "morton_range_scan": ga.SQL_MORTON_RANGE_SCAN,
         "pagerank": gq.SQL_PAGERANK,
+        "dbscan_grid": gc.SQL_DBSCAN_GRID,
+        "cell_compact": gc.SQL_CELL_COMPACT,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
-        # reverse_annotations strings: rows-only by design
+        # reverse_annotations strings / traj_simplify (DP recursion):
+        # rows-only by design
     }

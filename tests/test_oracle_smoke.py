@@ -71,6 +71,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "trajectory_len",
         "geo_extent",
         "morton_range_scan",
+        # round-4 batch-7: spatial clustering + quadtree compaction
+        "dbscan_grid",
+        "cell_compact",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
