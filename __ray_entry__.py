@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": sq.q_tfidf_top_term,    # keyword extraction: integer-exact TF-IDF argmax per doc
         "transitions": ol.q_transitions,          # Markov transition counts over per-user event bigrams
         "twap": ol.q_twap,                        # time-weighted (LOCF-integral) average per user
+        "interval_union": ol.q_interval_union,   # merged-interval islands + exact covered time per user
         "profile_orders": tpch.q_profile_orders,  # data-profiling report: nulls/min/max/distinct in one pass
         "fuzzy_dedup": cq.q_fuzzy_dedup,          # exact edit-distance pairs: length-band blocking + banded DP
         "skyline": ol.q_skyline,                  # 2-D Pareto skyline: lossless local prune + tiny merge
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_term": sq.SQL_TFIDF_TOP_TERM,
         "transitions": ol.SQL_TRANSITIONS,
         "twap": ol.SQL_TWAP,
+        "interval_union": ol.SQL_INTERVAL_UNION,
         "profile_orders": tpch.SQL_PROFILE_ORDERS,
         "fuzzy_dedup": cq.SQL_FUZZY_DEDUP,
         "skyline": ol.SQL_SKYLINE,

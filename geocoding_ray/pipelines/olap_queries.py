@@ -1105,3 +1105,132 @@ WHERE NOT EXISTS (
     AND d.o_orderdate <= o.o_orderdate
     AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate < o.o_orderdate))
 """
+
+
+# ---------------------------------------------------------------------------
+# interval union coverage (merge overlapping intervals per user)
+# ---------------------------------------------------------------------------
+#
+# The "total active time" aggregate (billing, uptime, ad exposure):
+# each event opens a deterministic interval [ts, ts + 10min +
+# (event_id % 20) min]; per user, overlapping intervals merge into
+# islands and the answer is the island count plus the exact union
+# length in microseconds.
+#
+# Distributed shape: ONE distributed sort by (user_id, ts, event_id)
+# -> a vectorized per-batch pass that compresses each batch's rows to
+# its LOCAL islands (a log-doubling segmented running-max scan — no
+# Python loop) -> per-user merge that re-runs the same union scan over
+# island rows.  The kernel is closed over intervals (islands are
+# intervals), so the merge is exactly the local pass at island
+# cardinality: split-invariant by construction, exchange mass =
+# per-(user, batch) islands, never the event stream.
+
+
+def _iv_bounds(ts_us: np.ndarray, eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    dur = (600 + 60 * (eid % 20)) * 1_000_000
+    return ts_us, ts_us + dur
+
+
+def _union_islands(
+    uid: np.ndarray, s: np.ndarray, e: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rows sorted by (uid, s, tiebreak): merge overlapping or touching
+    intervals (a new island starts only when s is STRICTLY greater than
+    the running max end) per uid; returns (uid, island_start,
+    island_end) arrays.
+    Segmented running max via log-doubling — O(n log n) vectorized ops,
+    no per-row Python."""
+    n = len(s)
+    seg = np.empty(n, dtype=np.int64)
+    seg[0] = 0
+    np.cumsum(uid[1:] != uid[:-1], out=seg[1:])
+    m = e.copy()
+    shift = 1
+    while shift < n:
+        same = seg[shift:] == seg[:-shift]
+        np.maximum(m[shift:], np.where(same, m[:-shift], m[shift:]), out=m[shift:])
+        shift *= 2
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (seg[1:] != seg[:-1]) | (s[1:] > m[:-1])
+    idx = np.nonzero(brk)[0]
+    isl_end = np.maximum.reduceat(e, idx)
+    return uid[idx], s[idx], isl_end
+
+
+def _iv_local(batch: pa.Table) -> pa.Table:
+    empty = {
+        "user_id": pa.array([], type=pa.int64()),
+        "s": pa.array([], type=pa.int64()),
+        "e": pa.array([], type=pa.int64()),
+    }
+    if batch.num_rows == 0:
+        return pa.table(empty)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s, e = _iv_bounds(ts, eid)
+    u2, s2, e2 = _union_islands(uid, s, e)
+    return pa.table(
+        {
+            "user_id": pa.array(u2, type=pa.int64()),
+            "s": pa.array(s2, type=pa.int64()),
+            "e": pa.array(e2, type=pa.int64()),
+        }
+    )
+
+
+def _iv_merge(group: pa.Table) -> pa.Table:
+    uid = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = group.column("s").to_numpy(zero_copy_only=False)
+    e = group.column("e").to_numpy(zero_copy_only=False)
+    order = np.lexsort((e, s))
+    u2, s2, e2 = _union_islands(uid[order], s[order], e[order])
+    return pa.table(
+        {
+            "user_id": pa.array(u2[:1]),
+            "n_islands": pa.array([len(s2)], type=pa.int64()),
+            "covered_us": pa.array([int((e2 - s2).sum())], type=pa.int64()),
+        }
+    )
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user interval-union coverage: island count + exact covered
+    microseconds after merging overlapping per-event intervals."""
+    import ray.data as rd
+
+    cols = ["event_id", "user_id", "ts"]
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(_iv_local, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_iv_merge, batch_format="pyarrow")
+    )
+
+
+SQL_INTERVAL_UNION = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (600 + 60 * (event_id % 20)) * 1000000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, event_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN mprev IS NULL OR s > mprev THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m),
+g AS (
+  SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_us
+FROM g GROUP BY user_id
+"""

@@ -416,3 +416,63 @@ class TestSkyline:
         )
         got = set(ol._skyline_kernel(tbl).column("o_orderkey").to_pylist())
         assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# interval_union: kernel closure (split invariance) + strict-overlap rule
+# ---------------------------------------------------------------------------
+
+
+def _ref_union(pairs):
+    """Single-user reference: sorted sweep in plain Python."""
+    out = []
+    for s, e in sorted(pairs):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [(a, b) for a, b in out]
+
+
+def test_union_islands_matches_reference_and_is_split_invariant():
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 200))
+        uid = np.sort(rng.integers(0, 4, size=n)).astype(np.int64)
+        s = rng.integers(0, 1000, size=n).astype(np.int64)
+        e = s + rng.integers(1, 120, size=n).astype(np.int64)
+        order = np.lexsort((e, s, uid))
+        uid, s, e = uid[order], s[order], e[order]
+
+        u1, s1, e1 = ol._union_islands(uid, s, e)
+        # reference per user
+        ref = {}
+        for u in np.unique(uid):
+            m = uid == u
+            ref[int(u)] = _ref_union(list(zip(s[m].tolist(), e[m].tolist())))
+        got = {}
+        for u, a, b in zip(u1.tolist(), s1.tolist(), e1.tolist()):
+            got.setdefault(u, []).append((a, b))
+        assert got == ref
+
+        # closure: cut the sorted stream anywhere, union each piece,
+        # re-sort the island rows, union again -> same islands
+        cut = int(rng.integers(1, n + 1))
+        parts = []
+        for lo, hi in ((0, cut), (cut, n)):
+            if hi > lo:
+                parts.append(ol._union_islands(uid[lo:hi], s[lo:hi], e[lo:hi]))
+        cu = np.concatenate([p[0] for p in parts])
+        cs = np.concatenate([p[1] for p in parts])
+        ce = np.concatenate([p[2] for p in parts])
+        o2 = np.lexsort((ce, cs, cu))
+        u2, s2, e2 = ol._union_islands(cu[o2], cs[o2], ce[o2])
+        assert (u2 == u1).all() and (s2 == s1).all() and (e2 == e1).all()
+
+
+def test_union_islands_touching_merges():
+    uid = np.zeros(2, dtype=np.int64)
+    s = np.array([0, 10], dtype=np.int64)
+    e = np.array([10, 20], dtype=np.int64)
+    u, a, b = ol._union_islands(uid, s, e)
+    assert len(a) == 1 and a[0] == 0 and b[0] == 20

@@ -74,6 +74,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         # round-4 batch-7: spatial clustering + quadtree compaction
         "dbscan_grid",
         "cell_compact",
+        "interval_union",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
