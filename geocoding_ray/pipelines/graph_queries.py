@@ -164,3 +164,185 @@ r0 AS (SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)"""
 
 
 SQL_PAGERANK = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (per-node) with degree orientation
+# ---------------------------------------------------------------------------
+#
+# The canonical distributed graph-pattern operator.  Undirected
+# distinct edges are ORIENTED from the (degree, id)-smaller endpoint to
+# the larger one; every triangle then has exactly one "apex" whose two
+# out-edges form its wedge, so
+#
+#   triangles = (oriented ⋈ oriented on apex)   -- wedges
+#               ⋈ oriented on (wedge tip pair)  -- closure
+#
+# counts each triangle once.  Degree orientation is the skew bound: a
+# hub of degree d contributes wedges only through its LOW-degree
+# endpoints, capping per-apex out-degree at O(sqrt(E)) and total wedge
+# mass at O(E^1.5) regardless of hub size — the difference between a
+# web-scale graph finishing and its hottest vertex exploding one task.
+# The id-ordered SQL oracle counts the same triangle set (orientation
+# choice never changes which triangles exist), so the degree-oriented
+# plan is value-hash gated end to end.
+#
+# Graph synthesis: node u from event_id's low residue, node v from a
+# Knuth-multiplicative hash of the FULL id (not a pure function of
+# id mod V, so edges densify as data grows instead of saturating a
+# 240-edge lattice).
+
+TRI_V = 240
+
+
+def _tri_edges_batch(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    u = eid % TRI_V
+    v = ((eid * 2654435761) % 4294967296) % TRI_V
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    key = np.unique(a * TRI_V + b)  # per-batch pre-distinct
+    return pa.table(
+        {
+            "a": pa.array(key // TRI_V, type=pa.int64()),
+            "b": pa.array(key % TRI_V, type=pa.int64()),
+        }
+    )
+
+
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle participation counts over the synthetic event
+    graph: distinct-edge groupby -> endpoint-degree groupby -> degree
+    orientation -> apex self-join (wedges) -> tip-pair closure join ->
+    3-vertex fan-out + count groupby.  Every stage is a slim int64
+    exchange; no stage materializes anything on the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .olap_queries import _scrub_empties
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    edges = (
+        ds.map_batches(_tri_edges_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), type=pa.int64())})
+
+    deg = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    deg = _scrub_empties(deg, 4).materialize()  # node-cardinality working set
+
+    e1 = edges.join(
+        deg.map_batches(lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        join_type="inner",
+        on=("a",),
+        num_partitions=8,
+    )
+    e2 = e1.join(
+        deg.map_batches(lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        join_type="inner",
+        on=("b",),
+        num_partitions=8,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da = batch.column("da").to_numpy(zero_copy_only=False)
+        db = batch.column("db").to_numpy(zero_copy_only=False)
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "x": pa.array(np.where(fwd, a, b), type=pa.int64()),
+                "y": pa.array(np.where(fwd, b, a), type=pa.int64()),
+                "dy": pa.array(np.where(fwd, db, da), type=pa.int64()),
+            }
+        )
+
+    oriented = _scrub_empties(e2.map_batches(orient, batch_format="pyarrow"), 8).materialize()
+
+    wedges = oriented.join(
+        oriented.map_batches(
+            lambda t: t.rename_columns(["x", "y2", "dy2"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        on=("x",),
+        num_partitions=8,
+    )
+
+    def tips(batch: pa.Table) -> pa.Table:
+        y1 = batch.column("y").to_numpy(zero_copy_only=False)
+        d1 = batch.column("dy").to_numpy(zero_copy_only=False)
+        y2 = batch.column("y2").to_numpy(zero_copy_only=False)
+        d2 = batch.column("dy2").to_numpy(zero_copy_only=False)
+        keep = (d1 < d2) | ((d1 == d2) & (y1 < y2))  # one wedge per unordered tip pair
+        return pa.table(
+            {
+                "x": batch.column("x").filter(pa.array(keep)),
+                "y": pa.array(y1[keep], type=pa.int64()),
+                "y2": pa.array(y2[keep], type=pa.int64()),
+            }
+        )
+
+    closing = oriented.map_batches(
+        lambda t: pa.table({"y": t.column("x"), "y2": t.column("y")}),
+        batch_format="pyarrow",
+    )
+    tri = _scrub_empties(wedges.map_batches(tips, batch_format="pyarrow"), 8).join(
+        _scrub_empties(closing, 8),
+        join_type="inner",
+        on=("y", "y2"),
+        num_partitions=8,
+    )
+
+    def verts(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        z = batch.column("y2").to_numpy(zero_copy_only=False)
+        node, cnt = np.unique(np.concatenate([x, y, z]), return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tri.map_batches(verts, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum(on="c", alias_name="n_tri"))
+    )
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH raw AS (
+  SELECT event_id % {TRI_V} AS u,
+         ((event_id * 2654435761) % 4294967296) % {TRI_V} AS v
+  FROM events),
+ed AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, COUNT(*) AS n_tri FROM verts GROUP BY node
+"""

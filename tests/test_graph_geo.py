@@ -217,3 +217,30 @@ class TestPageRank:
         assert dict(zip(got["node"], got["r"])) == exp
         # damping floor: every rank at least BASE
         assert (got["r"] >= gq.PR_BASE).all()
+
+
+def test_triangle_count_vs_brute_force(ray_session):
+    """Degree-oriented distributed plan vs a dense-matrix reference on
+    the same synthesized edge set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.graph_queries import TRI_V, q_triangle_count
+
+    sf = "/root/testdata/sf0.001"
+    eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]).column(
+        "event_id"
+    ).to_numpy()
+    u = eid % TRI_V
+    v = ((eid * 2654435761) % 4294967296) % TRI_V
+    A = np.zeros((TRI_V, TRI_V), dtype=np.int64)
+    m = u != v
+    A[u[m], v[m]] = 1
+    A = np.maximum(A, A.T)
+    # per-node triangle count = diag(A^3) / 2
+    ref = np.diag(A @ A @ A) // 2
+
+    got = q_triangle_count(sf).to_pandas().set_index("node")["n_tri"]
+    full = np.zeros(TRI_V, dtype=np.int64)
+    full[got.index.to_numpy()] = got.to_numpy()
+    assert (full == ref).all()

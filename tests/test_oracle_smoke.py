@@ -75,6 +75,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "dbscan_grid",
         "cell_compact",
         "interval_union",
+        "triangle_count",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
