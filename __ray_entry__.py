@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morton_range_scan": ga.q_morton_range_scan,  # two-phase index scan: Morton range prune + exact refine
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "triangle_count": gq.q_triangle_count,    # degree-oriented wedge-closure triangle counts per node
+        "embed_gram": sq.q_embed_gram,            # exact int64 Gram matrix: constant d^2 aggregate of the vector col
+        "embed_pca": sq.q_embed_pca,              # top principal direction via power iteration on the Gram aggregate
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
@@ -257,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "morton_range_scan": ga.SQL_MORTON_RANGE_SCAN,
         "pagerank": gq.SQL_PAGERANK,
         "triangle_count": gq.SQL_TRIANGLE_COUNT,
+        "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

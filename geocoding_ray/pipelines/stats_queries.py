@@ -1555,3 +1555,116 @@ WHERE rn = 1""")
 
 
 SQL_KMEANS = _sql_kmeans()
+
+
+# ---------------------------------------------------------------------------
+# exact Gram matrix + top principal component (distributed linear algebra)
+# ---------------------------------------------------------------------------
+#
+# The scalable-PCA shape: the data-sized pass reduces the embedding
+# stream to a CONSTANT d x d Gram aggregate (per-batch int64 matmul
+# over exactly-integerized components, native Sum merge — order-free
+# and bit-reproducible); the eigen step then runs on that d x d result,
+# which is the legitimate "aggregate reaches the driver" boundary (d=64
+# here; d^2 rows regardless of N).  Components are integerized in
+# float64 (floor(x * 1e6)) exactly like label_centroids, so the SQL
+# oracle reproduces the Gram matrix bit-for-bit via a vec_id self-join
+# over unnested components.
+#
+# int64 headroom: |q| <= ~4e6 per component, so a q_i*q_j product is
+# <= ~1.6e13 and N rows sum to N * 1.6e13 — a preflight guard raises
+# before silent wraparound (the twap discipline); at 10^12-row scale
+# the partial would carry hi/lo split or float128 lanes instead.
+
+GRAM_SCALE = 1_000_000
+
+
+def _gram_partials(batch: pa.Table) -> pa.Table:
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = np.diff(offs)
+    dim = int(widths[0]) if len(widths) else 0
+    assert (widths == dim).all(), "embedding column must be fixed-width"
+    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.floor(flat * float(GRAM_SCALE)).astype(np.int64).reshape(-1, dim)
+    if float(np.max(np.abs(q), initial=0.0)) ** 2 * len(q) > 2.0**62:
+        raise ValueError("gram int64 partial overflow: rescale components")
+    g = q.T @ q  # exact int64 matmul
+    iu, ju = np.triu_indices(dim)
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64), type=pa.int64()),
+            "j": pa.array(ju.astype(np.int64), type=pa.int64()),
+            "s": pa.array(g[iu, ju], type=pa.int64()),
+        }
+    )
+
+
+def q_embed_gram(sf_dir: str):
+    """Exact upper-triangle Gram matrix of the integerized embedding
+    column: one streaming pass, d(d+1)/2-row output independent of N."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return (
+        ds.map_batches(_gram_partials, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum(on="s", alias_name="s"))
+    )
+
+
+SQL_EMBED_GRAM = f"""
+WITH m AS (
+  SELECT vec_id,
+         unnest(embedding) AS val,
+         unnest(generate_series(0, len(embedding) - 1)) AS i
+  FROM embeddings),
+q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(val AS DOUBLE) * {GRAM_SCALE}.0) AS BIGINT) AS qv
+  FROM m)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+def q_embed_pca(sf_dir: str):
+    """Top principal direction of the (uncentered) integerized
+    embedding Gram matrix by power iteration to fixpoint on the d x d
+    aggregate.  The data-sized work is q_embed_gram's streaming pass;
+    the driver touches only the constant d x d matrix.  Rows-only (an
+    eigen solve isn't SQL-expressible); numpy-eigh parity is tested in
+    tests/test_stats_queries.py.  Sign fixed by making the
+    largest-|loading| component positive (ties -> lowest index)."""
+    import pandas as pd
+
+    rows = q_embed_gram(sf_dir).to_pandas()
+    dim = int(rows["i"].max()) + 1 if len(rows) else 0
+    g = np.zeros((dim, dim), dtype=np.float64)
+    g[rows["i"], rows["j"]] = rows["s"].to_numpy().astype(np.float64)
+    # mirror the strict upper triangle (entries may be negative, so a
+    # max against the zero-filled transpose would corrupt them)
+    g = g + g.T - np.diag(np.diag(g))
+    v = np.zeros(dim)
+    if dim:
+        v[0] = 1.0
+        for _ in range(20000):  # d x d matvecs; converges in O(log eps / log gap)
+            w = g @ v
+            nrm = float(np.linalg.norm(w))
+            if nrm == 0.0:
+                break
+            w /= nrm
+            done = min(float(np.abs(w - v).max()), float(np.abs(w + v).max())) < 1e-15
+            v = w
+            if done:
+                break
+        a = int(np.argmax(np.abs(v)))
+        if v[a] < 0:
+            v = -v
+    return pd.DataFrame(
+        {"dim": np.arange(dim, dtype=np.int64), "loading": v}
+    )

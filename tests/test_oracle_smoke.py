@@ -76,6 +76,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "cell_compact",
         "interval_union",
         "triangle_count",
+        "embed_gram",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):

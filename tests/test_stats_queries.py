@@ -420,3 +420,27 @@ class TestKMeans:
         Xdup = np.vstack([X[: sq.KMEANS_K], X[:1]])
         d = sq._kmeans_dists(Xdup, Xdup[: sq.KMEANS_K])
         assert np.argmin(d, axis=1)[-1] == 0
+
+
+def test_embed_pca_matches_numpy_eigh(ray_session):
+    """Power-iteration top component vs numpy's dense eigensolver on
+    the same exactly-integerized data."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.stats_queries import GRAM_SCALE, q_embed_pca
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(sf + "/embeddings.parquet", columns=["embedding"]).column(
+        "embedding"
+    ).combine_chunks()
+    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    q = np.floor(flat * float(GRAM_SCALE)).astype(np.int64).reshape(len(emb), -1)
+    g = (q.T @ q).astype(np.float64)
+    w, v = np.linalg.eigh(g)
+    ref = v[:, -1]
+
+    got = q_embed_pca(sf).sort_values("dim")["loading"].to_numpy()
+    assert abs(abs(float(ref @ got)) - 1.0) < 1e-9
+    # sign convention: largest-|loading| component is positive
+    assert got[int(np.argmax(np.abs(got)))] > 0
