@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_roundtrip": oq.q_jpeg_roundtrip,    # lossy-codec invariant: real JPEG enc/dec, PSNR >= 40 dB per row
         "transcode_stats": oq.q_transcode_stats,  # tiff -> png transcode through both real codecs, means bit-exact
         "video_frames": oq.q_video_frames,        # real strided frame sampling, per-frame means
+        "image_tiles": oq.q_image_tiles,          # real-codec roundtrip -> 2x2-box tile sums (downsample shape)
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_roundtrip": oq.SQL_JPEG_ROUNDTRIP,
         "transcode_stats": oq.SQL_TRANSCODE_STATS,
         "video_frames": oq.SQL_VIDEO_FRAMES,
+        "image_tiles": oq.SQL_IMAGE_TILES,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "seq_pack": tq.SQL_SEQ_PACK,

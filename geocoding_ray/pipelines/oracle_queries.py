@@ -1502,3 +1502,86 @@ SELECT event_id, (event_id // {PHASH_GROUP}) * {PHASH_GROUP} AS cluster_id
 FROM events
 QUALIFY COUNT(*) OVER (PARTITION BY event_id // {PHASH_GROUP}) > 1
 """
+
+
+# ---------------------------------------------------------------------------
+# image tile statistics (real codec roundtrip -> per-tile box sums)
+# ---------------------------------------------------------------------------
+#
+# The thumbnail/downsample shape: every image decodes (REAL TIFF codec,
+# not the formula) and reduces to a 4x4 grid of 2x2-box channel sums —
+# the vectorized reshape-reduce every image pipeline runs before
+# feature extraction.  The pixels are a deterministic gradient
+# ((event_id + 16r + 2c + k) % 256), so the DuckDB oracle predicts
+# every tile sum arithmetically while the Ray side only matches by
+# actually round-tripping each payload through encode_tiff ->
+# parse_pixels.  16 rows per image; the batch-level reduce is one
+# numpy reshape-sum over the stacked (n, 8, 8, 3) block.
+
+
+class _ImageTileStats:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.tiff import parse_pixels
+
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        dec = np.stack(
+            [parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)) for i in range(n)]
+        ) if n else np.zeros((0, 8, 8, 3), dtype=np.uint8)
+        sums = (
+            dec.astype(np.int64).reshape(n, 4, 2, 4, 2, 3).sum(axis=(2, 4))
+        )  # (n, ty, tx, ch)
+        ty, tx = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+        return pa.table(
+            {
+                "event_id": pa.array(np.repeat(eid, 16), type=pa.int64()),
+                "ty": pa.array(np.tile(ty.ravel(), n), type=pa.int64()),
+                "tx": pa.array(np.tile(tx.ravel(), n), type=pa.int64()),
+                "sum_r": pa.array(sums[..., 0].reshape(-1), type=pa.int64()),
+                "sum_g": pa.array(sums[..., 1].reshape(-1), type=pa.int64()),
+                "sum_b": pa.array(sums[..., 2].reshape(-1), type=pa.int64()),
+            }
+        )
+
+
+def q_image_tiles(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageTileStats, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_tiles() -> str:
+    chans = {"sum_r": 0, "sum_g": 1, "sum_b": 2}
+    cols = []
+    for name, k in chans.items():
+        terms = [
+            f"(event_id + 16 * (2 * t.ty + {dr}) + 2 * (2 * t.tx + {dc}) + {k}) % 256"
+            for dr in (0, 1)
+            for dc in (0, 1)
+        ]
+        cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS {name}")
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH t AS (
+  SELECT a.ty, b.tx
+  FROM (VALUES (0), (1), (2), (3)) a(ty), (VALUES (0), (1), (2), (3)) b(tx))
+SELECT event_id, CAST(t.ty AS BIGINT) AS ty, CAST(t.tx AS BIGINT) AS tx,
+       {col_block}
+FROM events, t
+"""
+
+
+SQL_IMAGE_TILES = _sql_image_tiles()

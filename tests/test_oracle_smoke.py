@@ -77,6 +77,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "interval_union",
         "triangle_count",
         "embed_gram",
+        "image_tiles",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
