@@ -187,10 +187,10 @@ SQL_PAGERANK = _sql_pagerank()
 # choice never changes which triangles exist), so the degree-oriented
 # plan is value-hash gated end to end.
 #
-# Graph synthesis: node u from event_id's low residue, node v from a
-# Knuth-multiplicative hash of the FULL id (not a pure function of
-# id mod V, so edges densify as data grows instead of saturating a
-# 240-edge lattice).
+# Graph synthesis: node u from event_id mod 240, node v from a
+# quadratic residue mod the PRIME 241 — by CRT the (u, v) pairs
+# sweep the full torus instead of a lattice coset, giving one
+# connected, triangle-rich component that densifies with data.
 
 TRI_V = 240
 
@@ -198,7 +198,8 @@ TRI_V = 240
 def _tri_edges_batch(batch: pa.Table) -> pa.Table:
     eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
     u = eid % TRI_V
-    v = ((eid * 2654435761) % 4294967296) % TRI_V
+    r = eid % (TRI_V + 1)  # 241 is prime: CRT-independent of eid % 240
+    v = (r * r + 7) % (TRI_V + 1) % TRI_V
     a = np.minimum(u, v)
     b = np.maximum(u, v)
     keep = a != b
@@ -330,7 +331,7 @@ def q_triangle_count(sf_dir: str):
 SQL_TRIANGLE_COUNT = f"""
 WITH raw AS (
   SELECT event_id % {TRI_V} AS u,
-         ((event_id * 2654435761) % 4294967296) % {TRI_V} AS v
+         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
   FROM events),
 ed AS (
   SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
@@ -346,3 +347,113 @@ verts AS (
   UNION ALL SELECT z FROM tri)
 SELECT node, COUNT(*) AS n_tri FROM verts GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# single-source BFS hop counts (iterative frontier relaxation)
+# ---------------------------------------------------------------------------
+#
+# The traversal shape missing from the pagerank (fixed rounds) / CC
+# (min-label) pair: per round the current distance table joins the
+# symmetric edge list, candidates (dst, d+1) merge with a Min groupby,
+# and the driver sees only a (count, sum) convergence checksum.
+# Rounds = source eccentricity; every exchange is node-cardinality
+# slim rows.  The DuckDB oracle is the textbook bounded recursive CTE.
+
+BFS_SOURCE = 0
+BFS_MAX_ROUNDS = 64
+
+
+def _tri_edges_both(sf_dir: str):
+    """Symmetric directed edge list of the triangle_count graph."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    edges = (
+        ds.map_batches(_tri_edges_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def q_bfs_hops(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .olap_queries import _scrub_empties
+
+    edges = _scrub_empties(_tri_edges_both(sf_dir), 8).materialize()
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([BFS_SOURCE], type=pa.int64()),
+                "hops": pa.array([0], type=pa.int64()),
+            }
+        )
+    )
+
+    def relax(batch: pa.Table) -> pa.Table:
+        h = batch.column("hops").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("dst"),
+                "hops": pa.array(h + 1, type=pa.int64()),
+            }
+        )
+
+    checksum = None
+    for _ in range(BFS_MAX_ROUNDS):
+        cand = edges.join(
+            labels.rename_columns({"node": "src"}),
+            join_type="inner",
+            on=("src",),
+            num_partitions=8,
+        ).map_batches(relax, batch_format="pyarrow")
+        labels = (
+            labels.union(_scrub_empties(cand, 8))
+            .groupby("node")
+            .aggregate(Min(on="hops", alias_name="hops"))
+            .repartition(8)
+            .materialize()
+        )
+        agg = labels.aggregate(Sum(on="hops", alias_name="s"))
+        state = (labels.count(), agg["s"])
+        if state == checksum:  # reached-set growth and distance sums both stable
+            break
+        checksum = state
+    return labels
+
+
+def _sql_bfs_hops() -> str:
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT event_id % {TRI_V} AS u,
+         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
+  FROM events),
+ed AS (
+  SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst FROM raw WHERE u <> v
+  UNION
+  SELECT DISTINCT greatest(u, v), least(u, v) FROM raw WHERE u <> v),
+r(node, hops) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, r.hops + 1
+  FROM r JOIN ed e ON e.src = r.node
+  WHERE r.hops < {BFS_MAX_ROUNDS})
+SELECT node, MIN(hops) AS hops FROM r GROUP BY node
+"""
+
+
+SQL_BFS_HOPS = _sql_bfs_hops()

@@ -232,7 +232,8 @@ def test_triangle_count_vs_brute_force(ray_session):
         "event_id"
     ).to_numpy()
     u = eid % TRI_V
-    v = ((eid * 2654435761) % 4294967296) % TRI_V
+    r = eid % (TRI_V + 1)
+    v = (r * r + 7) % (TRI_V + 1) % TRI_V
     A = np.zeros((TRI_V, TRI_V), dtype=np.int64)
     m = u != v
     A[u[m], v[m]] = 1
@@ -244,3 +245,39 @@ def test_triangle_count_vs_brute_force(ray_session):
     full = np.zeros(TRI_V, dtype=np.int64)
     full[got.index.to_numpy()] = got.to_numpy()
     assert (full == ref).all()
+
+
+def test_bfs_hops_vs_reference(ray_session):
+    """Iterative frontier relaxation vs a plain queue BFS on the same
+    synthesized edge set (connected CRT graph, diameter > 1)."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.graph_queries import BFS_SOURCE, TRI_V, q_bfs_hops
+
+    sf = "/root/testdata/sf0.001"
+    eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]).column(
+        "event_id"
+    ).to_numpy()
+    u = eid % TRI_V
+    r = eid % (TRI_V + 1)
+    v = (r * r + 7) % (TRI_V + 1) % TRI_V
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    ref = {BFS_SOURCE: 0}
+    q = deque([BFS_SOURCE])
+    while q:
+        x = q.popleft()
+        for y in adj.get(x, ()):
+            if y not in ref:
+                ref[y] = ref[x] + 1
+                q.append(y)
+
+    got = q_bfs_hops(sf).to_pandas()
+    assert dict(zip(got["node"], got["hops"])) == ref
+    assert got["hops"].max() > 1  # multi-round traversal actually exercised
