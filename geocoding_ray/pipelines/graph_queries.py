@@ -457,3 +457,107 @@ SELECT node, MIN(hops) AS hops FROM r GROUP BY node
 
 
 SQL_BFS_HOPS = _sql_bfs_hops()
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed unrolled peeling rounds)
+# ---------------------------------------------------------------------------
+#
+# The iterative-FILTER family (vs pagerank's iterative re-weighting and
+# bfs's frontier growth): each round keeps only nodes whose degree
+# WITHIN the surviving subgraph is >= K, and removals cascade.  Like
+# kmeans/pagerank the round count is FIXED (KCORE_ROUNDS, chosen past
+# the observed fixpoint and idempotent once converged), which makes the
+# whole peel SQL-expressible as chained CTEs and value-hash gated.
+# Per round: two node-keyed semi-joins restrict the edge list, one
+# groupby counts degrees — node/edge-cardinality exchanges only.
+
+KCORE_K = 6
+KCORE_ROUNDS = 10
+
+
+def q_kcore(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .olap_queries import _scrub_empties
+
+    edges = _scrub_empties(_tri_edges_both(sf_dir), 4).materialize()
+
+    alive = (
+        edges.groupby("src")
+        .count()
+        .map_batches(lambda b: pa.table({"node": b.column("src")}), batch_format="pyarrow")
+        .repartition(2)
+        .materialize()
+    )
+    n_alive = alive.count()
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        e2 = edges.join(
+            _scrub_empties(alive.rename_columns({"node": "dst"}), 2),
+            join_type="inner",
+            on=("dst",),
+            num_partitions=4,
+        )
+        # deg over alive-neighbor counts; the semi-join below stops dead
+        # nodes from resurrecting (peeling is monotone)
+        deg = (
+            e2.groupby("src")
+            .aggregate(Count(alias_name="deg"))
+            .map_batches(
+                lambda b: b.filter(pc.greater_equal(b.column("deg"), KCORE_K)),
+                batch_format="pyarrow",
+            )
+            .join(
+                _scrub_empties(alive.rename_columns({"node": "src"}), 2),
+                join_type="inner",
+                on=("src",),
+                num_partitions=2,
+            )
+            .repartition(2)
+            .materialize()
+        )
+        n_new = deg.count()
+        alive = deg.map_batches(
+            lambda b: pa.table({"node": b.column("src")}), batch_format="pyarrow"
+        ).materialize()
+        if n_new == n_alive:  # fixpoint: SQL's remaining rounds are idempotent
+            break
+        n_alive = n_new
+    return deg.map_batches(
+        lambda b: pa.table({"node": b.column("src"), "deg": b.column("deg")}),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_kcore() -> str:
+    lines = [
+        f"""WITH raw AS (
+  SELECT event_id % {TRI_V} AS u,
+         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
+  FROM events),
+ed AS (
+  SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst FROM raw WHERE u <> v
+  UNION
+  SELECT DISTINCT greatest(u, v), least(u, v) FROM raw WHERE u <> v),
+s0 AS (SELECT DISTINCT src AS node FROM ed)"""
+    ]
+    for i in range(1, KCORE_ROUNDS):
+        lines.append(
+            f"""s{i} AS (
+  SELECT e.src AS node FROM ed e
+  JOIN s{i - 1} a ON e.src = a.node
+  JOIN s{i - 1} b ON e.dst = b.node
+  GROUP BY e.src HAVING COUNT(*) >= {KCORE_K})"""
+        )
+    last = KCORE_ROUNDS - 1
+    final = f"""SELECT e.src AS node, COUNT(*) AS deg FROM ed e
+JOIN s{last} a ON e.src = a.node
+JOIN s{last} b ON e.dst = b.node
+GROUP BY e.src HAVING COUNT(*) >= {KCORE_K}"""
+    return ",\n".join(lines) + "\n" + final
+
+
+SQL_KCORE = _sql_kcore()

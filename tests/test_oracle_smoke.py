@@ -78,6 +78,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "triangle_count",
         "embed_gram",
         "image_tiles",
+        "kcore",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
