@@ -1668,3 +1668,78 @@ def q_embed_pca(sf_dir: str):
     return pd.DataFrame(
         {"dim": np.arange(dim, dtype=np.int64), "loading": v}
     )
+
+
+# ---------------------------------------------------------------------------
+# term frequency-of-frequencies (Good-Turing count table)
+# ---------------------------------------------------------------------------
+#
+# The ITERATED aggregation shape: corpus -> per-term total frequency
+# (vocabulary-bounded exchange) -> histogram of those frequencies
+# (frequency-bounded exchange, the Zipf-tail table Good-Turing
+# smoothing needs).  Both passes pre-aggregate inside map_batches so
+# each shuffle moves partials, never token streams; the same [^a-z]+
+# tokenizer rule as term_df keeps the two oracles consistent.
+
+
+def _tf_partials(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+    text = batch.column("text").combine_chunks()
+    valid = pc.is_valid(text)
+    if not pc.all(valid).as_py():
+        text = text.filter(valid)
+    if len(text) == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), _TERM_RE.pattern)
+    flat = pc.list_flatten(toks)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = flat.value_counts()
+    return pa.table(
+        {
+            "term": vc.field("values"),
+            "tf": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def _hist_partials(batch: pa.Table) -> pa.Table:
+    tf = batch.column("tf").to_numpy(zero_copy_only=False)
+    val, cnt = np.unique(tf, return_counts=True)
+    return pa.table(
+        {
+            "tf": pa.array(val, type=pa.int64()),
+            "n_terms": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def q_term_freq_hist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        ds.map_batches(_tf_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum(on="tf", alias_name="tf"))
+        .map_batches(_hist_partials, batch_format="pyarrow")
+        .groupby("tf")
+        .aggregate(Sum(on="n_terms", alias_name="n_terms"))
+    )
+
+
+SQL_TERM_FREQ_HIST = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+tf AS (
+  SELECT term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY term)
+SELECT tf, COUNT(*) AS n_terms FROM tf GROUP BY tf
+"""

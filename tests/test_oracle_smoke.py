@@ -79,6 +79,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "embed_gram",
         "image_tiles",
         "kcore",
+        "term_freq_hist",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
