@@ -32,6 +32,13 @@ QUERIES = [
     "snapshot_diff",
     "user_journey",
     "ntile",
+    # round-4 batch 7/8: clustering, compaction, interval merge, graphs
+    "dbscan_grid",
+    "cell_compact",
+    "interval_union",
+    "triangle_count",
+    "bfs_hops",
+    "term_freq_hist",
 ]
 
 
