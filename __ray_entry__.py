@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": gq.q_bfs_hops,                # single-source BFS: iterative frontier relax to fixpoint
         "kcore": gq.q_kcore,                      # k-core peel: fixed unrolled filter rounds, cascade-complete
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
+        "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
         "embed_gram": sq.q_embed_gram,            # exact int64 Gram matrix: constant d^2 aggregate of the vector col
         "embed_pca": sq.q_embed_pca,              # top principal direction via power iteration on the Gram aggregate
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": gq.SQL_BFS_HOPS,
         "kcore": gq.SQL_KCORE,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
+        "table_digest": cq.SQL_TABLE_DIGEST,
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,

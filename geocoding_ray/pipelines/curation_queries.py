@@ -1215,3 +1215,76 @@ FROM documents a JOIN documents b
  AND abs(a.n_chars - b.n_chars) <= 10
  AND levenshtein(a.text, b.text) <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# table digest (anti-entropy checksum per group)
+# ---------------------------------------------------------------------------
+#
+# The replication-verification op a 100-TB system runs constantly: an
+# ORDER-FREE content checksum per partition key, so two replicas (or a
+# table and its backup) compare with one slim row exchange instead of
+# moving data.  Per row the digest is the low half of
+# md5(doc_id || ':' || text) — byte-compatible with DuckDB's
+# md5_number_lower — reduced mod 2^40 so int64 sums stay exact at gate
+# scales (at true 10^12-row scale the digest would sum mod 2^64, where
+# wraparound IS the semantic; the mod keeps the oracle's HUGEINT and
+# numpy's int64 on the same value).
+
+DIGEST_MOD = 1 << 40
+
+
+def _digest_partials(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    lang = batch.column("lang")
+    d = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5(f"{i}:{t or ''}".encode()).digest()[8:16], "little"
+            )
+            % DIGEST_MOD
+            for i, t in zip(doc_id.tolist(), texts)
+        ),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    t = pa.table({"lang": lang, "digest": pa.array(d, type=pa.int64())})
+    import pyarrow.compute as pc
+
+    g = t.group_by("lang").aggregate([("digest", "sum"), ("digest", "count")])
+    return pa.table(
+        {
+            "lang": g.column("lang"),
+            "digest": g.column("digest_sum").cast(pa.int64()),
+            "n_rows": g.column("digest_count").cast(pa.int64()),
+        }
+    )
+
+
+def q_table_digest(sf_dir: str):
+    """Per-lang order-free table checksum: (lang, n_rows, digest)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(_digest_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum(on="digest", alias_name="digest"),
+            Sum(on="n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+SQL_TABLE_DIGEST = f"""
+SELECT lang,
+       CAST(SUM(md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, ''))
+                % CAST({DIGEST_MOD} AS UBIGINT)) AS BIGINT) AS digest,
+       COUNT(*) AS n_rows
+FROM documents
+GROUP BY lang
+"""

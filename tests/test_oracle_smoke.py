@@ -80,6 +80,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "image_tiles",
         "kcore",
         "term_freq_hist",
+        "table_digest",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):
