@@ -1252,8 +1252,6 @@ def _digest_partials(batch: pa.Table) -> pa.Table:
         count=len(texts),
     )
     t = pa.table({"lang": lang, "digest": pa.array(d, type=pa.int64())})
-    import pyarrow.compute as pc
-
     g = t.group_by("lang").aggregate([("digest", "sum"), ("digest", "count")])
     return pa.table(
         {
@@ -1269,6 +1267,15 @@ def q_table_digest(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    def check(batch: pa.Table) -> pa.Table:
+        # digest < DIGEST_MOD per row, so n_rows * DIGEST_MOD bounds the
+        # exact sum; refuse loudly before int64 wraparound (~8.4M rows
+        # per lang) instead of silently diverging from the HUGEINT oracle
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False)
+        if len(n) and int(n.max()) >= (1 << 63) // DIGEST_MOD:
+            raise ValueError("table_digest int64 overflow: shrink DIGEST_MOD or sum mod 2^64")
+        return batch
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     return (
         ds.map_batches(_digest_partials, batch_format="pyarrow")
@@ -1277,6 +1284,7 @@ def q_table_digest(sf_dir: str):
             Sum(on="digest", alias_name="digest"),
             Sum(on="n_rows", alias_name="n_rows"),
         )
+        .map_batches(check, batch_format="pyarrow")
     )
 
 

@@ -195,11 +195,25 @@ SQL_PAGERANK = _sql_pagerank()
 TRI_V = 240
 
 
-def _tri_edges_batch(batch: pa.Table) -> pa.Table:
-    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+def tri_edge_nodes(eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The ONE edge-synthesis formula (also embedded in SQL_TRI_EDGES_RAW
+    and reused verbatim by the reference tests)."""
     u = eid % TRI_V
     r = eid % (TRI_V + 1)  # 241 is prime: CRT-independent of eid % 240
     v = (r * r + 7) % (TRI_V + 1) % TRI_V
+    return u, v
+
+
+# the SQL spelling of tri_edge_nodes, shared by every graph oracle
+SQL_TRI_EDGES_RAW = f"""raw AS (
+  SELECT event_id % {TRI_V} AS u,
+         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
+  FROM events)"""
+
+
+def _tri_edges_batch(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    u, v = tri_edge_nodes(eid)
     a = np.minimum(u, v)
     b = np.maximum(u, v)
     keep = a != b
@@ -231,6 +245,9 @@ def q_triangle_count(sf_dir: str):
         .count()
         .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     )
+    # the algorithm's working set: consumed by deg AND the orientation
+    # join — materialize once so the scan+distinct shuffle runs once
+    edges = _scrub_empties(edges, 8).materialize()
 
     def both_ends(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -329,10 +346,7 @@ def q_triangle_count(sf_dir: str):
 
 
 SQL_TRIANGLE_COUNT = f"""
-WITH raw AS (
-  SELECT event_id % {TRI_V} AS u,
-         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
-  FROM events),
+WITH {SQL_TRI_EDGES_RAW},
 ed AS (
   SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
   FROM raw WHERE u <> v),
@@ -390,7 +404,7 @@ def _tri_edges_both(sf_dir: str):
 
 def q_bfs_hops(sf_dir: str):
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Min
 
     from .olap_queries import _scrub_empties
 
@@ -413,10 +427,12 @@ def q_bfs_hops(sf_dir: str):
             }
         )
 
-    checksum = None
-    for _ in range(BFS_MAX_ROUNDS):
+    import pyarrow.compute as pc
+
+    frontier = labels  # round-r frontier = nodes first reached at hops r
+    for rnd in range(BFS_MAX_ROUNDS):
         cand = edges.join(
-            labels.rename_columns({"node": "src"}),
+            _scrub_empties(frontier.rename_columns({"node": "src"}), 4),
             join_type="inner",
             on=("src",),
             num_partitions=8,
@@ -428,20 +444,22 @@ def q_bfs_hops(sf_dir: str):
             .repartition(8)
             .materialize()
         )
-        agg = labels.aggregate(Sum(on="hops", alias_name="s"))
-        state = (labels.count(), agg["s"])
-        if state == checksum:  # reached-set growth and distance sums both stable
+        # min-merge never changes a settled node, so the new frontier is
+        # exactly the nodes at hops == rnd+1: each edge is re-scanned
+        # only when its src first enters the reached set (O(E) total
+        # join mass over the whole traversal, not O(ecc x E))
+        frontier = labels.map_batches(
+            lambda b, r=rnd + 1: b.filter(pc.equal(b.column("hops"), r)),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:  # nothing newly reached: fixpoint
             break
-        checksum = state
     return labels
 
 
 def _sql_bfs_hops() -> str:
     return f"""
-WITH RECURSIVE raw AS (
-  SELECT event_id % {TRI_V} AS u,
-         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
-  FROM events),
+WITH RECURSIVE {SQL_TRI_EDGES_RAW},
 ed AS (
   SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst FROM raw WHERE u <> v
   UNION
@@ -534,10 +552,7 @@ def q_kcore(sf_dir: str):
 
 def _sql_kcore() -> str:
     lines = [
-        f"""WITH raw AS (
-  SELECT event_id % {TRI_V} AS u,
-         ((event_id % {TRI_V + 1}) * (event_id % {TRI_V + 1}) + 7) % {TRI_V + 1} % {TRI_V} AS v
-  FROM events),
+        f"""WITH {SQL_TRI_EDGES_RAW},
 ed AS (
   SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst FROM raw WHERE u <> v
   UNION

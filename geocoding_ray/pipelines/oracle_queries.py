@@ -1530,13 +1530,11 @@ class _ImageTileStats:
         self.grid = (16 * r + 2 * c + k).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.tiff import parse_pixels
-
         eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(eid)
         pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
         dec = np.stack(
-            [parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)) for i in range(n)]
+            [self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)) for i in range(n)]
         ) if n else np.zeros((0, 8, 8, 3), dtype=np.uint8)
         sums = (
             dec.astype(np.int64).reshape(n, 4, 2, 4, 2, 3).sum(axis=(2, 4))

@@ -1593,11 +1593,17 @@ def _gram_partials(batch: pa.Table) -> pa.Table:
         raise ValueError("gram int64 partial overflow: rescale components")
     g = q.T @ q  # exact int64 matmul
     iu, ju = np.triu_indices(dim)
+    # sentinel row (-1, -1): this batch's worst-case |cell| contribution
+    # shifted down 16 bits.  The merged sentinel bounds the CROSS-BATCH
+    # sum (sum of per-batch maxima >= any cell's |sum|), so the final
+    # stage can refuse before int64 wraparound instead of diverging
+    # silently from the oracle's HUGEINT.
+    cap = (int(np.max(np.abs(g), initial=0)) >> 16) + 1
     return pa.table(
         {
-            "i": pa.array(iu.astype(np.int64), type=pa.int64()),
-            "j": pa.array(ju.astype(np.int64), type=pa.int64()),
-            "s": pa.array(g[iu, ju], type=pa.int64()),
+            "i": pa.array(np.concatenate([iu.astype(np.int64), [-1]]), type=pa.int64()),
+            "j": pa.array(np.concatenate([ju.astype(np.int64), [-1]]), type=pa.int64()),
+            "s": pa.array(np.concatenate([g[iu, ju], [cap]]), type=pa.int64()),
         }
     )
 
@@ -1608,11 +1614,22 @@ def q_embed_gram(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    def check_and_strip(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sent = pc.equal(batch.column("i"), -1)
+        if pc.any(sent).as_py():
+            cap = batch.filter(sent).column("s")[0].as_py()
+            if cap >= 1 << 46:  # sum of per-batch maxima would pass 2^62
+                raise ValueError("gram int64 merge overflow: rescale components")
+        return batch.filter(pc.invert(sent))
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
     return (
         ds.map_batches(_gram_partials, batch_format="pyarrow")
         .groupby(["i", "j"])
         .aggregate(Sum(on="s", alias_name="s"))
+        .map_batches(check_and_strip, batch_format="pyarrow")
     )
 
 
@@ -1651,7 +1668,10 @@ def q_embed_pca(sf_dir: str):
     g = g + g.T - np.diag(np.diag(g))
     v = np.zeros(dim)
     if dim:
-        v[0] = 1.0
+        # all-ones seed: an axis seed (e.g. e0) sits exactly in the null
+        # space when that component is identically zero, and the nrm==0
+        # break would then return the seed as a silently wrong answer
+        v[:] = 1.0 / np.sqrt(dim)
         for _ in range(20000):  # d x d matvecs; converges in O(log eps / log gap)
             w = g @ v
             nrm = float(np.linalg.norm(w))
