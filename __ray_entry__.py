@@ -140,7 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": gq.q_triangle_count,    # degree-oriented wedge-closure triangle counts per node
         "bfs_hops": gq.q_bfs_hops,                # single-source BFS: iterative frontier relax to fixpoint
         "kcore": gq.q_kcore,                      # k-core peel: fixed unrolled filter rounds, cascade-complete
+        "sssp_dist": gq.q_sssp_dist,              # weighted Bellman-Ford: improved-frontier-only relaxation
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
+        "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
         "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
         "embed_gram": sq.q_embed_gram,            # exact int64 Gram matrix: constant d^2 aggregate of the vector col
         "embed_pca": sq.q_embed_pca,              # top principal direction via power iteration on the Gram aggregate
@@ -267,7 +269,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": gq.SQL_TRIANGLE_COUNT,
         "bfs_hops": gq.SQL_BFS_HOPS,
         "kcore": gq.SQL_KCORE,
+        "sssp_dist": gq.SQL_SSSP,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
+        "gini": sq.SQL_GINI,
         "table_digest": cq.SQL_TABLE_DIGEST,
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,

@@ -576,3 +576,160 @@ GROUP BY e.src HAVING COUNT(*) >= {KCORE_K}"""
 
 
 SQL_KCORE = _sql_kcore()
+
+
+# ---------------------------------------------------------------------------
+# single-source shortest paths (weighted Bellman-Ford, improved-frontier)
+# ---------------------------------------------------------------------------
+#
+# The weighted-relaxation family member (vs bfs_hops' unit weights):
+# edge weight is a CRT-decorrelated deterministic function of the
+# canonical endpoint pair, so the oracle can re-derive it in SQL.  The
+# Ray plan relaxes only the IMPROVED frontier each round (a settled
+# node whose dist did not change re-scans no edges), giving O(E x
+# improvement-rounds-touching-each-node) join mass instead of
+# O(rounds x E); at 100 TB the per-round exchange is edge-cardinality
+# bounded and the dist table is node-cardinality bounded.  The SQL
+# oracle enumerates every path of total weight <= SSSP_DIST_CAP through
+# a recursive CTE with row dedup — finite because (node, dist) pairs
+# are bounded — and takes the per-node MIN; the Ray side asserts the
+# cap was generous (max dist + max weight < cap), so both sides see
+# every shortest path.
+
+SSSP_SOURCE = 0
+SSSP_MAX_ROUNDS = 64
+SSSP_DIST_CAP = 96
+SSSP_WMOD = 9  # weights 1..9
+
+
+def edge_weight(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic symmetric weight of the canonical edge (a < b)."""
+    return 1 + (7 * a + 13 * b) % SSSP_WMOD
+
+
+def _tri_edges_both_weighted(sf_dir: str):
+    """Symmetric directed weighted edge list of the triangle graph."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    edges = (
+        ds.map_batches(_tri_edges_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = edge_weight(a, b)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), type=pa.int64()),
+            }
+        )
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def q_sssp_dist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .olap_queries import _scrub_empties
+
+    edges = _scrub_empties(_tri_edges_both_weighted(sf_dir), 8).materialize()
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([SSSP_SOURCE], type=pa.int64()),
+                "dist": pa.array([0], type=pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def relax(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("dst"),
+                "dist": pa.array(d + w, type=pa.int64()),
+            }
+        )
+
+    def improved_only(batch: pa.Table) -> pa.Table:
+        # candidate best vs current label (left outer): keep strictly
+        # better or first-touch rows — the next round's frontier
+        new = batch.column("dist")
+        old = batch.column("old")
+        keep = pc.or_kleene(pc.is_null(old), pc.less(new, old))
+        return batch.filter(pc.fill_null(keep, True)).select(["node", "dist"])
+
+    frontier = labels
+    for _ in range(SSSP_MAX_ROUNDS):
+        cand = (
+            edges.join(
+                _scrub_empties(frontier.rename_columns({"node": "src"}), 4),
+                join_type="inner",
+                on=("src",),
+                num_partitions=8,
+            )
+            .map_batches(relax, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min(on="dist", alias_name="dist"))
+        )
+        frontier = (
+            _scrub_empties(cand, 8)
+            .join(
+                _scrub_empties(labels.rename_columns({"dist": "old"}), 8),
+                join_type="left_outer",
+                on=("node",),
+                num_partitions=8,
+            )
+            .map_batches(improved_only, batch_format="pyarrow")
+            .repartition(8)
+            .materialize()
+        )
+        if frontier.count() == 0:  # no relaxation improved anything
+            break
+        labels = (
+            labels.union(frontier)
+            .groupby("node")
+            .aggregate(Min(on="dist", alias_name="dist"))
+            .repartition(8)
+            .materialize()
+        )
+
+    def check_cap(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        if len(d) and int(d.max()) + SSSP_WMOD >= SSSP_DIST_CAP:
+            raise ValueError("SSSP_DIST_CAP too tight: oracle path enumeration would clip")
+        return batch
+
+    return labels.map_batches(check_cap, batch_format="pyarrow")
+
+
+def _sql_sssp() -> str:
+    return f"""
+WITH RECURSIVE {SQL_TRI_EDGES_RAW},
+ed AS (
+  SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst,
+         1 + (7 * least(u, v) + 13 * greatest(u, v)) % {SSSP_WMOD} AS w
+  FROM raw WHERE u <> v
+  UNION
+  SELECT DISTINCT greatest(u, v), least(u, v),
+         1 + (7 * least(u, v) + 13 * greatest(u, v)) % {SSSP_WMOD}
+  FROM raw WHERE u <> v),
+r(node, dist) AS (
+  SELECT CAST({SSSP_SOURCE} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, r.dist + e.w
+  FROM r JOIN ed e ON e.src = r.node
+  WHERE r.dist + e.w <= {SSSP_DIST_CAP})
+SELECT node, MIN(dist) AS dist FROM r GROUP BY node
+"""
+
+
+SQL_SSSP = _sql_sssp()

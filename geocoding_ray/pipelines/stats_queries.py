@@ -1763,3 +1763,79 @@ tf AS (
   SELECT term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY term)
 SELECT tf, COUNT(*) AS n_terms FROM tf GROUP BY tf
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient per group (value-domain-bounded exact rank sums)
+# ---------------------------------------------------------------------------
+#
+# Inequality measure over l_quantity per return flag.  The classic
+# formula needs a global within-group sort (rank i of every row), but
+# the quantity DOMAIN is bounded (integers 1..50) while the table is
+# not — so the distributed plan is one (group, value) count aggregate
+# (the global_rank pattern, olap_queries.py:178), and the driver folds
+# the tiny #groups x #values count table into the exact integer rank
+# sum: a run of c equal values v starting after rank r contributes
+# v * (2*c*r + c*(c+1) - (n+1)*c) to G = SUM_i (2i - n - 1) * x_(i).
+# Ties are safe: equal values make the contribution independent of
+# their relative order.  All arithmetic stays int64 (G <= n^2 * 50,
+# within 2^63 up to ~10^8 rows per group; the HUGEINT oracle would
+# diverge past that, so the fold asserts); ONE float division at the
+# end matches the oracle's CAST-then-divide bit-for-bit.
+
+GINI_MAX_N = 100_000_000  # per-group row bound keeping G inside int64
+
+
+def q_gini(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    import pyarrow.compute as pc
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "g": b.column("l_returnflag"),
+                    "x": pc.cast(b.column("l_quantity"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["g", "x"])
+        .aggregate(Count(alias_name="c"))
+        .take_all()  # #groups x #distinct-values — domain-bounded, driver-small
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in counts:
+        groups.setdefault(r["g"], []).append((int(r["x"]), int(r["c"])))
+    gs, ginis = [], []
+    for g in sorted(groups):
+        runs = sorted(groups[g])
+        n = sum(c for _, c in runs)
+        if n > GINI_MAX_N:
+            raise ValueError("gini int64 rank-sum overflow: switch G to object ints")
+        s = sum(v * c for v, c in runs)
+        big_g, r = 0, 0
+        for v, c in runs:
+            big_g += v * (2 * c * r + c * (c + 1) - (n + 1) * c)
+            r += c
+        gs.append(g)
+        ginis.append(float(big_g) / (float(n) * float(s)))
+    return pa.table(
+        {"l_returnflag": pa.array(gs, type=pa.string()), "gini": pa.array(ginis, type=pa.float64())}
+    )
+
+
+SQL_GINI = """
+WITH r AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS i,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+         / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS gini
+FROM r GROUP BY l_returnflag
+"""

@@ -281,3 +281,54 @@ def test_bfs_hops_vs_reference(ray_session):
     got = q_bfs_hops(sf).to_pandas()
     assert dict(zip(got["node"], got["hops"])) == ref
     assert got["hops"].max() > 1  # multi-round traversal actually exercised
+
+
+def test_sssp_dist_vs_dijkstra(ray_session):
+    """Improved-frontier Bellman-Ford vs a plain heap Dijkstra on the
+    same weighted edge set; also asserts the oracle's path-enumeration
+    cap stays generous (weighted > unit distances somewhere, or the
+    operator degenerates to BFS)."""
+    import heapq
+
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.graph_queries import (
+        SSSP_DIST_CAP,
+        SSSP_SOURCE,
+        SSSP_WMOD,
+        TRI_V,
+        edge_weight,
+        q_sssp_dist,
+        tri_edge_nodes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]).column(
+        "event_id"
+    ).to_numpy()
+    u, v = tri_edge_nodes(eid.astype("int64"))
+    adj: dict[int, dict[int, int]] = {}
+    for x, y in zip(u.tolist(), v.tolist()):
+        if x != y:
+            a, b = min(x, y), max(x, y)
+            w = int(edge_weight(np.array([a]), np.array([b]))[0])
+            adj.setdefault(a, {})[b] = w
+            adj.setdefault(b, {})[a] = w
+    ref = {SSSP_SOURCE: 0}
+    heap = [(0, SSSP_SOURCE)]
+    while heap:
+        d, x = heapq.heappop(heap)
+        if d > ref.get(x, 1 << 30):
+            continue
+        for y, w in adj.get(x, {}).items():
+            nd = d + w
+            if nd < ref.get(y, 1 << 30):
+                ref[y] = nd
+                heapq.heappush(heap, (nd, y))
+
+    got = q_sssp_dist(sf).to_pandas()
+    assert dict(zip(got["node"], got["dist"])) == ref
+    assert len(got) == TRI_V  # connected: every node reached
+    assert got["dist"].max() + SSSP_WMOD < SSSP_DIST_CAP  # oracle cap generous
+    # weighted distances genuinely differ from hop counts somewhere
+    assert got["dist"].max() > max(1, got["dist"].min() + 1)
