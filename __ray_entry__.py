@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcode_stats": oq.q_transcode_stats,  # tiff -> png transcode through both real codecs, means bit-exact
         "video_frames": oq.q_video_frames,        # real strided frame sampling, per-frame means
         "image_tiles": oq.q_image_tiles,          # real-codec roundtrip -> 2x2-box tile sums (downsample shape)
+        "image_grad": oq.q_image_grad,            # real-codec roundtrip -> exact Sobel L1 edge energy per channel
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": gq.q_bfs_hops,                # single-source BFS: iterative frontier relax to fixpoint
         "kcore": gq.q_kcore,                      # k-core peel: fixed unrolled filter rounds, cascade-complete
         "sssp_dist": gq.q_sssp_dist,              # weighted Bellman-Ford: improved-frontier-only relaxation
+        "connected_components": gq.q_connected_components,  # min-label propagation over the multiplicity-sparsified graph
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
         "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
@@ -184,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "transcode_stats": oq.SQL_TRANSCODE_STATS,
         "video_frames": oq.SQL_VIDEO_FRAMES,
         "image_tiles": oq.SQL_IMAGE_TILES,
+        "image_grad": oq.SQL_IMAGE_GRAD,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "seq_pack": tq.SQL_SEQ_PACK,
@@ -270,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": gq.SQL_BFS_HOPS,
         "kcore": gq.SQL_KCORE,
         "sssp_dist": gq.SQL_SSSP,
+        "connected_components": gq.SQL_CONNECTED_COMPONENTS,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,
         "table_digest": cq.SQL_TABLE_DIGEST,

@@ -733,3 +733,168 @@ SELECT node, MIN(dist) AS dist FROM r GROUP BY node
 
 
 SQL_SSSP = _sql_sssp()
+
+
+# ---------------------------------------------------------------------------
+# connected components (min-label propagation, improved-frontier)
+# ---------------------------------------------------------------------------
+#
+# The label-propagation family member the north-star names explicitly
+# (alongside PageRank): the graph is SPARSIFIED first — only edges
+# observed >= CC_MIN_MULT times survive, the co-occurrence-threshold
+# idiom — so components are non-trivial, then every node repeatedly
+# adopts the minimum label among itself and its neighbors.  Same
+# improved-frontier discipline as q_sssp_dist: only nodes whose label
+# just dropped re-scan their edges, so total join mass is O(E) per
+# label-wave, and waves are bounded by component diameter.  The SQL
+# oracle enumerates (node, reachable-smaller-label) pairs through a
+# recursive CTE (finite: <= V^2 rows) and takes the per-node MIN.
+
+CC_MIN_MULT = 2
+CC_MAX_ROUNDS = 64
+
+
+def _tri_edges_multi_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (a, b, n) partial counts — unlike _tri_edges_batch's
+    pre-distinct, this PRESERVES edge multiplicity (the sparsifier
+    thresholds on true occurrence counts), while still combining inside
+    the batch so the shuffle carries one row per distinct edge."""
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    u, v = tri_edge_nodes(eid)
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    key, n = np.unique(a * TRI_V + b, return_counts=True)
+    return pa.table(
+        {
+            "a": pa.array(key // TRI_V, type=pa.int64()),
+            "b": pa.array(key % TRI_V, type=pa.int64()),
+            "n": pa.array(n, type=pa.int64()),
+        }
+    )
+
+
+def _cc_edges_and_nodes(sf_dir: str):
+    """(symmetric sparsified edge list, touched-node universe)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    counted = (
+        ds.map_batches(_tri_edges_multi_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum(on="n", alias_name="count()"))
+        .materialize()
+    )
+
+    def both_if_multi(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("count()"), CC_MIN_MULT)
+        t = batch.filter(keep)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    def touched(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("count()"), CC_MIN_MULT))
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), type=pa.int64())})
+
+    edges = counted.map_batches(both_if_multi, batch_format="pyarrow")
+    nodes = counted.map_batches(touched, batch_format="pyarrow").groupby("node").count()
+    nodes = nodes.map_batches(lambda b: b.select(["node"]), batch_format="pyarrow")
+    return edges, nodes
+
+
+def q_connected_components(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    from .olap_queries import _scrub_empties
+
+    edges_raw, nodes = _cc_edges_and_nodes(sf_dir)
+    edges = _scrub_empties(edges_raw, 8).materialize()
+    labels = (
+        _scrub_empties(nodes, 4)
+        .map_batches(
+            lambda b: pa.table({"node": b.column("node"), "lab": b.column("node")}),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+        .materialize()
+    )
+
+    def improved_only(batch: pa.Table) -> pa.Table:
+        new = batch.column("lab")
+        old = batch.column("old")
+        keep = pc.or_kleene(pc.is_null(old), pc.less(new, old))
+        return batch.filter(pc.fill_null(keep, True)).select(["node", "lab"])
+
+    frontier = labels
+    for _ in range(CC_MAX_ROUNDS):
+        cand = (
+            edges.join(
+                _scrub_empties(frontier.rename_columns({"node": "src"}), 4),
+                join_type="inner",
+                on=("src",),
+                num_partitions=8,
+            )
+            .map_batches(
+                lambda b: pa.table({"node": b.column("dst"), "lab": b.column("lab")}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min(on="lab", alias_name="lab"))
+        )
+        frontier = (
+            _scrub_empties(cand, 8)
+            .join(
+                _scrub_empties(labels.rename_columns({"lab": "old"}), 8),
+                join_type="left_outer",
+                on=("node",),
+                num_partitions=8,
+            )
+            .map_batches(improved_only, batch_format="pyarrow")
+            .repartition(8)
+            .materialize()
+        )
+        if frontier.count() == 0:  # every node already holds its component min
+            break
+        labels = (
+            labels.union(frontier)
+            .groupby("node")
+            .aggregate(Min(on="lab", alias_name="lab"))
+            .repartition(8)
+            .materialize()
+        )
+    return labels.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "component": b.column("lab")}),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_connected_components() -> str:
+    return f"""
+WITH RECURSIVE {SQL_TRI_EDGES_RAW},
+ed2 AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+  GROUP BY 1, 2 HAVING COUNT(*) >= {CC_MIN_MULT}),
+ed AS (SELECT a AS src, b AS dst FROM ed2 UNION SELECT b, a FROM ed2),
+nodes AS (SELECT a AS node FROM ed2 UNION SELECT b FROM ed2),
+r(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab
+  FROM r JOIN ed e ON e.src = r.node
+  WHERE r.lab < e.dst)
+SELECT node, MIN(lab) AS component FROM r GROUP BY node
+"""
+
+
+SQL_CONNECTED_COMPONENTS = _sql_connected_components()

@@ -1583,3 +1583,95 @@ FROM events, t
 
 
 SQL_IMAGE_TILES = _sql_image_tiles()
+
+
+# ---------------------------------------------------------------------------
+# image edge energy (real codec roundtrip -> exact Sobel magnitude sums)
+# ---------------------------------------------------------------------------
+#
+# The feature-extraction shape beyond plain box sums: every payload
+# decodes through the REAL TIFF codec and runs a 3x3 Sobel over the
+# interior, accumulating SUM(|Gx| + |Gy|) per channel (the L1 edge
+# energy used for blur/quality triage in curation pipelines).  The
+# deterministic gradient pixels wrap mod 256 at event-dependent
+# positions, so the energy is image-specific and the DuckDB oracle can
+# re-derive it purely arithmetically — while the Ray side only matches
+# by actually decoding each image.  All integer: |Gx|, |Gy| <= 4*255,
+# 36 interior pixels, 3 channels — per-image energy < 2^18.
+
+
+class _ImageGrad:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        dec = np.stack(
+            [self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)) for i in range(n)]
+        ).astype(np.int64) if n else np.zeros((0, 8, 8, 3), dtype=np.int64)
+        # vectorized 3x3 Sobel on the 6x6 interior, all n images at once
+        p = dec  # (n, 8, 8, 3)
+        gx = (
+            p[:, :-2, 2:] + 2 * p[:, 1:-1, 2:] + p[:, 2:, 2:]
+            - p[:, :-2, :-2] - 2 * p[:, 1:-1, :-2] - p[:, 2:, :-2]
+        )
+        gy = (
+            p[:, 2:, :-2] + 2 * p[:, 2:, 1:-1] + p[:, 2:, 2:]
+            - p[:, :-2, :-2] - 2 * p[:, :-2, 1:-1] - p[:, :-2, 2:]
+        )
+        energy = (np.abs(gx) + np.abs(gy)).sum(axis=(1, 2))  # (n, 3)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "grad_r": pa.array(energy[:, 0], type=pa.int64()),
+                "grad_g": pa.array(energy[:, 1], type=pa.int64()),
+                "grad_b": pa.array(energy[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_grad(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageGrad, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_grad() -> str:
+    def pix(dr: int, dc: int, k: str) -> str:
+        return f"(event_id + 16 * (g.r + {dr}) + 2 * (g.c + {dc}) + {k})  % 256"
+
+    cols = []
+    for name, k in (("grad_r", "0"), ("grad_g", "1"), ("grad_b", "2")):
+        gx = (
+            f"{pix(-1, 1, k)} + 2 * ({pix(0, 1, k)}) + {pix(1, 1, k)}"
+            f" - ({pix(-1, -1, k)}) - 2 * ({pix(0, -1, k)}) - ({pix(1, -1, k)})"
+        )
+        gy = (
+            f"{pix(1, -1, k)} + 2 * ({pix(1, 0, k)}) + {pix(1, 1, k)}"
+            f" - ({pix(-1, -1, k)}) - 2 * ({pix(-1, 0, k)}) - ({pix(-1, 1, k)})"
+        )
+        cols.append(f"CAST(SUM(ABS({gx}) + ABS({gy})) AS BIGINT) AS {name}")
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT a.r, b.c
+  FROM (VALUES (1), (2), (3), (4), (5), (6)) a(r),
+       (VALUES (1), (2), (3), (4), (5), (6)) b(c))
+SELECT event_id, {col_block}
+FROM events, g
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_GRAD = _sql_image_grad()

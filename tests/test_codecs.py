@@ -355,3 +355,32 @@ class TestReviewRegressions:
         padded = good[:idx] + b"\xff\xff\xff" + good[idx:]
         dec = decode_jpeg(padded)
         assert dec.shape == (8, 8, 3) and abs(float(dec.mean()) - 77.0) < 2.0
+
+
+def test_image_grad_vs_pixel_loop(ray_session):
+    """Vectorized Sobel energy (real codec roundtrip) vs a scalar
+    per-pixel reference conv on the same formula pixels."""
+    import numpy as np
+
+    from geocoding_ray.pipelines.oracle_queries import _ImageGrad
+
+    import pyarrow as pa
+
+    eids = [0, 1, 7, 200, 255, 256, 1000, 65535]
+    got = _ImageGrad()(pa.table({"event_id": pa.array(eids, type=pa.int64())})).to_pandas()
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]])
+    for row in got.itertuples():
+        e = row.event_id
+        pix = np.zeros((8, 8, 3), dtype=np.int64)
+        for r in range(8):
+            for c in range(8):
+                for k in range(3):
+                    pix[r, c, k] = (e + 16 * r + 2 * c + k) % 256
+        for ch, col in ((0, "grad_r"), (1, "grad_g"), (2, "grad_b")):
+            tot = 0
+            for r in range(1, 7):
+                for c in range(1, 7):
+                    win = pix[r - 1 : r + 2, c - 1 : c + 2, ch]
+                    tot += abs(int((kx * win).sum())) + abs(int((ky * win).sum()))
+            assert getattr(row, col) == tot

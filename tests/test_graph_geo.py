@@ -332,3 +332,46 @@ def test_sssp_dist_vs_dijkstra(ray_session):
     assert got["dist"].max() + SSSP_WMOD < SSSP_DIST_CAP  # oracle cap generous
     # weighted distances genuinely differ from hop counts somewhere
     assert got["dist"].max() > max(1, got["dist"].min() + 1)
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Min-label propagation over the multiplicity-sparsified graph vs
+    a plain union-find on the same thresholded edges."""
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.graph_queries import (
+        CC_MIN_MULT,
+        q_connected_components,
+        tri_edge_nodes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"]).column(
+        "event_id"
+    ).to_numpy()
+    u, v = tri_edge_nodes(eid.astype("int64"))
+    mult: dict[tuple[int, int], int] = {}
+    for x, y in zip(u.tolist(), v.tolist()):
+        if x != y:
+            e = (min(x, y), max(x, y))
+            mult[e] = mult.get(e, 0) + 1
+    edges = [e for e, m in mult.items() if m >= CC_MIN_MULT]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {n: find(n) for e in edges for n in e}
+
+    got = q_connected_components(sf).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == ref
+    comps = set(ref.values())
+    assert len(comps) > 1  # sparsifier actually fragments the graph
+    assert any(sum(1 for x in ref.values() if x == c) > 1 for c in comps)
