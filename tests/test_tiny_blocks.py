@@ -39,6 +39,10 @@ QUERIES = [
     "triangle_count",
     "bfs_hops",
     "term_freq_hist",
+    # round-4 batch 9: frontier relaxation, sparsified CC, value-domain fold
+    "sssp_dist",
+    "connected_components",
+    "gini",
 ]
 
 
