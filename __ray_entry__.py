@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": gq.q_kcore,                      # k-core peel: fixed unrolled filter rounds, cascade-complete
         "sssp_dist": gq.q_sssp_dist,              # weighted Bellman-Ford: improved-frontier-only relaxation
         "connected_components": gq.q_connected_components,  # min-label propagation over the multiplicity-sparsified graph
+        "degree_moments": gq.q_degree_moments,    # degree assortativity via exact int moment sums over decorated edges
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
         "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": gq.SQL_KCORE,
         "sssp_dist": gq.SQL_SSSP,
         "connected_components": gq.SQL_CONNECTED_COMPONENTS,
+        "degree_moments": gq.SQL_DEGREE_MOMENTS,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,
         "table_digest": cq.SQL_TABLE_DIGEST,

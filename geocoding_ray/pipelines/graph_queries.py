@@ -898,3 +898,95 @@ SELECT node, MIN(lab) AS component FROM r GROUP BY node
 
 
 SQL_CONNECTED_COMPONENTS = _sql_connected_components()
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (exact integer moment sums over directed edges)
+# ---------------------------------------------------------------------------
+#
+# The graph-statistics shape: Pearson correlation of endpoint degrees
+# across the symmetric directed edge list (Newman's degree
+# assortativity).  Two node-keyed joins decorate each edge with its
+# endpoint degrees; per-batch vectorized partials reduce to FIVE int64
+# moment sums (the corr_moments discipline — exact integers all the
+# way, one final float division), so the whole statistic is one slim
+# constant-size aggregate regardless of graph size.  Symmetry makes
+# sy == sx and syy == sxx, so only (n, sx, sxx, sxy) ship.
+
+def q_degree_moments(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .olap_queries import _scrub_empties
+
+    edges = _scrub_empties(_tri_edges_both(sf_dir), 8).materialize()
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda b: pa.table({"node": b.column("src"), "deg": b.column("deg")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    decorated = edges.join(
+        _scrub_empties(deg.rename_columns({"node": "src", "deg": "dx"}), 4),
+        join_type="inner",
+        on=("src",),
+        num_partitions=8,
+    ).join(
+        _scrub_empties(deg.rename_columns({"node": "dst", "deg": "dy"}), 4),
+        join_type="inner",
+        on=("dst",),
+        num_partitions=8,
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = batch.column("dx").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("dy").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = decorated.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum(on="n", alias_name="n"),
+        Sum(on="sx", alias_name="sx"),
+        Sum(on="sxx", alias_name="sxx"),
+        Sum(on="sxy", alias_name="sxy"),
+    )
+    n, sx, sxx, sxy = (int(agg[k]) for k in ("n", "sx", "sxx", "sxy"))
+    num = n * sxy - sx * sx  # exact int64 (bounded: fixed 240-node graph)
+    den = n * sxx - sx * sx
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "sx": pa.array([sx], type=pa.int64()),
+            "sxx": pa.array([sxx], type=pa.int64()),
+            "sxy": pa.array([sxy], type=pa.int64()),
+            "assortativity": pa.array([float(num) / float(den)], type=pa.float64()),
+        }
+    )
+
+
+SQL_DEGREE_MOMENTS = f"""
+WITH {SQL_TRI_EDGES_RAW},
+ed AS (
+  SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst FROM raw WHERE u <> v
+  UNION
+  SELECT DISTINCT greatest(u, v), least(u, v) FROM raw WHERE u <> v),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM ed GROUP BY src),
+m AS (
+  SELECT COUNT(*) AS n, SUM(a.d) AS sx, SUM(a.d * a.d) AS sxx, SUM(a.d * b.d) AS sxy
+  FROM ed JOIN deg a ON ed.src = a.node JOIN deg b ON ed.dst = b.node)
+SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS assortativity
+FROM m
+"""

@@ -43,6 +43,7 @@ QUERIES = [
     "sssp_dist",
     "connected_components",
     "gini",
+    "degree_moments",
 ]
 
 
