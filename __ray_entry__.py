@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": oq.q_video_frames,        # real strided frame sampling, per-frame means
         "image_tiles": oq.q_image_tiles,          # real-codec roundtrip -> 2x2-box tile sums (downsample shape)
         "image_grad": oq.q_image_grad,            # real-codec roundtrip -> exact Sobel L1 edge energy per channel
+        "image_hist": oq.q_image_hist,            # real-codec roundtrip -> corpus per-channel pixel-value histogram
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": ga.q_tile_pyramid,        # multi-zoom tile rollup, log-many grid-bounded shuffles
         "trajectory_len": ga.q_trajectory_len,    # per-user path length, order-free scaled-int segments
         "geo_extent": ga.q_geo_extent,            # per-user bbox: pure native min/max partials, one slim shuffle
+        "ring_area": ga.q_ring_area,              # per-user shoelace signed area + orientation (ST_Area shape)
         "morton_range_scan": ga.q_morton_range_scan,  # two-phase index scan: Morton range prune + exact refine
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "triangle_count": gq.q_triangle_count,    # degree-oriented wedge-closure triangle counts per node
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": oq.SQL_VIDEO_FRAMES,
         "image_tiles": oq.SQL_IMAGE_TILES,
         "image_grad": oq.SQL_IMAGE_GRAD,
+        "image_hist": oq.SQL_IMAGE_HIST,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "seq_pack": tq.SQL_SEQ_PACK,
@@ -268,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": ga.SQL_TILE_PYRAMID,
         "trajectory_len": ga.SQL_TRAJECTORY_LEN,
         "geo_extent": ga.SQL_GEO_EXTENT,
+        "ring_area": ga.SQL_RING_AREA,
         "morton_range_scan": ga.SQL_MORTON_RANGE_SCAN,
         "pagerank": gq.SQL_PAGERANK,
         "triangle_count": gq.SQL_TRIANGLE_COUNT,

@@ -589,3 +589,70 @@ SELECT event_id, lon, lat FROM pts
 WHERE lon >= {MRS_BBOX[0]} AND lon < {MRS_BBOX[2]}
   AND lat >= {MRS_BBOX[1]} AND lat < {MRS_BBOX[3]}
 """
+
+
+# ---------------------------------------------------------------------------
+# ring area: per-user shoelace polygon area + orientation (ST_Area shape)
+# ---------------------------------------------------------------------------
+#
+# The vector-geometry aggregate (ST_Area / ST_IsCCW over a vertex
+# stream): each user's events form a closed ring in (ts, event_id)
+# order with deterministic integer vertices, and the signed doubled
+# area is the cyclic shoelace sum S = sum(x_i*y_{i+1} - x_{i+1}*y_i).
+# All arithmetic is exact int64 (coords < 1000, per-term < 1e6), so the
+# result is bit-reproducible and order-of-merge-free once the ring
+# order is fixed.
+#
+# Distributed shape: one user-keyed shuffle; the per-group work is a
+# single lexsort + one vectorized roll/multiply pass, and the group
+# bound is max-vertices-per-ring (a geometry invariant — real polygon
+# rings are bounded), not stream size.  Degenerate rings (n <= 2)
+# yield S = 0 on both sides by the same cyclic formula.
+
+RING_XM = 37
+RING_YM = 101
+RING_MOD = 1000
+
+
+def q_ring_area(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def shoelace(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        e = eid[order]
+        x = (e * RING_XM) % RING_MOD
+        y = (e * RING_YM) % RING_MOD
+        xn, yn = np.roll(x, -1), np.roll(y, -1)
+        s2 = int((x * yn - xn * y).sum())
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_vertices": pa.array([len(e)], type=pa.int64()),
+                "s2": pa.array([s2], type=pa.int64()),
+                "area2_abs": pa.array([abs(s2)], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(shoelace, batch_format="pyarrow")
+
+
+SQL_RING_AREA = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         (event_id * {RING_XM}) % {RING_MOD} AS x,
+         (event_id * {RING_YM}) % {RING_MOD} AS y
+  FROM events),
+p AS (
+  SELECT user_id, x, y,
+         COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS xn,
+         COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS yn
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(x * yn - xn * y) AS BIGINT) AS s2,
+       CAST(ABS(SUM(x * yn - xn * y)) AS BIGINT) AS area2_abs
+FROM p GROUP BY user_id
+"""

@@ -1675,3 +1675,95 @@ GROUP BY event_id
 
 
 SQL_IMAGE_GRAD = _sql_image_grad()
+
+
+# ---------------------------------------------------------------------------
+# corpus pixel histogram (decode -> per-channel value distribution)
+# ---------------------------------------------------------------------------
+#
+# The dataset-audit shape every image-training pipeline runs before a
+# job: the corpus-wide per-channel pixel-value distribution (exposure /
+# drift / dead-band detection).  Each image goes through the REAL TIFF
+# encode->decode roundtrip (same discipline as image_tiles/image_grad —
+# the oracle predicts counts arithmetically from the mod-256 pixel
+# formula, so the gate fails unless decoded pixels are bit-exact), and
+# each batch collapses to a CONSTANT 256-row partial (np.bincount per
+# channel) merged by a native Sum groupby.  Scale shape: the shuffle
+# moves 256 rows per batch regardless of corpus size — pure
+# partial-aggregate physics, no row-carrying stage anywhere.
+
+
+class _ImageHist:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        dec = (
+            np.stack(
+                [self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)) for i in range(n)]
+            ).astype(np.int64)
+            if n
+            else np.zeros((0, 8, 8, 3), dtype=np.int64)
+        )
+        cnt = np.stack(
+            [np.bincount(dec[:, :, :, ch].ravel(), minlength=256) for ch in range(3)], axis=1
+        ).astype(np.int64)  # (256, 3)
+        return pa.table(
+            {
+                "val": pa.array(np.arange(256, dtype=np.int64)),
+                "cnt_r": pa.array(cnt[:, 0]),
+                "cnt_g": pa.array(cnt[:, 1]),
+                "cnt_b": pa.array(cnt[:, 2]),
+            }
+        )
+
+
+def q_image_hist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    partials = ds.map_batches(
+        _ImageHist, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+    return (
+        partials.groupby("val")
+        .aggregate(
+            Sum(on="cnt_r", alias_name="cnt_r"),
+            Sum(on="cnt_g", alias_name="cnt_g"),
+            Sum(on="cnt_b", alias_name="cnt_b"),
+        )
+        .select_columns(["val", "cnt_r", "cnt_g", "cnt_b"])
+    )
+
+
+# the LEFT JOIN against range(0,256) keeps the oracle total (every bin
+# present, zero-filled) even if some residue never occurs at tiny sf
+SQL_IMAGE_HIST = """
+WITH g AS (
+  SELECT r.range AS r, c.range AS c, k.range AS k
+  FROM range(0, 8) r, range(0, 8) c, range(0, 3) k),
+px AS (
+  SELECT g.k AS ch, (event_id + 16 * g.r + 2 * g.c + g.k) % 256 AS val
+  FROM events, g),
+h AS (
+  SELECT val,
+         SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS cnt_r,
+         SUM(CASE WHEN ch = 1 THEN 1 ELSE 0 END) AS cnt_g,
+         SUM(CASE WHEN ch = 2 THEN 1 ELSE 0 END) AS cnt_b
+  FROM px GROUP BY val)
+SELECT s.range AS val,
+       CAST(COALESCE(h.cnt_r, 0) AS BIGINT) AS cnt_r,
+       CAST(COALESCE(h.cnt_g, 0) AS BIGINT) AS cnt_g,
+       CAST(COALESCE(h.cnt_b, 0) AS BIGINT) AS cnt_b
+FROM range(0, 256) s LEFT JOIN h ON h.val = s.range
+"""

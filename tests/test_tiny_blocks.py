@@ -44,6 +44,9 @@ QUERIES = [
     "connected_components",
     "gini",
     "degree_moments",
+    # round-4 batch 10: decode->histogram audit, geometry aggregate
+    "image_hist",
+    "ring_area",
 ]
 
 
