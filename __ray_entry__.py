@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dist": gq.q_sssp_dist,              # weighted Bellman-Ford: improved-frontier-only relaxation
         "connected_components": gq.q_connected_components,  # min-label propagation over the multiplicity-sparsified graph
         "degree_moments": gq.q_degree_moments,    # degree assortativity via exact int moment sums over decorated edges
+        "clustering_coeff": gq.q_clustering_coeff,  # per-node local clustering coefficient (exact int T and d, one division)
+        "longest_streak": ol.q_longest_streak,    # gaps-and-islands max increasing run per user
+        "geohash": ga.q_geohash,                  # base-32 geohash cell render (lon-first interleave, bit-gated)
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
         "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
@@ -280,6 +283,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp_dist": gq.SQL_SSSP,
         "connected_components": gq.SQL_CONNECTED_COMPONENTS,
         "degree_moments": gq.SQL_DEGREE_MOMENTS,
+        "clustering_coeff": gq.SQL_CLUSTERING_COEFF,
+        "longest_streak": ol.SQL_LONGEST_STREAK,
+        "geohash": ga.SQL_GEOHASH,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,
         "table_digest": cq.SQL_TABLE_DIGEST,

@@ -656,3 +656,86 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_vertices,
        CAST(ABS(SUM(x * yn - xn * y)) AS BIGINT) AS area2_abs
 FROM p GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# geohash encode: base-32 cell string (the third cell-id dialect)
+# ---------------------------------------------------------------------------
+#
+# cell_assign covers Morton/quadkey; this adds the geohash dialect every
+# geo data-exchange pipeline needs: 15+15 bit quantization, LON-first
+# bit interleave (MSB lon — geohash's defining difference from Morton's
+# y-first order), and the base-32 alphabet render (i, l, o omitted).
+# Pure vectorized integer ops after the one IEEE-exact quantization,
+# reproduced bit-for-bit in the DuckDB oracle (30 shifted-bit terms +
+# substr alphabet lookup), so both the integer code AND the rendered
+# string are value-hash gated.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_BITS = 15  # per axis; 30 bits = 6 base-32 chars
+
+
+def q_geohash(sf_dir: str):
+    import ray.data as rd
+
+    from .oracle_queries import _pip_lonlat
+
+    alpha = np.array(list(GEOHASH_ALPHABET))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        lon, lat = _pip_lonlat(eid)
+        scale = float(1 << GEOHASH_BITS)
+        glon = np.clip(
+            np.floor((lon + 180.0) / 360.0 * scale), 0, scale - 1
+        ).astype(np.int64)
+        glat = np.clip(
+            np.floor((lat + 90.0) / 180.0 * scale), 0, scale - 1
+        ).astype(np.int64)
+        code = np.zeros(len(eid), dtype=np.int64)
+        for i in range(GEOHASH_BITS):
+            code |= ((glon >> i) & 1) << (2 * i + 1)
+            code |= ((glat >> i) & 1) << (2 * i)
+        gh = alpha[(code >> 25) & 31]
+        for s in (20, 15, 10, 5, 0):
+            gh = np.char.add(gh, alpha[(code >> s) & 31])
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "gh_code": pa.array(code, type=pa.int64()),
+                "geohash6": pa.array(gh.tolist(), type=pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_geohash() -> str:
+    terms = []
+    for i in range(GEOHASH_BITS):
+        terms.append(f"(((glon >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((glat >> {i}) & 1) << {2 * i})")
+    interleave = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', 1 + CAST((gh_code >> {s}) & 31 AS INTEGER), 1)"
+        for s in (25, 20, 15, 10, 5, 0)
+    )
+    scale = float(1 << GEOHASH_BITS)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+xy AS (
+  SELECT event_id,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {scale}) AS BIGINT), 0), {int(scale) - 1}) AS glon,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {scale}) AS BIGINT), 0), {int(scale) - 1}) AS glat
+  FROM pts),
+c AS (SELECT event_id, {interleave} AS gh_code FROM xy)
+SELECT event_id, gh_code, {chars} AS geohash6 FROM c
+"""
+
+
+SQL_GEOHASH = _sql_geohash()

@@ -990,3 +990,89 @@ SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
          AS assortativity
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient (triangles / possible wedges per node)
+# ---------------------------------------------------------------------------
+#
+# The neighborhood-density statistic layered on the triangle machinery:
+# coeff(v) = 2*T(v) / (d(v) * (d(v)-1)) for d(v) >= 2.  Both operands
+# stay exact int64 through the joins (T from the degree-oriented
+# triangle plan, d from the distinct-edge degree groupby) and the ONLY
+# float op is the single final division — computed identically on both
+# sides, so the coefficient is bit-reproducible.  Zero-triangle nodes
+# survive via a left-outer join + coalesce (an inner join would
+# silently drop exactly the interesting low-density vertices).
+
+def q_clustering_coeff(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .olap_queries import _scrub_empties
+
+    edges = _scrub_empties(_tri_edges_both(sf_dir), 8).materialize()
+    deg = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="deg"))
+        .map_batches(
+            lambda b: pa.table({"node": b.column("src"), "deg": b.column("deg")}),
+            batch_format="pyarrow",
+        )
+    )
+    tri = q_triangle_count(sf_dir).map_batches(
+        lambda b: pa.table({"node": b.column("node"), "n_tri": b.column("n_tri")}),
+        batch_format="pyarrow",
+    )
+    joined = _scrub_empties(deg, 4).join(
+        _scrub_empties(tri, 4),
+        join_type="left_outer",
+        on=("node",),
+        num_partitions=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("n_tri").to_numpy(zero_copy_only=False)
+        t = np.where(np.isnan(t.astype(np.float64)), 0, t).astype(np.int64)
+        keep = d >= 2
+        d, t = d[keep], t[keep]
+        node = batch.column("node").filter(pa.array(keep))
+        coeff = (2.0 * t.astype(np.float64)) / (d * (d - 1)).astype(np.float64)
+        return pa.table(
+            {
+                "node": node,
+                "deg": pa.array(d, type=pa.int64()),
+                "n_tri": pa.array(t, type=pa.int64()),
+                "coeff": pa.array(coeff, type=pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {SQL_TRI_EDGES_RAW},
+ed AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+         / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.deg >= 2
+"""

@@ -1234,3 +1234,67 @@ SELECT user_id,
        CAST(SUM(en - st) AS BIGINT) AS covered_us
 FROM g GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# longest increasing streak (gaps-and-islands max-run window fold)
+# ---------------------------------------------------------------------------
+#
+# The run-length window family's missing member (interval_union merges
+# intervals, sessionize cuts on gaps; this one folds CONSECUTIVE-ROW
+# comparisons): per user, the longest run of strictly-increasing values
+# along the (ts, event_id) order — the engagement-streak / monotone-run
+# report.  Comparison domain is exact integer cents, so run boundaries
+# are bit-reproducible.  One user-keyed shuffle; the per-group work is
+# a lexsort + one vectorized diff/flatnonzero pass, and the scale bound
+# is max events per key (the same contract as user_journey,
+# documented in SURVEY §2.6).
+
+
+def q_longest_streak(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cents = np.floor(val[order] * 100.0).astype(np.int64)
+        # break BEFORE row i when cents[i] <= cents[i-1]; row 0 always breaks
+        brk = np.flatnonzero(np.concatenate(([True], np.diff(cents) <= 0)))
+        runs = np.diff(np.concatenate((brk, [len(cents)])))
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "max_streak": pa.array([int(runs.max())], type=pa.int64()),
+                "n_events": pa.array([len(cents)], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_LONGEST_STREAK = """
+WITH o AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(CAST(floor(value * 100.0) AS BIGINT)) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (
+  SELECT user_id, rn,
+         CASE WHEN prev IS NULL OR cents <= prev THEN 1 ELSE 0 END AS brk
+  FROM o),
+g AS (
+  SELECT user_id, rn,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM f),
+r AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(SUM(len) AS BIGINT) AS n_events
+FROM r GROUP BY user_id
+"""

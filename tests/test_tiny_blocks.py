@@ -47,6 +47,9 @@ QUERIES = [
     # round-4 batch 10: decode->histogram audit, geometry aggregate
     "image_hist",
     "ring_area",
+    "clustering_coeff",
+    "longest_streak",
+    "geohash",
 ]
 
 
