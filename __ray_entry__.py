@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": oq.q_image_tiles,          # real-codec roundtrip -> 2x2-box tile sums (downsample shape)
         "image_grad": oq.q_image_grad,            # real-codec roundtrip -> exact Sobel L1 edge energy per channel
         "image_hist": oq.q_image_hist,            # real-codec roundtrip -> corpus per-channel pixel-value histogram
+        "image_flip": oq.q_image_flip,            # augmentation: mirror through a DOUBLE codec roundtrip, weighted checksum
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_moments": gq.q_degree_moments,    # degree assortativity via exact int moment sums over decorated edges
         "clustering_coeff": gq.q_clustering_coeff,  # per-node local clustering coefficient (exact int T and d, one division)
         "longest_streak": ol.q_longest_streak,    # gaps-and-islands max increasing run per user
+        "attribution": ol.q_attribution,          # conversion credit: clicks in the hour before each purchase
         "geohash": ga.q_geohash,                  # base-32 geohash cell render (lon-first interleave, bit-gated)
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "image_tiles": oq.SQL_IMAGE_TILES,
         "image_grad": oq.SQL_IMAGE_GRAD,
         "image_hist": oq.SQL_IMAGE_HIST,
+        "image_flip": oq.SQL_IMAGE_FLIP,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "seq_pack": tq.SQL_SEQ_PACK,
@@ -285,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_moments": gq.SQL_DEGREE_MOMENTS,
         "clustering_coeff": gq.SQL_CLUSTERING_COEFF,
         "longest_streak": ol.SQL_LONGEST_STREAK,
+        "attribution": ol.SQL_ATTRIBUTION,
         "geohash": ga.SQL_GEOHASH,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,

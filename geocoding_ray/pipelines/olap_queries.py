@@ -1298,3 +1298,70 @@ SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
        CAST(SUM(len) AS BIGINT) AS n_events
 FROM r GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# attribution join: clicks within a window before each purchase
+# ---------------------------------------------------------------------------
+#
+# The ad-attribution / conversion-credit shape: for every purchase,
+# count the same user's clicks in the preceding hour ([t-W, t),
+# half-open so a click at exactly purchase time never self-credits).
+# Semantically a temporal band self-join; physically ONE user-keyed
+# shuffle and a per-group two-searchsorted pass (clicks and purchases
+# each sorted once, every purchase answered in O(log n)) — never the
+# O(clicks x purchases) pair blowup the SQL oracle spells.  Integer
+# microsecond timestamps end to end.
+
+ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_attribution(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).filter(expr="event_type in ['click', 'purchase']")
+
+    def fold(group: pa.Table) -> pa.Table:
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        clicks = np.sort(us[et == "click"])
+        purch = us[et == "purchase"]
+        if len(purch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_purchases": pa.array([], type=pa.int64()),
+                    "n_attributed": pa.array([], type=pa.int64()),
+                }
+            )
+        lo = np.searchsorted(clicks, purch - ATTR_WINDOW_US, side="left")
+        hi = np.searchsorted(clicks, purch, side="left")
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_purchases": pa.array([len(purch)], type=pa.int64()),
+                "n_attributed": pa.array([int((hi - lo).sum())], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+a AS (
+  SELECT p.user_id,
+         (SELECT COUNT(*) FROM c
+          WHERE c.user_id = p.user_id
+            AND c.us >= p.us - {ATTR_WINDOW_US} AND c.us < p.us) AS hits
+  FROM p)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(hits) AS BIGINT) AS n_attributed
+FROM a GROUP BY user_id
+"""

@@ -1767,3 +1767,80 @@ SELECT s.range AS val,
        CAST(COALESCE(h.cnt_b, 0) AS BIGINT) AS cnt_b
 FROM range(0, 256) s LEFT JOIN h ON h.val = s.range
 """
+
+
+# ---------------------------------------------------------------------------
+# image augmentation: horizontal flip through a double codec roundtrip
+# ---------------------------------------------------------------------------
+#
+# The augmentation stage every vision-training pipeline runs: decode ->
+# transform (horizontal mirror) -> RE-ENCODE -> decode downstream.
+# Both TIFF roundtrips are REAL, and the gate is a position-weighted
+# checksum sum(pixel * (r+1) * (c+1)) per channel whose oracle predicts
+# the MIRRORED formula (c -> 7-c) arithmetically — a plain unweighted
+# sum would pass even if the flip never happened or the second encode
+# corrupted pixel order, so the weighting is what makes the invariant
+# bite.  All integer: 255 * 64 * 72 < 2^21 per image.
+
+
+class _ImageFlip:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        self.w = ((r + 1) * (c + 1)).astype(np.int64)  # (8, 8, 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        out = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0))
+            flipped = dec[:, ::-1, :]  # horizontal mirror
+            dec2 = self.tiff.parse_pixels(
+                self.tiff.encode_tiff(np.ascontiguousarray(flipped), 0, 0)
+            ).astype(np.int64)
+            out[i] = (dec2 * self.w).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_r": pa.array(out[:, 0], type=pa.int64()),
+                "w_g": pa.array(out[:, 1], type=pa.int64()),
+                "w_b": pa.array(out[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_flip(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageFlip, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_flip() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        # flipped pixel at (r, c) is the ORIGINAL pixel at (r, 7-c)
+        cols.append(
+            f"CAST(SUM(((event_id + 16 * g.r + 2 * (7 - g.c) + {k}) % 256)"
+            f" * (g.r + 1) * (g.c + 1)) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 8) c)
+SELECT event_id, {col_block}
+FROM events, g
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_FLIP = _sql_image_flip()

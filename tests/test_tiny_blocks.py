@@ -50,6 +50,8 @@ QUERIES = [
     "clustering_coeff",
     "longest_streak",
     "geohash",
+    "attribution",
+    "image_flip",
 ]
 
 
