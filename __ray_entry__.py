@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash": ga.q_geohash,                  # base-32 geohash cell render (lon-first interleave, bit-gated)
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
+        "weighted_median": sq.q_weighted_median,  # weight-cumulative median over the bounded value domain, no division
+        "intersect_except": tpch.q_intersect_except,  # ANSI INTERSECT/EXCEPT in one bit-classified pass
         "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
         "embed_gram": sq.q_embed_gram,            # exact int64 Gram matrix: constant d^2 aggregate of the vector col
         "embed_pca": sq.q_embed_pca,              # top principal direction via power iteration on the Gram aggregate
@@ -292,6 +294,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash": ga.SQL_GEOHASH,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,
+        "weighted_median": sq.SQL_WEIGHTED_MEDIAN,
+        "intersect_except": tpch.SQL_INTERSECT_EXCEPT,
         "table_digest": cq.SQL_TABLE_DIGEST,
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,

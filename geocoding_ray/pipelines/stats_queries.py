@@ -1839,3 +1839,84 @@ SELECT l_returnflag,
          / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS gini
 FROM r GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted median (value-domain-bounded, fully exact — no division)
+# ---------------------------------------------------------------------------
+#
+# The sampling-weight variant of the grouped median: the smallest
+# quantity x whose cumulative extended-price weight reaches half the
+# group total (lower weighted median, 2*cum >= total in exact integer
+# cents — ties and float-sum order can never flip the pick).  Same
+# value-domain-bounded physics as gini: one (group, value) Sum
+# aggregate shuffles #groups x #values slim rows, and the fold over
+# that tiny table is driver-side by design (domain-bounded, not
+# data-bounded).
+
+def q_weighted_median(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "g": batch.column("l_returnflag"),
+                "x": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "wt": w,
+            }
+        )
+
+    counts = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby(["g", "x"])
+        .aggregate(Sum(on="wt", alias_name="w"))
+        .take_all()  # #groups x #distinct-values — domain-bounded, driver-small
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in counts:
+        groups.setdefault(r["g"], []).append((int(r["x"]), int(r["w"])))
+    gs, meds, tots = [], [], []
+    for g in sorted(groups):
+        runs = sorted(groups[g])
+        tot = sum(w for _, w in runs)
+        cum = 0
+        for v, w in runs:
+            cum += w
+            if 2 * cum >= tot:
+                med = v
+                break
+        gs.append(g)
+        meds.append(med)
+        tots.append(tot)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(gs, type=pa.string()),
+            "wmedian": pa.array(meds, type=pa.int64()),
+            "total_w": pa.array(tots, type=pa.int64()),
+        }
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS wt
+  FROM lineitem),
+cum AS (SELECT g, x, SUM(wt) AS cw FROM w GROUP BY g, x),
+o AS (
+  SELECT g, x,
+         SUM(cw) OVER (PARTITION BY g ORDER BY x) AS run,
+         SUM(cw) OVER (PARTITION BY g) AS tot
+  FROM cum)
+SELECT g AS l_returnflag,
+       CAST(MIN(x) AS BIGINT) AS wmedian,
+       CAST(MAX(tot) AS BIGINT) AS total_w
+FROM o WHERE 2 * run >= tot GROUP BY g
+"""

@@ -458,3 +458,71 @@ SELECT
   COUNT(DISTINCT o_orderstatus) AS n_status
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT distinct (set-op family completion)
+# ---------------------------------------------------------------------------
+#
+# union_distinct covers UNION; this adds the other two ANSI set ops in
+# one pass: users who clicked INTERSECT users who purchased, and the
+# click-only EXCEPT remainder.  Physically neither needs a set
+# engine — per-batch pre-distinct (user, bit) pairs shuffle once and a
+# native Max-per-bit groupby classifies every user; the op column is
+# decided by two boolean ANDs.  Scale: the exchange is
+# user-cardinality slim rows; the quadratic "compare the two sets"
+# reading never materializes.
+
+def q_intersect_except(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).filter(expr="event_type in ['click', 'purchase']")
+
+    def bits(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        clicked = (et == "click").astype(np.int64)
+        key = np.unique(uid * 2 + clicked)  # per-batch pre-distinct
+        return pa.table(
+            {
+                "user_id": pa.array(key // 2, type=pa.int64()),
+                "clicked": pa.array(key % 2, type=pa.int64()),
+                "purchased": pa.array(1 - key % 2, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bits, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max(on="clicked", alias_name="c"), Max(on="purchased", alias_name="p"))
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(bool)
+        p = batch.column("p").to_numpy(zero_copy_only=False).astype(bool)
+        keep = c  # both ops are anchored on the click set
+        op = np.where(p, "intersect", "except")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").filter(pa.array(keep)),
+                "op": pa.array(op[keep].tolist(), type=pa.string()),
+            }
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_INTERSECT_EXCEPT = """
+SELECT user_id, 'intersect' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'except' AS op FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+"""

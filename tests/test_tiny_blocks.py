@@ -52,6 +52,8 @@ QUERIES = [
     "geohash",
     "attribution",
     "image_flip",
+    "weighted_median",
+    "intersect_except",
 ]
 
 
