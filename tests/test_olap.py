@@ -476,3 +476,99 @@ def test_union_islands_touching_merges():
     e = np.array([10, 20], dtype=np.int64)
     u, a, b = ol._union_islands(uid, s, e)
     assert len(a) == 1 and a[0] == 0 and b[0] == 20
+
+
+def test_attribution_vs_brute_force(ray_session):
+    """searchsorted window credit vs the O(P*C) double loop on the real
+    sf0.001 events, including the half-open [t-W, t) boundary."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.olap_queries import ATTR_WINDOW_US, q_attribution
+
+    sf = "/root/testdata/sf0.001"
+    df = pq.read_table(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    ref: dict[int, tuple[int, int]] = {}
+    for uid, g in df.groupby("user_id"):
+        clicks = sorted(g.loc[g.event_type == "click", "us"])
+        purch = list(g.loc[g.event_type == "purchase", "us"])
+        if not purch:
+            continue
+        hits = sum(
+            sum(1 for c in clicks if p - ATTR_WINDOW_US <= c < p) for p in purch
+        )
+        ref[int(uid)] = (len(purch), hits)
+
+    got = q_attribution(sf).to_pandas()
+    assert {
+        int(r.user_id): (int(r.n_purchases), int(r.n_attributed))
+        for r in got.itertuples()
+    } == ref
+    assert got["n_attributed"].sum() > 0  # window actually credits something
+
+
+def test_attribution_boundary_exactness(ray_session, tmp_path):
+    """A click exactly at purchase time never credits; one exactly W
+    before does — the two off-by-one edges of the half-open window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.olap_queries import ATTR_WINDOW_US, q_attribution
+
+    base = 1_700_000_000_000_000
+    rows = {
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 7, 7],
+        "ts": pa.array(
+            [base, base + ATTR_WINDOW_US, base + ATTR_WINDOW_US, base + 1],
+            type=pa.timestamp("us"),
+        ),
+        "event_type": ["click", "purchase", "click", "click"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": ["{}"] * 4,
+    }
+    d = tmp_path / "attr"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "events.parquet"))
+    got = q_attribution(str(d)).to_pandas()
+    # credits: click@base (== t-W, inclusive) + click@base+1; NOT the
+    # click at exactly purchase time
+    assert got.to_dict("records") == [
+        {"user_id": 7, "n_purchases": 1, "n_attributed": 2}
+    ]
+
+
+def test_ring_area_vs_scalar_shoelace(ray_session):
+    """Vectorized cyclic shoelace vs a per-vertex scalar loop, and the
+    degenerate n<=2 rings yield exactly zero."""
+    import pyarrow.parquet as pq
+
+    from geocoding_ray.pipelines.geo_analytics import (
+        RING_MOD,
+        RING_XM,
+        RING_YM,
+        q_ring_area,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    ref = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        e = g["event_id"].to_numpy()
+        x = [(int(v) * RING_XM) % RING_MOD for v in e]
+        y = [(int(v) * RING_YM) % RING_MOD for v in e]
+        s = 0
+        for i in range(len(x)):
+            j = (i + 1) % len(x)
+            s += x[i] * y[j] - x[j] * y[i]
+        ref[int(uid)] = s
+    got = q_ring_area(sf).to_pandas()
+    assert dict(zip(got["user_id"], got["s2"])) == ref
+    assert (got["area2_abs"] == got["s2"].abs()).all()
