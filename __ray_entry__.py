@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_roundtrip": oq.q_jpeg_roundtrip,    # lossy-codec invariant: real JPEG enc/dec, PSNR >= 40 dB per row
         "transcode_stats": oq.q_transcode_stats,  # tiff -> png transcode through both real codecs, means bit-exact
         "video_frames": oq.q_video_frames,        # real strided frame sampling, per-frame means
+        "scene_cuts": oq.q_scene_cuts,            # temporal frame-delta cut detection through dense real decode
         "image_tiles": oq.q_image_tiles,          # real-codec roundtrip -> 2x2-box tile sums (downsample shape)
         "image_grad": oq.q_image_grad,            # real-codec roundtrip -> exact Sobel L1 edge energy per channel
         "image_hist": oq.q_image_hist,            # real-codec roundtrip -> corpus per-channel pixel-value histogram
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": gq.q_clustering_coeff,  # per-node local clustering coefficient (exact int T and d, one division)
         "longest_streak": ol.q_longest_streak,    # gaps-and-islands max increasing run per user
         "attribution": ol.q_attribution,          # conversion credit: clicks in the hour before each purchase
+        "growth_accounting": ol.q_growth_accounting,  # daily active/new/returning users, two slim exchanges
         "geohash": ga.q_geohash,                  # base-32 geohash cell render (lon-first interleave, bit-gated)
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_roundtrip": oq.SQL_JPEG_ROUNDTRIP,
         "transcode_stats": oq.SQL_TRANSCODE_STATS,
         "video_frames": oq.SQL_VIDEO_FRAMES,
+        "scene_cuts": oq.SQL_SCENE_CUTS,
         "image_tiles": oq.SQL_IMAGE_TILES,
         "image_grad": oq.SQL_IMAGE_GRAD,
         "image_hist": oq.SQL_IMAGE_HIST,
@@ -291,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": gq.SQL_CLUSTERING_COEFF,
         "longest_streak": ol.SQL_LONGEST_STREAK,
         "attribution": ol.SQL_ATTRIBUTION,
+        "growth_accounting": ol.SQL_GROWTH_ACCOUNTING,
         "geohash": ga.SQL_GEOHASH,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,

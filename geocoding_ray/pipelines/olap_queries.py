@@ -1365,3 +1365,84 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
        CAST(SUM(hits) AS BIGINT) AS n_attributed
 FROM a GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# growth accounting: daily active / new / returning users
+# ---------------------------------------------------------------------------
+#
+# The DAU growth report every product pipeline runs: per UTC day, how
+# many distinct users were active, how many were NEW (first-ever
+# activity that day), and the returning remainder.  Two slim exchanges:
+# distinct (day, user) pairs (per-batch pre-distinct, then a native
+# count) and a per-user Min(day) first-seen aggregate; a left-outer
+# day join + coalesce folds them.  No stage carries event-cardinality
+# rows past the first map.
+
+DAY_US = 86_400_000_000
+
+
+def q_growth_accounting(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // DAY_US
+        key = np.unique(day * 1_000_000_007 + uid)  # per-batch pre-distinct
+        return pa.table(
+            {
+                "day": pa.array(key // 1_000_000_007, type=pa.int64()),
+                "user_id": pa.array(key % 1_000_000_007, type=pa.int64()),
+            }
+        )
+
+    du = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["day", "user_id"])
+        .materialize()  # consumed twice (active count + first-seen)
+    )
+    active = du.groupby("day").aggregate(Count(alias_name="n_active"))
+    first = (
+        du.groupby("user_id")
+        .aggregate(Min(on="day", alias_name="day"))
+        .groupby("day")
+        .aggregate(Count(alias_name="n_new"))
+    )
+    joined = _scrub_empties(active, 4).join(
+        _scrub_empties(first, 4), join_type="left_outer", on=("day",), num_partitions=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("n_active").to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = batch.column("n_new").to_numpy(zero_copy_only=False)
+        nw = np.where(np.isnan(nw.astype(np.float64)), 0, nw).astype(np.int64)
+        return pa.table(
+            {
+                "day": batch.column("day"),
+                "n_active": pa.array(a, type=pa.int64()),
+                "n_new": pa.array(nw, type=pa.int64()),
+                "n_returning": pa.array(a - nw, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_GROWTH_ACCOUNTING = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events),
+fd AS (SELECT user_id, MIN(day) AS day FROM du GROUP BY user_id),
+nw AS (SELECT day, COUNT(*) AS n_new FROM fd GROUP BY day),
+ac AS (SELECT day, COUNT(*) AS n_active FROM du GROUP BY day)
+SELECT ac.day,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(n_active - COALESCE(n_new, 0) AS BIGINT) AS n_returning
+FROM ac LEFT JOIN nw USING (day)
+"""

@@ -1844,3 +1844,89 @@ GROUP BY event_id
 
 
 SQL_IMAGE_FLIP = _sql_image_flip()
+
+
+# ---------------------------------------------------------------------------
+# video scene-cut detection (temporal frame-delta through real decode)
+# ---------------------------------------------------------------------------
+#
+# The temporal member of the video family: every clip decodes ALL
+# frames through the REAL raw-video container (FrameSample with
+# every_n=1 — the same extraction path as video_frames, exercised
+# densely), and consecutive frames reduce to an exact integer L1 delta
+# energy; a cut is a delta whose mean exceeds half the value range.
+# The synthetic fills step by 13 mod 256, so deltas are 13 except at
+# wrap points where they hit 243 — the oracle enumerates both
+# arithmetically, and the Ray side only agrees by actually slicing and
+# differencing real frame bytes (192 pixels/frame, energy = 192 * |Δ|).
+
+SCENE_CUT_MIN = 128  # per-pixel mean delta threshold (value range / 2)
+
+
+class _SceneCuts:
+    def __init__(self):
+        from ..sources.rawvideo import encode_rawvideo
+        from ..stages.image_ops import FrameSample
+
+        self.encode = encode_rawvideo
+        self.sampler = FrameSample(every_n=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bufs = []
+        for e in eid:
+            nf = int(20 + e % 11)
+            fills = ((e * 7 + np.arange(nf, dtype=np.int64) * 13) % 256).astype(np.uint8)
+            frames = np.ascontiguousarray(
+                np.broadcast_to(fills[:, None, None, None], (nf, 8, 8, 3))
+            )
+            bufs.append(self.encode(frames))
+        t = pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "bytes": pa.array(bufs, type=pa.binary()),
+            }
+        )
+        out = self.sampler(t)
+        frame_lists = out.column("frames_rgb").to_pylist()
+        cuts, energy = [], []
+        for fl in frame_lists:
+            fr = np.stack([np.frombuffer(fb, dtype=np.uint8) for fb in fl]).astype(
+                np.int64
+            )  # (nf, 192)
+            d = np.abs(np.diff(fr, axis=0)).sum(axis=1)  # exact int energy per step
+            cuts.append(int((d >= SCENE_CUT_MIN * 192).sum()))
+            energy.append(int(d.sum()))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "n_cuts": pa.array(cuts, type=pa.int64()),
+                "delta_energy": pa.array(energy, type=pa.int64()),
+            }
+        )
+
+
+def q_scene_cuts(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _SceneCuts, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_SCENE_CUTS = f"""
+WITH f AS (
+  SELECT event_id,
+         unnest(generate_series(0, (20 + event_id % 11) - 2)) AS k
+  FROM events),
+d AS (
+  SELECT event_id,
+         abs(((event_id * 7 + (k + 1) * 13) % 256)
+             - ((event_id * 7 + k * 13) % 256)) AS dv
+  FROM f)
+SELECT event_id,
+       CAST(SUM(CASE WHEN dv >= {SCENE_CUT_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(SUM(dv) * 192 AS BIGINT) AS delta_energy
+FROM d GROUP BY event_id
+"""

@@ -54,6 +54,8 @@ QUERIES = [
     "image_flip",
     "weighted_median",
     "intersect_except",
+    "scene_cuts",
+    "growth_accounting",
 ]
 
 
