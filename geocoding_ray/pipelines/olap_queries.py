@@ -1446,3 +1446,71 @@ SELECT ac.day,
        CAST(n_active - COALESCE(n_new, 0) AS BIGINT) AS n_returning
 FROM ac LEFT JOIN nw USING (day)
 """
+
+
+# ---------------------------------------------------------------------------
+# share of total (RATIO_TO_REPORT window over grouped sums)
+# ---------------------------------------------------------------------------
+#
+# The percent-of-total report: each (user, event_type)'s share of that
+# user's total spend.  Numerator and denominator are exact integer
+# cents (per-batch partials + native Sum merges), the per-user total is
+# an aggregate OVER the already-shrunk (user, type) table (vocabulary-
+# bounded, not event-bounded), and the single final division is
+# computed identically on both sides.
+
+def q_share_of_total(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    g = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum(on="cents", alias_name="cents"))
+        .materialize()  # (user x vocab)-bounded; consumed twice
+    )
+    tot = g.groupby("user_id").aggregate(Sum(on="cents", alias_name="total"))
+    joined = _scrub_empties(g, 4).join(
+        _scrub_empties(tot, 4), join_type="inner", on=("user_id",), num_partitions=4
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column("total").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(c, type=pa.int64()),
+                "share": pa.array(
+                    c.astype(np.float64) / t.astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SHARE_OF_TOTAL = """
+WITH g AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type, cents,
+       CAST(cents AS DOUBLE)
+         / CAST(SUM(cents) OVER (PARTITION BY user_id) AS DOUBLE) AS share
+FROM g
+"""

@@ -1920,3 +1920,72 @@ SELECT g AS l_returnflag,
        CAST(MAX(tot) AS BIGINT) AS total_w
 FROM o WHERE 2 * run >= tot GROUP BY g
 """
+
+
+# ---------------------------------------------------------------------------
+# vector introspection: top-|component| ranking over the list column
+# ---------------------------------------------------------------------------
+#
+# The embedding-debugging shape (which dimensions dominate a vector —
+# saliency / feature-attribution reports): per vec_id, the 3 components
+# with the largest |value|, rank-ordered with a deterministic
+# ascending-index tie-break.  The Ray side is one zero-copy matrix
+# reshape + a stable argsort per batch (no explode — the d-wide row
+# never becomes d rows); the oracle pays the full UNNEST + window
+# enumeration.  float32 values compare identically in numpy and DuckDB
+# (both IEEE; the output casts to float64 losslessly).
+
+VEC_TOPC_K = 3
+
+
+def q_vec_top_components(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def topc(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("embedding")
+        flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        n = len(vid)
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "rk": pa.array([], type=pa.int64()),
+                    "comp_idx": pa.array([], type=pa.int64()),
+                    "comp_val": pa.array([], type=pa.float64()),
+                }
+            )
+        mat = flat.reshape(n, -1)
+        # stable argsort on -|v|: descending magnitude, ascending index ties
+        order = np.argsort(-np.abs(mat), axis=1, kind="stable")[:, :VEC_TOPC_K]
+        k = order.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, k), type=pa.int64()),
+                "rk": pa.array(np.tile(np.arange(1, k + 1), n), type=pa.int64()),
+                "comp_idx": pa.array(order.ravel(), type=pa.int64()),
+                "comp_val": pa.array(
+                    np.take_along_axis(mat, order, axis=1).ravel().astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(topc, batch_format="pyarrow")
+
+
+SQL_VEC_TOP_COMPONENTS = f"""
+WITH u AS (
+  SELECT vec_id, g.range AS comp_idx,
+         list_extract(embedding, CAST(g.range AS INTEGER) + 1) AS v
+  FROM embeddings, range(0, 64) g),
+r AS (
+  SELECT vec_id, comp_idx, CAST(v AS DOUBLE) AS comp_val,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY abs(v) DESC, comp_idx) AS rk
+  FROM u)
+SELECT vec_id, CAST(rk AS BIGINT) AS rk, CAST(comp_idx AS BIGINT) AS comp_idx, comp_val
+FROM r WHERE rk <= {VEC_TOPC_K}
+"""

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 SRC = "/root/testdata/sf0.001"
-TABLES = ["documents", "events", "orders", "lineitem", "customer"]
+TABLES = ["documents", "events", "orders", "lineitem", "customer", "embeddings"]
 ROW_GROUP = 16
 
 QUERIES = [
@@ -56,6 +56,8 @@ QUERIES = [
     "intersect_except",
     "scene_cuts",
     "growth_accounting",
+    "share_of_total",
+    "vec_top_components",
 ]
 
 
