@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "growth_accounting": ol.q_growth_accounting,  # daily active/new/returning users, two slim exchanges
         "share_of_total": ol.q_share_of_total,    # RATIO_TO_REPORT: per-(user,type) share of user spend
         "vec_top_components": sq.q_vec_top_components,  # per-vector top-|component| saliency ranking (no explode)
+        "turn_stats": ga.q_turn_stats,            # trajectory turn trichotomy via exact cross-product signs
+        "quantile_bins": sq.q_quantile_bins,      # tie-deterministic equal-frequency binning, domain-bounded fold
         "geohash": ga.q_geohash,                  # base-32 geohash cell render (lon-first interleave, bit-gated)
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
         "gini": sq.q_gini,                        # per-group Gini: exact int rank sums over the bounded value domain
@@ -299,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "growth_accounting": ol.SQL_GROWTH_ACCOUNTING,
         "share_of_total": ol.SQL_SHARE_OF_TOTAL,
         "vec_top_components": sq.SQL_VEC_TOP_COMPONENTS,
+        "turn_stats": ga.SQL_TURN_STATS,
+        "quantile_bins": sq.SQL_QUANTILE_BINS,
         "geohash": ga.SQL_GEOHASH,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,
         "gini": sq.SQL_GINI,

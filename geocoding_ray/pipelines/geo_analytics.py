@@ -739,3 +739,78 @@ SELECT event_id, gh_code, {chars} AS geohash6 FROM c
 
 
 SQL_GEOHASH = _sql_geohash()
+
+
+# ---------------------------------------------------------------------------
+# turn statistics: left/right/straight counts along each trajectory
+# ---------------------------------------------------------------------------
+#
+# The trajectory-shape report (map-matching / driving-behavior
+# pipelines classify turns before anything else): over each user's
+# (ts, event_id)-ordered integer vertex chain, every interior vertex is
+# classified by the SIGN of the cross product (p1-p0) x (p2-p1) —
+# exact int64 arithmetic, so the left/right/straight trichotomy can
+# never wobble on float rounding.  Same ring coordinates and the same
+# one-shuffle + vectorized-per-group physics as ring_area.
+
+def q_turn_stats(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        e = eid[order]
+        x = (e * RING_XM) % RING_MOD
+        y = (e * RING_YM) % RING_MOD
+        if len(e) < 3:
+            # no interior vertex -> no report row (matches the oracle,
+            # whose LAG/LEAD guard drops these users entirely)
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_left": pa.array([], type=pa.int64()),
+                    "n_right": pa.array([], type=pa.int64()),
+                    "n_straight": pa.array([], type=pa.int64()),
+                }
+            )
+        v1x, v1y = np.diff(x)[:-1], np.diff(y)[:-1]
+        v2x, v2y = np.diff(x)[1:], np.diff(y)[1:]
+        cross = v1x * v2y - v1y * v2x
+        left = int((cross > 0).sum())
+        right = int((cross < 0).sum())
+        straight = int((cross == 0).sum())
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_left": pa.array([left], type=pa.int64()),
+                "n_right": pa.array([right], type=pa.int64()),
+                "n_straight": pa.array([straight], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_TURN_STATS = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         (event_id * {RING_XM}) % {RING_MOD} AS x,
+         (event_id * {RING_YM}) % {RING_MOD} AS y
+  FROM events),
+t AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS v1x, y - LAG(y) OVER w AS v1y,
+         LEAD(x) OVER w - x AS v2x, LEAD(y) OVER w - y AS v2y
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (
+  SELECT user_id, v1x * v2y - v1y * v2x AS cr
+  FROM t WHERE v1x IS NOT NULL AND v2x IS NOT NULL)
+SELECT user_id,
+       CAST(SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_left,
+       CAST(SUM(CASE WHEN cr < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_right,
+       CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight
+FROM c GROUP BY user_id
+"""

@@ -1989,3 +1989,75 @@ r AS (
 SELECT vec_id, CAST(rk AS BIGINT) AS rk, CAST(comp_idx AS BIGINT) AS comp_idx, comp_val
 FROM r WHERE rk <= {VEC_TOPC_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# quantile discretization (equal-frequency binning, tie-deterministic)
+# ---------------------------------------------------------------------------
+#
+# The feature-engineering binner: every lineitem row labeled with its
+# global quantity quartile.  NTILE would split ties by arbitrary row
+# order; instead bucket = 1 + (4 * (RANK - 1)) // n with RANK = "ties
+# share the rank of their first row" — fully deterministic, exact
+# integer arithmetic.  Distributed shape: one (value -> count)
+# aggregate over the bounded domain, a driver-side fold of the tiny
+# count table into a value -> bucket map (domain-bounded, like gini),
+# and a broadcast searchsorted assign pass — the row stream itself is
+# never sorted or ranked.
+
+QBINS_K = 4
+
+
+def q_quantile_bins(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+        .map_batches(
+            lambda b: pa.table({"x": pc.cast(b.column("l_quantity"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("x")
+        .aggregate(Count(alias_name="c"))
+        .take_all()  # #distinct-values — domain-bounded, driver-small
+    )
+    runs = sorted((int(r["x"]), int(r["c"])) for r in counts)
+    n = sum(c for _, c in runs)
+    vals = np.array([v for v, _ in runs], dtype=np.int64)
+    buckets, rank = [], 1
+    for _, c in runs:
+        buckets.append(1 + (QBINS_K * (rank - 1)) // n)
+        rank += c
+    bmap_ref = ray.put((vals, np.array(buckets, dtype=np.int64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vals_b, buck_b = ray.get(bmap_ref)
+        q = pc.cast(batch.column("l_quantity"), pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals_b, q)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "qty": pa.array(q, type=pa.int64()),
+                "bucket": pa.array(buck_b[pos], type=pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
+SQL_QUANTILE_BINS = f"""
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+         RANK() OVER (ORDER BY l_quantity) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, qty,
+       CAST(1 + ({QBINS_K} * (rk - 1)) // n AS BIGINT) AS bucket
+FROM r
+"""

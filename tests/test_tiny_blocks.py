@@ -58,6 +58,8 @@ QUERIES = [
     "growth_accounting",
     "share_of_total",
     "vec_top_components",
+    "turn_stats",
+    "quantile_bins",
 ]
 
 
