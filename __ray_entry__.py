@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "share_of_total": ol.q_share_of_total,    # RATIO_TO_REPORT: per-(user,type) share of user spend
         "vec_top_components": sq.q_vec_top_components,  # per-vector top-|component| saliency ranking (no explode)
         "turn_stats": ga.q_turn_stats,            # trajectory turn trichotomy via exact cross-product signs
+        "self_intersections": ga.q_self_intersections,  # ST_IsSimple: proper crossings via exact orientation tests
+        "argmin_join": tpch.q_argmin_join,        # each order's cheapest lineitem (two-level vectorized argmin)
         "quantile_bins": sq.q_quantile_bins,      # tie-deterministic equal-frequency binning, domain-bounded fold
         "geohash": ga.q_geohash,                  # base-32 geohash cell render (lon-first interleave, bit-gated)
         "term_freq_hist": sq.q_term_freq_hist,    # Good-Turing counts-of-counts: iterated vocab-bounded aggregation
@@ -302,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "share_of_total": ol.SQL_SHARE_OF_TOTAL,
         "vec_top_components": sq.SQL_VEC_TOP_COMPONENTS,
         "turn_stats": ga.SQL_TURN_STATS,
+        "self_intersections": ga.SQL_SELF_INTERSECTIONS,
+        "argmin_join": tpch.SQL_ARGMIN_JOIN,
         "quantile_bins": sq.SQL_QUANTILE_BINS,
         "geohash": ga.SQL_GEOHASH,
         "term_freq_hist": sq.SQL_TERM_FREQ_HIST,

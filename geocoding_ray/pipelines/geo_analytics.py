@@ -814,3 +814,93 @@ SELECT user_id,
        CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straight
 FROM c GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# polyline self-intersections (ST_IsSimple via exact orientation tests)
+# ---------------------------------------------------------------------------
+#
+# The computational-geometry validity check (is the trajectory simple?):
+# count PROPER crossings between non-adjacent segments of each user's
+# (ts, event_id)-ordered polyline.  The crossing predicate is the
+# classic four-orientation test — orient(a1,a2,b1)*orient(a1,a2,b2) < 0
+# AND orient(b1,b2,a1)*orient(b1,b2,a2) < 0 — on INTEGER coordinates,
+# so every sign is exact and the count is bit-reproducible (collinear /
+# endpoint-touching contacts are excluded by the strict inequalities,
+# the standard "proper intersection" definition).  Per-group work is a
+# vectorized O(s^2) orientation matrix bounded by max segments per
+# user (a geometry invariant), after one user-keyed shuffle.
+
+def q_self_intersections(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        e = eid[order]
+        if len(e) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_segments": pa.array([], type=pa.int64()),
+                    "n_crossings": pa.array([], type=pa.int64()),
+                }
+            )
+        x = (e * RING_XM) % RING_MOD
+        y = (e * RING_YM) % RING_MOD
+        ax, ay = x[:-1], y[:-1]
+        bx, by = x[1:], y[1:]
+        s = len(ax)
+
+        def orient(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+        # pairwise (i, j) orientation products, j >= i + 2
+        o1 = orient(ax[:, None], ay[:, None], bx[:, None], by[:, None], ax[None, :], ay[None, :])
+        o2 = orient(ax[:, None], ay[:, None], bx[:, None], by[:, None], bx[None, :], by[None, :])
+        o3 = orient(ax[None, :], ay[None, :], bx[None, :], by[None, :], ax[:, None], ay[:, None])
+        o4 = orient(ax[None, :], ay[None, :], bx[None, :], by[None, :], bx[:, None], by[:, None])
+        cross = (o1 * o2 < 0) & (o3 * o4 < 0)
+        jj, ii = np.meshgrid(np.arange(s), np.arange(s))
+        n_cross = int((cross & (jj >= ii + 2)).sum())
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_segments": pa.array([s], type=pa.int64()),
+                "n_crossings": pa.array([n_cross], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_SELF_INTERSECTIONS = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         (event_id * {RING_XM}) % {RING_MOD} AS x,
+         (event_id * {RING_YM}) % {RING_MOD} AS y
+  FROM events),
+s AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS i,
+         x AS ax, y AS ay, LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (SELECT * FROM s WHERE bx IS NOT NULL),
+pairs AS (
+  SELECT a.user_id,
+         ((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))
+       * ((a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax)) AS p1,
+         ((b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax))
+       * ((b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax)) AS p2
+  FROM seg a JOIN seg b ON a.user_id = b.user_id AND b.i >= a.i + 2)
+SELECT c.user_id,
+       CAST(c.n AS BIGINT) AS n_segments,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS n_crossings
+FROM (SELECT user_id, COUNT(*) AS n FROM seg GROUP BY user_id) c
+LEFT JOIN (
+  SELECT user_id, COUNT(*) AS n FROM pairs WHERE p1 < 0 AND p2 < 0 GROUP BY user_id
+) x USING (user_id)
+"""

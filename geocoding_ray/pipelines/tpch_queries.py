@@ -526,3 +526,65 @@ SELECT user_id, 'except' AS op FROM (
   EXCEPT
   SELECT user_id FROM events WHERE event_type = 'purchase')
 """
+
+
+# ---------------------------------------------------------------------------
+# argmin join: each order's cheapest lineitem (correlated MIN join-back)
+# ---------------------------------------------------------------------------
+#
+# The TPC-H Q2 shape (row WITH the group minimum, not just the
+# minimum): for every order, the full lineitem row holding the lowest
+# extended price, ties broken by line number.  Physically the classic
+# two-level argmin: each batch keeps at most ONE candidate row per
+# orderkey it sees (vectorized lexsort + first-of-group mask), then one
+# orderkey-keyed shuffle and the same vectorized pick per group — no
+# join back, no window over the full stream; the exchange after the
+# first pass is <= one row per (orderkey, batch).
+
+def q_argmin_join(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def local_argmin(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (
+            pc.cast(pc.floor(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ln, cents, key))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = key[order][1:] != key[order][:-1]
+        sel = order[first]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(key[sel], type=pa.int64()),
+                "l_linenumber": pa.array(ln[sel], type=pa.int64()),
+                "cents": pa.array(cents[sel], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    partial = ds.map_batches(local_argmin, batch_format="pyarrow")
+
+    def final_argmin(group: pa.Table) -> pa.Table:
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        ln = group.column("l_linenumber").to_numpy(zero_copy_only=False)
+        i = np.lexsort((ln, cents))[0]
+        return group.take(pa.array([i], type=pa.int64()))
+
+    return partial.groupby("l_orderkey").map_groups(final_argmin, batch_format="pyarrow")
+
+
+SQL_ARGMIN_JOIN = """
+SELECT l_orderkey, l_linenumber, cents FROM (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY floor(l_extendedprice * 100.0), l_linenumber) AS rn
+  FROM lineitem)
+WHERE rn = 1
+"""

@@ -60,6 +60,8 @@ QUERIES = [
     "vec_top_components",
     "turn_stats",
     "quantile_bins",
+    "argmin_join",
+    "self_intersections",
 ]
 
 
