@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": sq.q_weighted_median,  # weight-cumulative median over the bounded value domain, no division
         "intersect_except": tpch.q_intersect_except,  # ANSI INTERSECT/EXCEPT in one bit-classified pass
         "table_digest": cq.q_table_digest,        # anti-entropy order-free checksum per partition key
+        "normalized_dedup": cq.q_normalized_dedup,  # case/whitespace-canonical dup groups (md5 of canonical form)
         "embed_gram": sq.q_embed_gram,            # exact int64 Gram matrix: constant d^2 aggregate of the vector col
         "embed_pca": sq.q_embed_pca,              # top principal direction via power iteration on the Gram aggregate
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median": sq.SQL_WEIGHTED_MEDIAN,
         "intersect_except": tpch.SQL_INTERSECT_EXCEPT,
         "table_digest": cq.SQL_TABLE_DIGEST,
+        "normalized_dedup": cq.SQL_NORMALIZED_DEDUP,
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,

@@ -1296,3 +1296,82 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# normalized dedup: case/whitespace-canonical duplicate groups
+# ---------------------------------------------------------------------------
+#
+# The curation step between exact dedup (byte-identical) and MinHash
+# (fuzzy): duplicates that differ ONLY in casing or whitespace runs.
+# Canonicalization is three vectorized Arrow kernels (lower → RE2
+# whitespace-squeeze → trim), then the dedup_exact physics: md5 of the
+# canonical form, per-batch partial group, one slim hash shuffle.
+# DuckDB's regexp_replace and Arrow's replace_substring_regex are both
+# RE2, so '\s+' means the same byte class on both sides.
+#
+# The gate corpus has no casing/whitespace variants, so the query
+# self-demonstrates: each doc is unioned with a deterministic "noisy
+# twin" (UPPER-cased, spaces doubled, id offset by 10^9) INSIDE the
+# scan batch — a flat_map-style 2x explode, no second read — and the
+# normalizer must merge every (original, twin) pair back into one
+# group with canon_id = the original id.  Mixed-in byte-exact dups (if
+# any) fold in too, so n_dups per group = 2 x byte-exact multiplicity.
+
+NORM_TWIN_OFFSET = 1_000_000_000
+
+
+def q_normalized_dedup(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.hashing import md5_hex
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        text = batch.column("text")
+        twin_text = pc.replace_substring(pc.utf8_upper(text), " ", "  ")
+        twin_ids = pc.add(ids, NORM_TWIN_OFFSET)
+        all_text = pa.concat_arrays(
+            [pc.cast(text, pa.string()).combine_chunks(), pc.cast(twin_text, pa.string()).combine_chunks()]
+        )
+        all_ids = pa.concat_arrays([pc.cast(ids, pa.int64()).combine_chunks(), pc.cast(twin_ids, pa.int64()).combine_chunks()])
+        # trim with an explicit ' ' char class (not Unicode whitespace)
+        # so it matches DuckDB's default trim() byte-for-byte even on
+        # texts carrying U+00A0-style spaces that RE2's \s leaves alone.
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(all_text), r"\s+", " "),
+            characters=" ",
+        )
+        md5 = pa.array(md5_hex(s or "" for s in norm.to_pylist()), type=pa.string())
+        b = pa.table({"norm_md5": md5, "doc_id": all_ids})
+        g = b.group_by("norm_md5").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {
+                "norm_md5": g.column("norm_md5"),
+                "pmin": g.column("doc_id_min"),
+                "pcount": g.column("doc_id_count"),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("norm_md5")
+        .aggregate(Min("pmin", alias_name="canon_id"), Sum("pcount", alias_name="n_dups"))
+    )
+    return agg.filter(expr="n_dups >= 2")
+
+
+SQL_NORMALIZED_DEDUP = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, replace(upper(text), ' ', '  ') AS text
+  FROM documents
+)
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+       MIN(doc_id) AS canon_id, COUNT(*) AS n_dups
+FROM unioned
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""

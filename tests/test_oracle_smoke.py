@@ -81,6 +81,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "kcore",
         "term_freq_hist",
         "table_digest",
+        "normalized_dedup",
     ],
 )
 def test_query_matches_oracle(ray_session, duck, name):

@@ -62,6 +62,7 @@ QUERIES = [
     "quantile_bins",
     "argmin_join",
     "self_intersections",
+    "normalized_dedup",
 ]
 
 
