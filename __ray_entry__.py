@@ -170,6 +170,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "max_drawdown": ol.q_max_drawdown,        # peak-to-trough scan via associative segment fold
+        "ohlc_bars": ol.q_ohlc_bars,              # tick -> (user, hour) OHLC resampling, argmin/argmax partials
+        "decayed_sum": ol.q_decayed_sum,          # recency-weighted (binary-EWMA) feature, exact int taps
+        "auc": sq.q_auc,                          # ROC AUC via tie-corrected Mann-Whitney rank sums
+        "simpson_diversity": sq.q_simpson_diversity,  # per-user behavioral diversity, fully rational
+        "traj_diameter": ga.q_traj_diameter,      # farthest point pair per user (convex-hull prune)
+        "rnn_pairs": tq.q_rnn_pairs,              # reciprocal-NN pairs over embeddings (block-pair argmax)
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
@@ -318,6 +325,13 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "max_drawdown": ol.SQL_MAX_DRAWDOWN,
+        "ohlc_bars": ol.SQL_OHLC_BARS,
+        "decayed_sum": ol.SQL_DECAYED_SUM,
+        "auc": sq.SQL_AUC,
+        "simpson_diversity": sq.SQL_SIMPSON_DIVERSITY,
+        "traj_diameter": ga.SQL_TRAJ_DIAMETER,
+        "rnn_pairs": tq.SQL_RNN_PAIRS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

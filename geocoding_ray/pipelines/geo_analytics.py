@@ -904,3 +904,87 @@ LEFT JOIN (
   SELECT user_id, COUNT(*) AS n FROM pairs WHERE p1 < 0 AND p2 < 0 GROUP BY user_id
 ) x USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# trajectory diameter: farthest point pair per user (convex-hull prune)
+# ---------------------------------------------------------------------------
+#
+# ST_MaxDistance / trip-extent shape: the maximum squared planar
+# distance between any two of a user's points, EXACT in the integer
+# centi-degree grid the point field is synthesized on (dx,dy <= 36000,
+# so dx^2+dy^2 < 2^32 — int64 never overflows).  Plan: one user-keyed
+# shuffle; inside each group an Andrew-monotone-chain convex hull over
+# the (deduplicated, sorted) integer points — O(n log n), cross
+# products in exact int64 — then a vectorized all-pairs pass over HULL
+# vertices only (h << n; the diameter is attained at hull vertices).
+# Scale bound: max points per user, the same per-key contract as
+# user_journey / trajectory_len (SURVEY §2.6).
+
+
+def _hull_int(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Andrew monotone chain over integer coords; returns hull vertices
+    (no interior points, no duplicate endpoints).  Collinear points are
+    dropped (<= 0 turn), which never changes the diameter."""
+    pts = np.unique(np.stack([xs, ys], axis=1), axis=0)  # sorted lex (x, y)
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def half(p):
+        out: list[np.ndarray] = []
+        for row in p:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                # cross((a-o), (row-o)) <= 0 -> not a left turn: pop
+                if (int(ax - ox) * int(row[1] - oy)) - (int(ay - oy) * int(row[0] - ox)) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(row)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+    return hull[:, 0], hull[:, 1]
+
+
+def q_traj_diameter(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xi = (eid * 48271) % 36000
+        yi = (eid * 16807) % 18000
+        hx, hy = _hull_int(xi, yi)
+        dx = hx[:, None] - hx[None, :]
+        dy = hy[:, None] - hy[None, :]
+        diam2 = int((dx * dx + dy * dy).max()) if len(hx) else 0
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1),
+                "n_pts": pa.array([len(eid)], type=pa.int64()),
+                "diam2": pa.array([diam2], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_TRAJ_DIAMETER = """
+WITH p AS (
+  SELECT user_id,
+         CAST((event_id * 48271) % 36000 AS BIGINT) AS xi,
+         CAST((event_id * 16807) % 18000 AS BIGINT) AS yi
+  FROM events),
+d AS (
+  SELECT a.user_id,
+         MAX((a.xi - b.xi) * (a.xi - b.xi) + (a.yi - b.yi) * (a.yi - b.yi)) AS diam2
+  FROM p a JOIN p b USING (user_id) GROUP BY a.user_id),
+h AS (SELECT user_id, COUNT(*) AS n_pts FROM p GROUP BY user_id)
+SELECT h.user_id, CAST(h.n_pts AS BIGINT) AS n_pts, CAST(d.diam2 AS BIGINT) AS diam2
+FROM h JOIN d USING (user_id)
+"""

@@ -1514,3 +1514,287 @@ SELECT user_id, event_type, cents,
          / CAST(SUM(cents) OVER (PARTITION BY user_id) AS DOUBLE) AS share
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown: per-user peak-to-trough decline along the value stream
+# ---------------------------------------------------------------------------
+#
+# The risk-report shape (max over time of running-peak minus current
+# value), and the textbook associative-scan exercise: drawdown over a
+# concatenation folds as
+#     dd(L + R) = max(dd(L), dd(R), max(L) - min(R))
+# so one distributed sort by (user_id, ts, event_id) followed by a
+# vectorized per-batch segment summary (dd, max, min, first-key) and a
+# per-user fold over SEGMENT partials (#blocks-touching-the-user rows,
+# never event rows) computes it exactly — the sessionize/running_sum
+# repair pattern.  All math in exact int64 cents.
+
+
+def _drawdown_partial(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "s_ts": pa.array([], type=pa.int64()),
+                "s_eid": pa.array([], type=pa.int64()),
+                "dd": pa.array([], type=pa.int64()),
+                "mx": pa.array([], type=pa.int64()),
+                "mn": pa.array([], type=pa.int64()),
+                "pn": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    new = np.ones(n, dtype=bool)
+    new[1:] = uid[1:] != uid[:-1]
+    starts = np.nonzero(new)[0]
+    ends = np.concatenate([starts[1:], [n]])
+    # segmented running-peak: one global cummax of (c shifted so every
+    # segment start dominates all earlier values) would change values,
+    # so restart the cummax per segment; segments per batch are bounded
+    # by distinct users per batch, and each pass is a vectorized
+    # accumulate over the slice.
+    dd = np.empty(len(starts), dtype=np.int64)
+    for si, (a, b) in enumerate(zip(starts, ends)):
+        seg = c[a:b]
+        dd[si] = int(np.max(np.maximum.accumulate(seg) - seg))
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts], type=pa.int64()),
+            "s_ts": pa.array(ep[starts], type=pa.int64()),
+            "s_eid": pa.array(eid[starts], type=pa.int64()),
+            "dd": pa.array(dd, type=pa.int64()),
+            "mx": pa.array(np.maximum.reduceat(c, starts), type=pa.int64()),
+            "mn": pa.array(np.minimum.reduceat(c, starts), type=pa.int64()),
+            "pn": pa.array(ends - starts, type=pa.int64()),
+        }
+    )
+
+
+def _drawdown_merge(g: pa.Table) -> pa.Table:
+    s_ts = g.column("s_ts").to_numpy(zero_copy_only=False)
+    s_eid = g.column("s_eid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((s_eid, s_ts))
+    dd = g.column("dd").to_numpy(zero_copy_only=False)[order]
+    mx = g.column("mx").to_numpy(zero_copy_only=False)[order]
+    mn = g.column("mn").to_numpy(zero_copy_only=False)[order]
+    pn = g.column("pn").to_numpy(zero_copy_only=False)[order]
+    # fold: dd(L+R) = max(dd_L, dd_R, max_L - min_R); prefix-max of mx
+    # gives max_L for every split point, all vectorized.
+    prev_peak = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(mx)[:-1]))
+    best = max(int(dd.max()), int((prev_peak[1:] - mn[1:]).max()) if len(mn) > 1 else 0)
+    return pa.table(
+        {
+            "user_id": g.column("user_id").slice(0, 1),
+            "max_drawdown": pa.array([best], type=pa.int64()),
+            "peak": pa.array([int(mx.max())], type=pa.int64()),
+            "n_events": pa.array([int(pn.sum())], type=pa.int64()),
+        }
+    )
+
+
+def q_max_drawdown(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    parts = ds.sort(["user_id", "ts", "event_id"]).map_batches(
+        _drawdown_partial, batch_format="pyarrow"
+    )
+    return parts.groupby("user_id").map_groups(_drawdown_merge, batch_format="pyarrow")
+
+
+SQL_MAX_DRAWDOWN = """
+WITH o AS (
+  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS c,
+         MAX(CAST(floor(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS pk
+  FROM events)
+SELECT user_id,
+       CAST(MAX(pk - c) AS BIGINT) AS max_drawdown,
+       CAST(MAX(pk) AS BIGINT) AS peak,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: per-(user, hour) open/high/low/close resampling
+# ---------------------------------------------------------------------------
+#
+# The time-series downsampling shape (tick stream -> bars).  High/low/n
+# are order-free native partials; open/close are argmin/argmax by
+# (ts, event_id) — each batch emits ONE candidate row per (user, hour)
+# it touches (the compact_lww argmax-partial pattern), and a slim
+# groupby picks the winner, so the shuffle carries bar-cardinality
+# rows, never ticks.
+
+_HOUR_US = 3_600_000_000
+
+
+def _ohlc_partial(batch: pa.Table) -> pa.Table:
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    hr = (ep // _HOUR_US) * _HOUR_US
+    # sort batch rows by (user, hour, ts, eid); reduceat segments = bars
+    order = np.lexsort((eid, ep, hr, uid))
+    uid, ep, eid, c, hr = uid[order], ep[order], eid[order], c[order], hr[order]
+    new = np.ones(len(uid), dtype=bool)
+    new[1:] = (uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1])
+    st = np.nonzero(new)[0]
+    en = np.concatenate([st[1:], [len(uid)]])
+    last = en - 1
+    return pa.table(
+        {
+            "user_id": pa.array(uid[st], type=pa.int64()),
+            "hr": pa.array(hr[st], type=pa.int64()),
+            "o_ts": pa.array(ep[st], type=pa.int64()),
+            "o_eid": pa.array(eid[st], type=pa.int64()),
+            "o_c": pa.array(c[st], type=pa.int64()),
+            "c_ts": pa.array(ep[last], type=pa.int64()),
+            "c_eid": pa.array(eid[last], type=pa.int64()),
+            "c_c": pa.array(c[last], type=pa.int64()),
+            "hi": pa.array(np.maximum.reduceat(c, st), type=pa.int64()),
+            "lo": pa.array(np.minimum.reduceat(c, st), type=pa.int64()),
+            "n": pa.array(en - st, type=pa.int64()),
+        }
+    )
+
+
+def _ohlc_merge(g: pa.Table) -> pa.Table:
+    o_ts = g.column("o_ts").to_numpy(zero_copy_only=False)
+    o_eid = g.column("o_eid").to_numpy(zero_copy_only=False)
+    c_ts = g.column("c_ts").to_numpy(zero_copy_only=False)
+    c_eid = g.column("c_eid").to_numpy(zero_copy_only=False)
+    oi = int(np.lexsort((o_eid, o_ts))[0])
+    ci = int(np.lexsort((c_eid, c_ts))[-1])
+    return pa.table(
+        {
+            "user_id": g.column("user_id").slice(0, 1),
+            "hr": g.column("hr").slice(0, 1).cast(pa.timestamp("us")),
+            "open": g.column("o_c").slice(oi, 1),
+            "high": pa.array([int(g.column("hi").to_numpy(zero_copy_only=False).max())], type=pa.int64()),
+            "low": pa.array([int(g.column("lo").to_numpy(zero_copy_only=False).min())], type=pa.int64()),
+            "close": g.column("c_c").slice(ci, 1),
+            "n": pa.array([int(g.column("n").to_numpy(zero_copy_only=False).sum())], type=pa.int64()),
+        }
+    )
+
+
+def q_ohlc_bars(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    parts = ds.map_batches(_ohlc_partial, batch_format="pyarrow")
+    return parts.groupby(["user_id", "hr"]).map_groups(_ohlc_merge, batch_format="pyarrow")
+
+
+SQL_OHLC_BARS = """
+WITH o AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(floor(value * 100.0) AS BIGINT) AS c,
+         FIRST_VALUE(CAST(floor(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts, event_id) AS open_c,
+         FIRST_VALUE(CAST(floor(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS close_c
+  FROM events)
+SELECT user_id, hr,
+       CAST(MAX(open_c) AS BIGINT) AS open,
+       CAST(MAX(c) AS BIGINT) AS high,
+       CAST(MIN(c) AS BIGINT) AS low,
+       CAST(MAX(close_c) AS BIGINT) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o GROUP BY user_id, hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# decayed sum: recency-weighted engagement feature (EWMA family)
+# ---------------------------------------------------------------------------
+#
+# Per user, the 32-term binary-decayed sum over the most recent events
+# (ordered by ts desc, event_id desc):
+#     S = sum_{j=1..min(32,n)}  cents_j * 2^(32-j)
+# i.e. alpha=1/2 exponential decay truncated at 32 taps, kept EXACT in
+# int64 by weighting with integer powers of two (cents < 2^20 here, so
+# S < 2^20 * 2^31 * 2 = 2^52).  Physically this is the grouped
+# top-k-by-recency shrink: each batch keeps at most 32 candidate rows
+# per user it touches, the shuffle moves <=32 x #blocks rows per user,
+# and the merge re-ranks the survivors — ticks never shuffle.
+
+DECAY_TAPS = 32
+
+
+def _decay_partial(batch: pa.Table) -> pa.Table:
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    # newest-first within user: sort by (user asc, ts desc, eid desc)
+    order = np.lexsort((-eid, -ep, uid))
+    uid, ep, eid, c = uid[order], ep[order], eid[order], c[order]
+    new = np.ones(len(uid), dtype=bool)
+    new[1:] = uid[1:] != uid[:-1]
+    seg = np.cumsum(new) - 1
+    st = np.nonzero(new)[0]
+    rank = np.arange(len(uid)) - st[seg]  # 0-based recency rank within batch
+    keep = rank < DECAY_TAPS
+    return pa.table(
+        {
+            "user_id": pa.array(uid[keep], type=pa.int64()),
+            "ep": pa.array(ep[keep], type=pa.int64()),
+            "eid": pa.array(eid[keep], type=pa.int64()),
+            "c": pa.array(c[keep], type=pa.int64()),
+        }
+    )
+
+
+def _decay_merge(g: pa.Table) -> pa.Table:
+    ep = g.column("ep").to_numpy(zero_copy_only=False)
+    eid = g.column("eid").to_numpy(zero_copy_only=False)
+    c = g.column("c").to_numpy(zero_copy_only=False)
+    order = np.lexsort((-eid, -ep))[:DECAY_TAPS]
+    j = np.arange(1, len(order) + 1, dtype=np.int64)
+    s = int(np.sum(c[order] << (DECAY_TAPS - j)))
+    return pa.table(
+        {
+            "user_id": g.column("user_id").slice(0, 1),
+            "decayed": pa.array([s], type=pa.int64()),
+            "n_taps": pa.array([len(order)], type=pa.int64()),
+        }
+    )
+
+
+def q_decayed_sum(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    parts = ds.map_batches(_decay_partial, batch_format="pyarrow")
+    return parts.groupby("user_id").map_groups(_decay_merge, batch_format="pyarrow")
+
+
+SQL_DECAYED_SUM = f"""
+WITH o AS (
+  SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS j
+  FROM events)
+SELECT user_id,
+       CAST(SUM(c * (CAST(1 AS BIGINT) << CAST({DECAY_TAPS} - j AS INTEGER))) AS BIGINT) AS decayed,
+       CAST(COUNT(*) AS BIGINT) AS n_taps
+FROM o WHERE j <= {DECAY_TAPS} GROUP BY user_id
+"""

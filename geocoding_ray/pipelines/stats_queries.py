@@ -2061,3 +2061,148 @@ SELECT l_orderkey, l_linenumber, qty,
        CAST(1 + ({QBINS_K} * (rk - 1)) // n AS BIGINT) AS bucket
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# AUC (ROC area) via the Mann-Whitney rank-sum — exact rational form
+# ---------------------------------------------------------------------------
+#
+# The model-eval shape: treating event_type='purchase' as the positive
+# label and cents(value) as the score, AUC equals U / (n1*n0) with the
+# tie-corrected U = R1 - n1(n1+1)/2 over AVERAGE ranks.  Everything is
+# kept in integers by carrying 2x quantities (2*avg_rank = 2*min_rank +
+# t - 1 is always integral): the pipeline emits exact (cents ->
+# pos/neg count) partials, one slim value-domain-bounded shuffle, and a
+# driver fold over #distinct-cents rows (the gini pattern).  The ONLY
+# float op is the final single division num/den — IEEE-exactly-rounded,
+# so numpy and DuckDB agree bit-for-bit.
+
+def _auc_partials(batch: pa.Table) -> pa.Table:
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy(zero_copy_only=False)
+    c = np.floor(val * 100.0).astype(np.int64)
+    y = (et == "purchase").astype(np.int64)
+    keys, inv = np.unique(c, return_inverse=True)
+    pos = np.zeros(len(keys), dtype=np.int64)
+    tot = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+    np.add.at(pos, inv, y)
+    return pa.table(
+        {
+            "c": pa.array(keys, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "tot": pa.array(tot, type=pa.int64()),
+        }
+    )
+
+
+def q_auc(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(_auc_partials, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum(on="pos", alias_name="p"), Sum(on="tot", alias_name="t"))
+        .take_all()  # #distinct cents — value-domain-bounded, driver-small
+    )
+    runs = sorted((int(r["c"]), int(r["p"]), int(r["t"])) for r in counts)
+    r = 0
+    two_r1 = 0  # 2 * rank-sum of positives, average ranks
+    n1 = 0
+    n = 0
+    for _, p, t in runs:
+        two_r1 += p * (2 * r + t + 1)
+        r += t
+        n1 += p
+        n += t
+    n0 = n - n1
+    num = two_r1 - n1 * (n1 + 1)  # = 2*U
+    den = 2 * n1 * n0
+    return pa.table(
+        {
+            "n_pos": pa.array([n1], type=pa.int64()),
+            "n_neg": pa.array([n0], type=pa.int64()),
+            "auc_num": pa.array([num], type=pa.int64()),
+            "auc_den": pa.array([den], type=pa.int64()),
+            "auc": pa.array([float(num) / float(den)], type=pa.float64()),
+        }
+    )
+
+
+SQL_AUC = """
+WITH s AS (
+  SELECT CAST(floor(value * 100.0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+r AS (
+  SELECT y, 2 * RANK() OVER (ORDER BY c) + COUNT(*) OVER (PARTITION BY c) - 1 AS two_rk
+  FROM s),
+agg AS (
+  SELECT SUM(CASE WHEN y = 1 THEN two_rk ELSE 0 END) AS two_r1,
+         SUM(y) AS n1, SUM(1 - y) AS n0
+  FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS auc_num,
+       CAST(2 * n1 * n0 AS BIGINT) AS auc_den,
+       CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index per user — entropy-family, fully rational
+# ---------------------------------------------------------------------------
+#
+# Behavioral-diversity signal: per user, the probability two events
+# drawn without replacement share an event_type,
+#     lambda = sum_i c_i (c_i - 1) / (n (n - 1)),   diversity = 1 - lambda.
+# Unlike Shannon entropy (whose log has no exactly-rounded guarantee
+# across libms) this is a RATIONAL statistic: exact int64 count
+# aggregation end to end, then one division and one subtraction — both
+# IEEE-exactly-rounded, so the DuckDB oracle matches bit-for-bit.
+# Physically: one native (user, type) Count shuffle (pre-combined per
+# block by Ray's hash aggregate), then a per-user fold over
+# vocabulary-cardinality rows.
+
+def q_simpson_diversity(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def fold(g: pa.Table) -> pa.Table:
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(c.sum())
+        s = int((c * (c - 1)).sum())
+        div = 1.0 - float(s) / float(n * (n - 1)) if n >= 2 else None
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1).cast(pa.int64()),
+                "n_events": pa.array([n], type=pa.int64()),
+                "simpson": pa.array([div], type=pa.float64()),
+            }
+        )
+
+    return counts.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type),
+a AS (
+  SELECT user_id, SUM(c) AS n, SUM(c * (c - 1)) AS s
+  FROM c GROUP BY user_id)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN n >= 2
+            THEN 1.0 - CAST(s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+       END AS simpson
+FROM a
+"""

@@ -1864,3 +1864,136 @@ def q_simhash_pairs(sf_dir: str):
     from ray.data.aggregate import Min
 
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# reciprocal nearest neighbors: mutual-NN pairs over the embedding table
+# ---------------------------------------------------------------------------
+#
+# The agglomerative-clustering / cross-lingual-mining primitive: emit
+# (a, b) iff b is a's single nearest neighbor AND a is b's (cosine,
+# rounded to 6 like the ANN family; ties broken toward the smaller id).
+# Plan — the embed_dup block-pair decomposition re-targeted at argmax:
+# each (bi, bj) co-shuffled group computes, vectorized, every member's
+# best candidate on the OTHER side (both sides when bi == bj, self
+# excluded); those per-group partial champions (<= P per vector) merge
+# in a slim groupby(vid) argmax; the mutuality test is one distributed
+# self-join of the N-row NN table against its own (nn, vid) flip.  No
+# stage holds the matrix: per-task residency is 2N/P rows, FLOPs stay
+# the O(N^2) inherent to exact global NN (the sub-quadratic variant is
+# the IVF path).
+
+RNN_BLOCKS = 4
+
+
+def q_rnn_pairs(sf_dir: str, n_blocks: int = RNN_BLOCKS):
+    import ray.data as rd
+
+    from ..stages.ann import _normalize_rows, embeddings_to_matrix
+
+    P = n_blocks
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        own = (ids % P).astype(np.int32)
+        reps = np.repeat(np.arange(n), P)
+        j = np.tile(np.arange(P, dtype=np.int32), n)
+        ob = own[reps]
+        out = batch.take(pa.array(reps, type=pa.int64()))
+        out = out.append_column("bi", pa.array(np.minimum(ob, j), type=pa.int32()))
+        out = out.append_column("bj", pa.array(np.maximum(ob, j), type=pa.int32()))
+        return out.append_column("blk", pa.array(ob, type=pa.int32()))
+
+    def _best(ids_q: np.ndarray, sims: np.ndarray, ids_c: np.ndarray) -> pa.Table:
+        """Per-row champion of a (nq, nc) sim matrix: max sim, ties to
+        the smallest candidate id (columns pre-sorted by id so argmax's
+        first-max rule IS the tie-break)."""
+        order = np.argsort(ids_c, kind="stable")
+        sims = sims[:, order]
+        ids_c = ids_c[order]
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vid": pa.array(ids_q, type=pa.int64()),
+                "cand": pa.array(ids_c[best], type=pa.int64()),
+                "sim": pa.array(sims[np.arange(len(ids_q)), best], type=pa.float64()),
+            }
+        )
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = g.column("blk").to_numpy(zero_copy_only=False)
+        bi = int(g.column("bi")[0].as_py())
+        bj = int(g.column("bj")[0].as_py())
+        mat = _normalize_rows(embeddings_to_matrix(g))
+        if bi == bj:
+            sims = np.round(mat @ mat.T, 6)
+            np.fill_diagonal(sims, -np.inf)  # exclude self
+            if len(ids) < 2:
+                return pa.table(
+                    {
+                        "vid": pa.array([], type=pa.int64()),
+                        "cand": pa.array([], type=pa.int64()),
+                        "sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            return _best(ids, sims, ids)
+        mi, mj = blk == bi, blk == bj
+        if not mi.any() or not mj.any():
+            return pa.table(
+                {
+                    "vid": pa.array([], type=pa.int64()),
+                    "cand": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        sims = np.round(mat[mi] @ mat[mj].T, 6)
+        return pa.concat_tables(
+            [_best(ids[mi], sims, ids[mj]), _best(ids[mj], sims.T, ids[mi])]
+        )
+
+    def nn_merge(g: pa.Table) -> pa.Table:
+        cand = g.column("cand").to_numpy(zero_copy_only=False)
+        sim = g.column("sim").to_numpy(zero_copy_only=False)
+        k = int(np.lexsort((cand, -sim))[0])
+        return pa.table(
+            {"vid": g.column("vid").slice(0, 1), "nn": g.column("cand").slice(k, 1)}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(explode_blocks, batch_format="pyarrow").groupby(
+        ["bi", "bj"]
+    ).map_groups(pair_group, batch_format="pyarrow")
+    nn = parts.groupby("vid").map_groups(nn_merge, batch_format="pyarrow")
+
+    def flip(batch: pa.Table) -> pa.Table:
+        return pa.table({"vid": batch.column("nn"), "nn": batch.column("vid")})
+
+    flipped = nn.map_batches(flip, batch_format="pyarrow")
+    mutual = nn.join(flipped, join_type="inner", num_partitions=auto_pool(), on=("vid", "nn"))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("vid").to_numpy(zero_copy_only=False)
+        b = batch.column("nn").to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table(
+            {"a": pa.array(a[keep], type=pa.int64()), "b": pa.array(b[keep], type=pa.int64())}
+        )
+
+    return mutual.map_batches(orient, batch_format="pyarrow")
+
+
+SQL_RNN_PAIRS = """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+nn AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rk
+    FROM pairs) WHERE rk = 1)
+SELECT x.qid AS a, x.nid AS b
+FROM nn x JOIN nn y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < y.qid
+"""

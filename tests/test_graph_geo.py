@@ -375,3 +375,36 @@ def test_connected_components_vs_union_find(ray_session):
     comps = set(ref.values())
     assert len(comps) > 1  # sparsifier actually fragments the graph
     assert any(sum(1 for x in ref.values() if x == c) > 1 for c in comps)
+
+
+# ---------------------------------------------------------------------------
+# trajectory diameter: hull prune is lossless vs O(n^2) brute force
+# ---------------------------------------------------------------------------
+
+
+def test_hull_diameter_matches_brute_force():
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(1, 60)
+        xs = rng.randint(0, 36000, n).astype(np.int64)
+        ys = rng.randint(0, 18000, n).astype(np.int64)
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        want = int((dx * dx + dy * dy).max())
+        hx, hy = ga._hull_int(xs, ys)
+        hdx = hx[:, None] - hx[None, :]
+        hdy = hy[:, None] - hy[None, :]
+        assert int((hdx * hdx + hdy * hdy).max()) == want
+
+
+def test_hull_degenerate_collinear_and_duplicates():
+    # all points identical
+    hx, hy = ga._hull_int(np.array([5, 5, 5]), np.array([7, 7, 7]))
+    assert len(hx) == 1
+    # perfectly collinear: hull keeps the two extremes (diameter exact)
+    xs = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    ys = xs * 2
+    hx, hy = ga._hull_int(xs, ys)
+    dx = hx[:, None] - hx[None, :]
+    dy = hy[:, None] - hy[None, :]
+    assert int((dx * dx + dy * dy).max()) == 16 + 64

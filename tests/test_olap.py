@@ -572,3 +572,79 @@ def test_ring_area_vs_scalar_shoelace(ray_session):
     got = q_ring_area(sf).to_pandas()
     assert dict(zip(got["user_id"], got["s2"])) == ref
     assert (got["area2_abs"] == got["s2"].abs()).all()
+
+
+# ---------------------------------------------------------------------------
+# max drawdown: segment-fold split invariance
+# ---------------------------------------------------------------------------
+
+
+def _brute_drawdown(cents):
+    peak = -(1 << 62)
+    dd = 0
+    for c in cents:
+        peak = max(peak, c)
+        dd = max(dd, peak - c)
+    return dd
+
+
+class TestMaxDrawdown:
+    def test_fold_split_invariant_at_every_cut(self):
+        """dd(L+R) = max(dd_L, dd_R, max_L - min_R): running _drawdown_partial
+        on every 2-way cut of a sorted single-user stream and merging must
+        reproduce the scalar scan, for adversarial shapes (monotone up,
+        monotone down, V, peak-first, trough-first)."""
+        streams = [
+            [1, 2, 3, 4, 5],
+            [5, 4, 3, 2, 1],
+            [3, 1, 4, 1, 5, 9, 2, 6],
+            [10, -5, 7, -20, 30, 0],
+            [0, 0, 0],
+            [7],
+        ]
+        rng = np.random.RandomState(11)
+        streams.append(rng.randint(-100, 100, 64).tolist())
+        for cents in streams:
+            n = len(cents)
+            want = _brute_drawdown(cents)
+            ts = np.arange(n).astype("datetime64[us]")
+            vals = [c / 100.0 for c in cents]
+            tbl = _events([1] * n, ts, list(range(n)), vals)
+            for cut in range(0, n + 1):
+                parts = [
+                    ol._drawdown_partial(tbl.slice(0, cut)),
+                    ol._drawdown_partial(tbl.slice(cut, n - cut)),
+                ]
+                merged = ol._drawdown_merge(pa.concat_tables(parts))
+                assert merged.column("max_drawdown")[0].as_py() == want, (cents, cut)
+                assert merged.column("n_events")[0].as_py() == n
+
+    def test_partial_handles_value_floor(self):
+        # floor(-0.01*100) = -1 exactly (not trunc toward 0)
+        tbl = _events([1, 1], np.array([0, 1], dtype="datetime64[us]"), [0, 1], [0.02, -0.01])
+        p = ol._drawdown_partial(tbl)
+        assert p.column("mx")[0].as_py() == 2 and p.column("mn")[0].as_py() == -1
+
+
+class TestDecayedSum:
+    def test_matches_direct_weighting_under_cuts(self):
+        rng = np.random.RandomState(5)
+        n = 100
+        ts = rng.permutation(n).astype("datetime64[us]")
+        eid = list(range(n))
+        val = rng.uniform(0, 300, n).round(2).tolist()
+        tbl = _events([1] * n, ts, eid, val)
+        order = np.argsort(ts.astype(np.int64))[::-1]
+        cents = np.floor(np.array(val) * 100.0).astype(np.int64)[order]
+        want = int(
+            sum(int(cents[j]) << (ol.DECAY_TAPS - (j + 1)) for j in range(min(ol.DECAY_TAPS, n)))
+        )
+        for cut in [0, 1, 17, 50, 99, 100]:
+            parts = pa.concat_tables(
+                [
+                    ol._decay_partial(tbl.slice(0, cut)),
+                    ol._decay_partial(tbl.slice(cut, n - cut)),
+                ]
+            )
+            got = ol._decay_merge(parts)
+            assert got.column("decayed")[0].as_py() == want

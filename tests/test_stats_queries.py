@@ -474,3 +474,49 @@ def test_gini_degenerate_uniform():
     # fold one run directly: v*(2*c*0 + c*(c+1) - (c+1)*c) == 0
     c, v = 7, 5
     assert v * (2 * c * 0 + c * (c + 1) - (c + 1) * c) == 0
+
+
+# ---------------------------------------------------------------------------
+# AUC: rank-sum fold vs direct pair counting (ties = half credit)
+# ---------------------------------------------------------------------------
+
+
+def test_auc_rank_fold_matches_pair_counting():
+    rng = np.random.RandomState(13)
+    for trial in range(10):
+        n = rng.randint(4, 200)
+        c = rng.randint(0, 12, n)  # heavy ties
+        y = rng.randint(0, 2, n)
+        if y.sum() == 0 or y.sum() == n:
+            y[0], y[-1] = 1, 0
+        pos, neg = c[y == 1], c[y == 0]
+        # direct: P(score_pos > score_neg) + 0.5 P(equal)
+        gt = (pos[:, None] > neg[None, :]).sum()
+        eq = (pos[:, None] == neg[None, :]).sum()
+        want_num = int(2 * gt + eq)  # = 2U
+        # the pipeline's fold over sorted (value, pos, tot) runs
+        runs = {}
+        for v, lab in zip(c, y):
+            p, t = runs.get(v, (0, 0))
+            runs[v] = (p + lab, t + 1)
+        r = two_r1 = n1 = 0
+        for v in sorted(runs):
+            p, t = runs[v]
+            two_r1 += p * (2 * r + t + 1)
+            r += t
+            n1 += p
+        got_num = two_r1 - n1 * (n1 + 1)
+        assert got_num == want_num
+        assert 0 <= got_num <= 2 * len(pos) * len(neg)
+
+
+def test_simpson_diversity_bounds_and_uniform_case():
+    # n identical types -> diversity 0; all distinct -> 1
+    c = np.array([10], dtype=np.int64)
+    n = int(c.sum())
+    lam = float((c * (c - 1)).sum()) / float(n * (n - 1))
+    assert 1.0 - lam == 0.0
+    c = np.ones(10, dtype=np.int64)
+    n = int(c.sum())
+    lam = float((c * (c - 1)).sum()) / float(n * (n - 1))
+    assert 1.0 - lam == 1.0

@@ -63,6 +63,14 @@ QUERIES = [
     "argmin_join",
     "self_intersections",
     "normalized_dedup",
+    # round-4 batch 12: sequence scans, rank stats, mutual-NN join
+    "max_drawdown",
+    "ohlc_bars",
+    "decayed_sum",
+    "auc",
+    "simpson_diversity",
+    "traj_diameter",
+    "rnn_pairs",
 ]
 
 
