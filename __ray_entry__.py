@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "image_rot90": oq.q_image_rot90,          # augmentation: 90° rotation through a double codec roundtrip
+        "image_crop": oq.q_image_crop,            # augmentation: 4x4 center crop through a double codec roundtrip
+        "rolling_sum_w3": ol.q_rolling_sum_w3,    # bounded window (ROWS 2 PRECEDING) sum, slim boundary repair
+        "day_churn": ol.q_day_churn,              # consecutive-day audience Jaccard via per-user day runs
+        "dedup_keep_best": cq.q_dedup_keep_best,  # canonical dup groups keep argmin-(len, id) representative
         "max_drawdown": ol.q_max_drawdown,        # peak-to-trough scan via associative segment fold
         "ohlc_bars": ol.q_ohlc_bars,              # tick -> (user, hour) OHLC resampling, argmin/argmax partials
         "decayed_sum": ol.q_decayed_sum,          # recency-weighted (binary-EWMA) feature, exact int taps
@@ -325,6 +330,11 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "image_rot90": oq.SQL_IMAGE_ROT90,
+        "image_crop": oq.SQL_IMAGE_CROP,
+        "rolling_sum_w3": ol.SQL_ROLLING_SUM_W3,
+        "day_churn": ol.SQL_DAY_CHURN,
+        "dedup_keep_best": cq.SQL_DEDUP_KEEP_BEST,
         "max_drawdown": ol.SQL_MAX_DRAWDOWN,
         "ohlc_bars": ol.SQL_OHLC_BARS,
         "decayed_sum": ol.SQL_DECAYED_SUM,

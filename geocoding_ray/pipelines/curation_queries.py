@@ -1375,3 +1375,101 @@ SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
 FROM unioned
 GROUP BY 1 HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup keep-best: canonical groups keep their most compact representative
+# ---------------------------------------------------------------------------
+#
+# The curation step AFTER duplicate detection: each normalized-text
+# group (normalized_dedup's canonical form, same UPPER/double-space
+# twin explode so the gate self-demonstrates on the synthetic corpus)
+# keeps ONE winner — the shortest text (most compact normalization
+# source), ties to the smallest doc_id.  Argmin is carried as a
+# per-batch one-candidate-per-group partial (the compact_lww shape), so
+# the shuffle moves group-cardinality rows and the merge re-argmins
+# over <= #blocks candidates per group.
+
+def q_dedup_keep_best(sf_dir: str):
+    import ray.data as rd
+
+    from ..functions.hashing import md5_hex
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        text = batch.column("text")
+        twin_text = pc.replace_substring(pc.utf8_upper(text), " ", "  ")
+        twin_ids = pc.add(ids, NORM_TWIN_OFFSET)
+        all_text = pa.concat_arrays(
+            [pc.cast(text, pa.string()).combine_chunks(), pc.cast(twin_text, pa.string()).combine_chunks()]
+        )
+        all_ids = pa.concat_arrays(
+            [pc.cast(ids, pa.int64()).combine_chunks(), pc.cast(twin_ids, pa.int64()).combine_chunks()]
+        )
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(all_text), r"\s+", " "),
+            characters=" ",
+        )
+        md5 = np.array(md5_hex(s or "" for s in norm.to_pylist()), dtype="U32")
+        ln = pc.utf8_length(all_text).to_numpy(zero_copy_only=False).astype(np.int64)
+        di = all_ids.to_numpy(zero_copy_only=False)
+        # one candidate per group per batch: argmin by (len, doc_id);
+        # group key via integer codes (np.lexsort needs comparable
+        # primaries; unicode keys sort but codes are cheaper)
+        _, inv = np.unique(md5, return_inverse=True)
+        order = np.lexsort((di, ln, inv))
+        md5s, ds_, lns = md5[order], di[order], ln[order]
+        first = np.ones(len(md5s), dtype=bool)
+        first[1:] = md5s[1:] != md5s[:-1]
+        st = np.nonzero(first)[0]
+        cnt = np.diff(np.concatenate([st, [len(md5s)]]))
+        return pa.table(
+            {
+                "norm_md5": pa.array(md5s[st].tolist(), type=pa.string()),
+                "cand_id": pa.array(ds_[st], type=pa.int64()),
+                "cand_len": pa.array(lns[st], type=pa.int64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ln = g.column("cand_len").to_numpy(zero_copy_only=False)
+        di = g.column("cand_id").to_numpy(zero_copy_only=False)
+        k = int(np.lexsort((di, ln))[0])
+        n = int(g.column("cnt").to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "norm_md5": g.column("norm_md5").slice(0, 1),
+                "keep_id": g.column("cand_id").slice(k, 1),
+                "n_dups": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("norm_md5")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return out.filter(expr="n_dups >= 2")
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, replace(upper(text), ' ', '  ') AS text
+  FROM documents
+),
+g AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+         doc_id, length(text) AS len
+  FROM unioned),
+w AS (
+  SELECT norm_md5, doc_id AS keep_id,
+         ROW_NUMBER() OVER (PARTITION BY norm_md5 ORDER BY len ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY norm_md5) AS n_dups
+  FROM g)
+SELECT norm_md5, keep_id, CAST(n_dups AS BIGINT) AS n_dups
+FROM w WHERE rn = 1 AND n_dups >= 2
+"""

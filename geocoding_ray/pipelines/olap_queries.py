@@ -1798,3 +1798,276 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_taps
 FROM o WHERE j <= {DECAY_TAPS} GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bounded-window rolling sum: SUM OVER (ROWS 2 PRECEDING AND CURRENT)
+# ---------------------------------------------------------------------------
+#
+# The moving-window family (running_sum is the unbounded prefix;
+# value_delta is LAG): each event's sum of itself plus its user's two
+# preceding events in (ts, event_id) order, exact int64 cents.  Plan:
+# one distributed sort, a vectorized per-batch pass that resolves every
+# row except the first TWO of each (user, batch) segment, ONE summary
+# row per segment (its head rows' partial sums + its last-two tail
+# cents), a per-user walk over segment-cardinality summaries that
+# repairs the heads, and one left join of the slim repair rows back
+# onto the stream.  Ticks cross the wire once (the sort); the repair
+# side is #segments-sized.
+
+ROLL_W = 2  # preceding rows in the window
+
+
+def _roll_local(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+    new = np.ones(n, dtype=bool)
+    new[1:] = uid[1:] != uid[:-1]
+    st = np.nonzero(new)[0]
+    seg = np.cumsum(new) - 1
+    rank = np.arange(n) - st[seg]
+    prev1 = np.where(rank >= 1, np.roll(c, 1), 0)
+    prev2 = np.where(rank >= 2, np.roll(c, 2), 0)
+    local = c + prev1 + prev2  # complete iff rank >= ROLL_W
+    return pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts": batch.column("ts"),
+            "rank": pa.array(rank, type=pa.int64()),
+            "cents": pa.array(c, type=pa.int64()),
+            "local": pa.array(local, type=pa.int64()),
+        }
+    )
+
+
+def _roll_boundaries(batch: pa.Table) -> pa.Table:
+    """ONE summary row per (user, batch) segment: first-row key (for
+    ordering), head rows' (eid, local) needing repair, last-two tail
+    cents for successors."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "f_ts": pa.array([], type=pa.int64()),
+                "f_eid": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "h0_eid": pa.array([], type=pa.int64()),
+                "h0_local": pa.array([], type=pa.int64()),
+                "h1_eid": pa.array([], type=pa.int64()),
+                "h1_local": pa.array([], type=pa.int64()),
+                "t1": pa.array([], type=pa.int64()),
+                "t2": pa.array([], type=pa.int64()),
+            }
+        )
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    ep = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    c = batch.column("cents").to_numpy(zero_copy_only=False)
+    local = batch.column("local").to_numpy(zero_copy_only=False)
+    new = np.ones(n, dtype=bool)
+    new[1:] = uid[1:] != uid[:-1]
+    st = np.nonzero(new)[0]
+    en = np.concatenate([st[1:], [n]])
+    ln = en - st
+    h1 = np.where(ln >= 2, st + 1, -1)
+    t2 = np.where(ln >= 2, en - 2, -1)
+    return pa.table(
+        {
+            "user_id": pa.array(uid[st], type=pa.int64()),
+            "f_ts": pa.array(ep[st], type=pa.int64()),
+            "f_eid": pa.array(eid[st], type=pa.int64()),
+            "n": pa.array(ln, type=pa.int64()),
+            "h0_eid": pa.array(eid[st], type=pa.int64()),
+            "h0_local": pa.array(local[st], type=pa.int64()),
+            "h1_eid": pa.array(np.where(h1 >= 0, eid[np.maximum(h1, 0)], -1), type=pa.int64()),
+            "h1_local": pa.array(np.where(h1 >= 0, local[np.maximum(h1, 0)], 0), type=pa.int64()),
+            "t1": pa.array(c[en - 1], type=pa.int64()),
+            "t2": pa.array(np.where(t2 >= 0, c[np.maximum(t2, 0)], 0), type=pa.int64()),
+        }
+    )
+
+
+def _roll_repair(g: pa.Table) -> pa.Table:
+    """Per-user walk over segment summaries in stream order: fix each
+    segment's head rows using the running last-two cents carried from
+    prior segments.  Output rows: (event_id, fixed) for heads only."""
+    f_ts = g.column("f_ts").to_numpy(zero_copy_only=False)
+    f_eid = g.column("f_eid").to_numpy(zero_copy_only=False)
+    order = np.lexsort((f_eid, f_ts))
+    n = g.column("n").to_numpy(zero_copy_only=False)[order]
+    h0e = g.column("h0_eid").to_numpy(zero_copy_only=False)[order]
+    h0l = g.column("h0_local").to_numpy(zero_copy_only=False)[order]
+    h1e = g.column("h1_eid").to_numpy(zero_copy_only=False)[order]
+    h1l = g.column("h1_local").to_numpy(zero_copy_only=False)[order]
+    t1 = g.column("t1").to_numpy(zero_copy_only=False)[order]
+    t2 = g.column("t2").to_numpy(zero_copy_only=False)[order]
+    out_eid: list[int] = []
+    out_fix: list[int] = []
+    p1 = p2 = None  # last and second-last cents seen so far
+    for i in range(len(n)):
+        # head row 0: local == own cents; needs p1 and p2
+        fix0 = int(h0l[i]) + (int(p1) if p1 is not None else 0) + (int(p2) if p2 is not None else 0)
+        out_eid.append(int(h0e[i]))
+        out_fix.append(fix0)
+        if n[i] >= 2 and h1e[i] >= 0:
+            # head row 1: local == own + row0; needs p1 only
+            out_eid.append(int(h1e[i]))
+            out_fix.append(int(h1l[i]) + (int(p1) if p1 is not None else 0))
+        # advance the carried last-two buffer
+        if n[i] >= 2:
+            p2, p1 = int(t2[i]), int(t1[i])
+        else:
+            p2, p1 = p1, int(t1[i])
+    return pa.table(
+        {
+            "r_eid": pa.array(out_eid, type=pa.int64()),
+            "fixed": pa.array(out_fix, type=pa.int64()),
+        }
+    )
+
+
+def q_rolling_sum_w3(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    rows = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .sort(["user_id", "ts", "event_id"])
+        .map_batches(_roll_local, batch_format="pyarrow")
+        .materialize()  # consumed twice: stream side + boundary scan
+    )
+    repairs = _scrub_empties(
+        rows.map_batches(_roll_boundaries, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_roll_repair, batch_format="pyarrow")
+    )
+    joined = rows.join(
+        repairs, join_type="left_outer", num_partitions=8, on=("event_id",), right_on=("r_eid",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        local = batch.column("local").to_numpy(zero_copy_only=False)
+        fixed = batch.column("fixed").to_numpy(zero_copy_only=False)
+        rank = batch.column("rank").to_numpy(zero_copy_only=False)
+        out = np.where(rank < ROLL_W, fixed, local).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "roll3": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ROLLING_SUM_W3 = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# day-over-day audience churn: Jaccard of consecutive daily user sets
+# ---------------------------------------------------------------------------
+#
+# The retention-adjacent set-overlap report: for every day d with a
+# successor day d+1 in the data, |A_d ∩ A_{d+1}| / |A_d ∪ A_{d+1}|
+# over distinct active-user sets.  The intersection NEVER joins two
+# day-sized sets: after the distinct-(day, user) shrink (one native
+# groupby over per-batch pre-distinct pairs, growth_accounting's
+# physics) each USER's sorted day list yields its consecutive-day hits
+# vectorized, so the exchange is user-cardinality and the per-day
+# numerator is one slim Count.  Final assembly folds #days rows on the
+# driver (calendar-bounded by definition).
+
+def q_day_churn(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // DAY_US
+        key = np.unique(day * 1_000_000_007 + uid)
+        return pa.table(
+            {
+                "day": pa.array(key // 1_000_000_007, type=pa.int64()),
+                "user_id": pa.array(key % 1_000_000_007, type=pa.int64()),
+            }
+        )
+
+    du = (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["day", "user_id"])
+        .materialize()  # consumed twice (per-day sizes + per-user day runs)
+    )
+    sizes = du.groupby("day").aggregate(Count(alias_name="n")).take_all()
+    # per-user consecutive-day hits: vectorized diff over the sorted
+    # distinct day list; emit the EARLIER day of each adjacent pair
+    def consec(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("day").to_numpy(zero_copy_only=False))
+        hit = d[:-1][np.diff(d) == 1] if len(d) > 1 else np.zeros(0, np.int64)
+        return pa.table({"day": pa.array(hit, type=pa.int64())})
+
+    inter = (
+        du.groupby("user_id")
+        .map_groups(consec, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="inter"))
+        .take_all()  # #days-with-successor rows — calendar-bounded
+    )
+    n_by_day = {int(r["day"]): int(r["n"]) for r in sizes}
+    i_by_day = {int(r["day"]): int(r["inter"]) for r in inter}
+    days = sorted(d for d in n_by_day if d + 1 in n_by_day)
+    out_d, out_n, out_m, out_i, out_j = [], [], [], [], []
+    for d in days:
+        na, nb = n_by_day[d], n_by_day[d + 1]
+        ix = i_by_day.get(d, 0)
+        out_d.append(d)
+        out_n.append(na)
+        out_m.append(nb)
+        out_i.append(ix)
+        out_j.append(float(ix) / float(na + nb - ix))
+    return pa.table(
+        {
+            "day": pa.array(out_d, type=pa.int64()),
+            "n_day": pa.array(out_n, type=pa.int64()),
+            "n_next": pa.array(out_m, type=pa.int64()),
+            "inter": pa.array(out_i, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
+
+
+SQL_DAY_CHURN = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events),
+s AS (SELECT day, COUNT(*) AS n FROM du GROUP BY day),
+i AS (
+  SELECT a.day AS day, COUNT(*) AS inter
+  FROM du a JOIN du b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY a.day)
+SELECT CAST(s.day AS BIGINT) AS day,
+       CAST(s.n AS BIGINT) AS n_day,
+       CAST(s2.n AS BIGINT) AS n_next,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / CAST(s.n + s2.n - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard
+FROM s JOIN s s2 ON s2.day = s.day + 1
+LEFT JOIN i ON i.day = s.day
+"""

@@ -1847,6 +1847,147 @@ SQL_IMAGE_FLIP = _sql_image_flip()
 
 
 # ---------------------------------------------------------------------------
+# image augmentation: 90° rotation and center crop (same double-codec gate)
+# ---------------------------------------------------------------------------
+#
+# Two more members of the augmentation family, sharing image_flip's
+# physics (decode -> transform -> RE-ENCODE -> decode, both TIFF
+# roundtrips real) and its position-weighted checksum gate: the oracle
+# predicts the INDEX-REMAPPED formula arithmetically — rot90-clockwise
+# reads original (7-c, r) at output (r, c); the 4x4 center crop reads
+# original (r+2, c+2) — so a skipped transform, a wrong rotation
+# direction, or an encode that corrupts pixel order all hash-fail.
+
+
+class _ImageRot90:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        self.w = ((r + 1) * (c + 1)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        out = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0))
+            rot = np.rot90(dec, k=-1)  # clockwise: rot[r, c] = dec[7-c, r]
+            dec2 = self.tiff.parse_pixels(
+                self.tiff.encode_tiff(np.ascontiguousarray(rot), 0, 0)
+            ).astype(np.int64)
+            out[i] = (dec2 * self.w).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_r": pa.array(out[:, 0], type=pa.int64()),
+                "w_g": pa.array(out[:, 1], type=pa.int64()),
+                "w_b": pa.array(out[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_rot90(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageRot90, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_rot90() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        # rotated pixel at (r, c) is the ORIGINAL pixel at (7-c, r)
+        cols.append(
+            f"CAST(SUM(((event_id + 16 * (7 - g.c) + 2 * g.r + {k}) % 256)"
+            f" * (g.r + 1) * (g.c + 1)) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 8) c)
+SELECT event_id, {col_block}
+FROM events, g
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_ROT90 = _sql_image_rot90()
+
+
+class _ImageCrop:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        rc = np.arange(4).reshape(4, 1, 1)
+        cc = np.arange(4).reshape(1, 4, 1)
+        self.w = ((rc + 1) * (cc + 1)).astype(np.int64)  # (4, 4, 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        out = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0))
+            crop = dec[2:6, 2:6, :]  # 4x4 center crop
+            dec2 = self.tiff.parse_pixels(
+                self.tiff.encode_tiff(np.ascontiguousarray(crop), 0, 0)
+            ).astype(np.int64)
+            out[i] = (dec2 * self.w).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_r": pa.array(out[:, 0], type=pa.int64()),
+                "w_g": pa.array(out[:, 1], type=pa.int64()),
+                "w_b": pa.array(out[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_crop(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageCrop, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_crop() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        # cropped pixel at (r, c) is the ORIGINAL pixel at (r+2, c+2)
+        cols.append(
+            f"CAST(SUM(((event_id + 16 * (g.r + 2) + 2 * (g.c + 2) + {k}) % 256)"
+            f" * (g.r + 1) * (g.c + 1)) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 4) r, range(0, 4) c)
+SELECT event_id, {col_block}
+FROM events, g
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_CROP = _sql_image_crop()
+
+
+# ---------------------------------------------------------------------------
 # video scene-cut detection (temporal frame-delta through real decode)
 # ---------------------------------------------------------------------------
 #

@@ -648,3 +648,48 @@ class TestDecayedSum:
             )
             got = ol._decay_merge(parts)
             assert got.column("decayed")[0].as_py() == want
+
+
+class TestRollingSumW3:
+    def test_boundary_repair_at_every_cut(self):
+        """Simulate the full plan at arbitrary batch cuts of a sorted
+        multi-user stream: _roll_local per batch, _roll_boundaries ->
+        _roll_repair per user, heads overridden — must equal the scalar
+        3-row window sum at every cut."""
+        rng = np.random.RandomState(23)
+        n = 120
+        uid = np.sort(rng.randint(0, 5, n))
+        ts = np.arange(n).astype("datetime64[us]")
+        eid = list(range(n))
+        val = rng.uniform(-5, 50, n).round(2).tolist()
+        cents = np.floor(np.array(val) * 100.0).astype(np.int64)
+        want = {}
+        hist: dict[int, list] = {}
+        for i in range(n):
+            h = hist.setdefault(int(uid[i]), [])
+            h.append(int(cents[i]))
+            want[i] = sum(h[-3:])
+        tbl = _events(uid.tolist(), ts, eid, val)
+        for cuts in ([], [1], [2], [n // 2], [3, 4, 5, 60], list(range(0, n, 7))):
+            bounds = [0] + [c for c in cuts if 0 < c < n] + [n]
+            locals_ = [
+                ol._roll_local(tbl.slice(lo, hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])
+            ]
+            bnd = pa.concat_tables([ol._roll_boundaries(t) for t in locals_])
+            fixes = {}
+            for u in np.unique(bnd.column("user_id").to_numpy(zero_copy_only=False)):
+                mask = [
+                    i
+                    for i, v in enumerate(bnd.column("user_id").to_pylist())
+                    if v == u
+                ]
+                rep = ol._roll_repair(bnd.take(pa.array(mask, type=pa.int64())))
+                for r in rep.to_pylist():
+                    fixes[r["r_eid"]] = r["fixed"]
+            got = {}
+            for t in locals_:
+                for r in t.to_pylist():
+                    got[r["event_id"]] = (
+                        fixes[r["event_id"]] if r["rank"] < ol.ROLL_W else r["local"]
+                    )
+            assert got == want, cuts

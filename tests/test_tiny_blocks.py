@@ -71,6 +71,12 @@ QUERIES = [
     "simpson_diversity",
     "traj_diameter",
     "rnn_pairs",
+    # round-4 batch 13: bounded windows, set churn, keep-best, augmentations
+    "rolling_sum_w3",
+    "day_churn",
+    "dedup_keep_best",
+    "image_rot90",
+    "image_crop",
 ]
 
 
