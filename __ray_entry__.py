@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "segment_join": ga.q_segment_join,        # cross-user trajectory crossings: cell co-shuffle + canonical-cell dedup
         "image_rot90": oq.q_image_rot90,          # augmentation: 90° rotation through a double codec roundtrip
         "image_crop": oq.q_image_crop,            # augmentation: 4x4 center crop through a double codec roundtrip
         "rolling_sum_w3": ol.q_rolling_sum_w3,    # bounded window (ROWS 2 PRECEDING) sum, slim boundary repair
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "segment_join": ga.SQL_SEGMENT_JOIN,
         "image_rot90": oq.SQL_IMAGE_ROT90,
         "image_crop": oq.SQL_IMAGE_CROP,
         "rolling_sum_w3": ol.SQL_ROLLING_SUM_W3,

@@ -988,3 +988,182 @@ h AS (SELECT user_id, COUNT(*) AS n_pts FROM p GROUP BY user_id)
 SELECT h.user_id, CAST(h.n_pts AS BIGINT) AS n_pts, CAST(d.diam2 AS BIGINT) AS diam2
 FROM h JOIN d USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-user segment join: trajectory crossing counts between user pairs
+# ---------------------------------------------------------------------------
+#
+# The both-sides-large spatial join the reverse/forward shuffle plans
+# demonstrate for points, applied to SEGMENTS: for every pair of users,
+# how many times do their polylines properly cross?  Physics: segments
+# explode to the grid cells their bbox covers (a crossing pair's bboxes
+# intersect, and two intersecting boxes always share the cell of the
+# intersection's min corner, so cell co-membership is a lossless
+# prefilter); ONE groupby(cell) co-shuffle; each cell group runs the
+# vectorized four-orientation exact-int test over cross-user pairs and
+# counts a pair ONLY in its canonical cell (the cell of
+# (max of bbox-min x, max of bbox-min y) — inside both bboxes by
+# construction), so multi-cell pairs are never double-counted and no
+# distinct-shuffle is needed; per-cell partial counts Sum-reduce on
+# (user_a, user_b).  The oracle pays the full O(S²) cross join, so the
+# query samples users (user_id % SEGJ_MOD == 0) to keep SQL tractable —
+# the sampling is part of the query definition, not an approximation.
+
+SEGJ_MOD = 5
+SEGJ_CS = 250  # cell size over the [0, RING_MOD)² field -> 4x4 grid
+
+
+def q_segment_join(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def keep_sampled(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(uid % SEGJ_MOD == 0))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(keep_sampled, batch_format="pyarrow")
+
+    def segments(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        e = eid[order]
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "ax": pa.array([], type=pa.int64()),
+                "ay": pa.array([], type=pa.int64()),
+                "bx": pa.array([], type=pa.int64()),
+                "by": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(e) < 2:
+            return empty
+        x = (e * RING_XM) % RING_MOD
+        y = (e * RING_YM) % RING_MOD
+        u = int(group.column("user_id")[0].as_py())
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(e) - 1, u), type=pa.int64()),
+                "ax": pa.array(x[:-1], type=pa.int64()),
+                "ay": pa.array(y[:-1], type=pa.int64()),
+                "bx": pa.array(x[1:], type=pa.int64()),
+                "by": pa.array(y[1:], type=pa.int64()),
+            }
+        )
+
+    def explode_cells(batch: pa.Table) -> pa.Table:
+        ax = batch.column("ax").to_numpy(zero_copy_only=False)
+        ay = batch.column("ay").to_numpy(zero_copy_only=False)
+        bx = batch.column("bx").to_numpy(zero_copy_only=False)
+        by = batch.column("by").to_numpy(zero_copy_only=False)
+        x0 = np.minimum(ax, bx) // SEGJ_CS
+        x1 = np.maximum(ax, bx) // SEGJ_CS
+        y0 = np.minimum(ay, by) // SEGJ_CS
+        y1 = np.maximum(ay, by) // SEGJ_CS
+        nx = (x1 - x0 + 1).astype(np.int64)
+        ny = (y1 - y0 + 1).astype(np.int64)
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(ax)), reps)
+        # within-segment cell offsets, vectorized: position within the
+        # repeated run -> (dx, dy) over the segment's nx x ny cover
+        st = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos = np.arange(int(reps.sum())) - st[idx]
+        dx = pos // ny[idx]
+        dy = pos % ny[idx]
+        out = batch.take(pa.array(idx, type=pa.int64()))
+        cell = (x0[idx] + dx) * 1000 + (y0[idx] + dy)
+        return out.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    def cell_group(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ax = g.column("ax").to_numpy(zero_copy_only=False)
+        ay = g.column("ay").to_numpy(zero_copy_only=False)
+        bx = g.column("bx").to_numpy(zero_copy_only=False)
+        by = g.column("by").to_numpy(zero_copy_only=False)
+        cell = int(g.column("cell")[0].as_py())
+        ccx, ccy = cell // 1000, cell % 1000
+        n = len(u)
+        empty = pa.table(
+            {
+                "user_a": pa.array([], type=pa.int64()),
+                "user_b": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+
+        def orient(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+        # proper crossing: endpoints of j strictly on opposite sides of i
+        # AND vice versa (p1 = o(i; aj)*o(i; bj), p2 = o(j; ai)*o(j; bi))
+        o1 = orient(ax[:, None], ay[:, None], bx[:, None], by[:, None], ax[None, :], ay[None, :])
+        o2 = orient(ax[:, None], ay[:, None], bx[:, None], by[:, None], bx[None, :], by[None, :])
+        p1 = o1 * o2
+        p2 = (
+            orient(ax[None, :], ay[None, :], bx[None, :], by[None, :], ax[:, None], ay[:, None])
+            * orient(ax[None, :], ay[None, :], bx[None, :], by[None, :], bx[:, None], by[:, None])
+        )
+        hit = (p1 < 0) & (p2 < 0) & (u[:, None] < u[None, :])
+        # canonical-cell dedup: count the pair only in the cell of the
+        # pairwise (max bbox-min x, max bbox-min y) corner
+        mnx = np.minimum(ax, bx)
+        mny = np.minimum(ay, by)
+        canon_x = np.maximum(mnx[:, None], mnx[None, :]) // SEGJ_CS
+        canon_y = np.maximum(mny[:, None], mny[None, :]) // SEGJ_CS
+        hit &= (canon_x == ccx) & (canon_y == ccy)
+        ii, jj = np.nonzero(hit)
+        if len(ii) == 0:
+            return empty
+        key = u[ii] * 10_000_000 + u[jj]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "user_a": pa.array(uk // 10_000_000, type=pa.int64()),
+                "user_b": pa.array(uk % 10_000_000, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    segs = ds.groupby("user_id").map_groups(segments, batch_format="pyarrow")
+    cells = segs.map_batches(explode_cells, batch_format="pyarrow")
+    partial = cells.groupby("cell").map_groups(cell_group, batch_format="pyarrow")
+    out = partial.groupby(["user_a", "user_b"]).aggregate(Sum(on="n", alias_name="n_crossings"))
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_a": batch.column("user_a").cast(pa.int64()),
+                "user_b": batch.column("user_b").cast(pa.int64()),
+                "n_crossings": batch.column("n_crossings").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast_out, batch_format="pyarrow")
+
+
+SQL_SEGMENT_JOIN = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         (event_id * {RING_XM}) % {RING_MOD} AS x,
+         (event_id * {RING_YM}) % {RING_MOD} AS y
+  FROM events WHERE user_id % {SEGJ_MOD} = 0),
+s AS (
+  SELECT user_id, x AS ax, y AS ay, LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (SELECT * FROM s WHERE bx IS NOT NULL),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         ((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))
+       * ((a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax)) AS p1,
+         ((b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax))
+       * ((b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax)) AS p2
+  FROM seg a JOIN seg b ON a.user_id < b.user_id)
+SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_crossings
+FROM pairs WHERE p1 < 0 AND p2 < 0 GROUP BY ua, ub
+"""

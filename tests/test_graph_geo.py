@@ -408,3 +408,59 @@ def test_hull_degenerate_collinear_and_duplicates():
     dx = hx[:, None] - hx[None, :]
     dy = hy[:, None] - hy[None, :]
     assert int((dx * dx + dy * dy).max()) == 16 + 64
+
+
+# ---------------------------------------------------------------------------
+# segment join: cell decomposition + canonical-cell dedup is lossless
+# ---------------------------------------------------------------------------
+
+
+def test_segment_join_cell_plan_matches_brute(ray_session, tmp_path):
+    """Write a small synthetic events table, run the full distributed
+    plan, and compare against a direct all-pairs orientation count."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(31)
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(np.arange(n).astype("datetime64[us]")),
+            "user_id": pa.array(np.sort(rng.randint(0, 40, n)) * ga.SEGJ_MOD, type=pa.int64()),
+            "event_type": pa.array(["x"] * n, type=pa.string()),
+            "value": pa.array(np.ones(n), type=pa.float64()),
+            "props": pa.array(["{}"] * n, type=pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = {
+        (r["user_a"], r["user_b"]): r["n_crossings"]
+        for r in ga.q_segment_join(d).take_all()
+    }
+    # brute force: all cross-user segment pairs, four-orientation test
+    uid = tbl.column("user_id").to_numpy()
+    eid = tbl.column("event_id").to_numpy()
+    segs = []
+    for u in np.unique(uid):
+        e = eid[uid == u]
+        x = (e * ga.RING_XM) % ga.RING_MOD
+        y = (e * ga.RING_YM) % ga.RING_MOD
+        for i in range(len(e) - 1):
+            segs.append((int(u), int(x[i]), int(y[i]), int(x[i + 1]), int(y[i + 1])))
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    want: dict = {}
+    for a in range(len(segs)):
+        for b in range(len(segs)):
+            ua, ax, ay, bx, by = segs[a]
+            ub, cx, cy, dx, dy = segs[b]
+            if ua >= ub:
+                continue
+            p1 = orient(ax, ay, bx, by, cx, cy) * orient(ax, ay, bx, by, dx, dy)
+            p2 = orient(cx, cy, dx, dy, ax, ay) * orient(cx, cy, dx, dy, bx, by)
+            if p1 < 0 and p2 < 0:
+                want[(ua, ub)] = want.get((ua, ub), 0) + 1
+    assert got == want

@@ -77,6 +77,7 @@ QUERIES = [
     "dedup_keep_best",
     "image_rot90",
     "image_crop",
+    "segment_join",
 ]
 
 
