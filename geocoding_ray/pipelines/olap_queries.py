@@ -2071,3 +2071,106 @@ SELECT CAST(s.day AS BIGINT) AS day,
 FROM s JOIN s s2 ON s2.day = s.day + 1
 LEFT JOIN i ON i.day = s.day
 """
+
+
+# ---------------------------------------------------------------------------
+# nearest-event join: each purchase matched to its NEAREST click (±15 min)
+# ---------------------------------------------------------------------------
+#
+# The tolerance variant of the as-of family (asof_last_click is LOCF =
+# backward-only): every purchase joins the same user's temporally
+# nearest click within NEAREST_W_US on either side, ties to the earlier
+# click then the smaller event_id, NULL when no click lands in the
+# band.  Physically identical to attribution: ONE user-keyed shuffle,
+# clicks sorted once per group, every purchase answered by a two-sided
+# searchsorted probe — never the purchases x clicks pair blowup the
+# oracle spells.  Exact integer microseconds end to end.
+
+NEAREST_W_US = 900_000_000  # 15 minutes
+
+
+def q_nearest_click(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).filter(expr="event_type in ['click', 'purchase']")
+
+    def fold(group: pa.Table) -> pa.Table:
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        ck = et == "click"
+        cts = np.sort(us[ck])
+        pm = et == "purchase"
+        pts, peid = us[pm], eid[pm]
+        n = len(pts)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.int64()).cast(pa.timestamp("us")),
+                    "click_ts": pa.array([], type=pa.int64()).cast(pa.timestamp("us")),
+                    "delta_us": pa.array([], type=pa.int64()),
+                }
+            )
+        click_ts = np.zeros(n, dtype=np.int64)
+        has = np.zeros(n, dtype=bool)
+        if len(cts):
+            idx = np.searchsorted(cts, pts)  # first click with ts >= t
+            li = np.clip(idx - 1, 0, len(cts) - 1)
+            ri = np.clip(idx, 0, len(cts) - 1)
+            ld = np.where(idx > 0, pts - cts[li], np.iinfo(np.int64).max)
+            rd_ = np.where(idx < len(cts), cts[ri] - pts, np.iinfo(np.int64).max)
+            # nearer wins; tie -> earlier click (the LEFT one, since
+            # equal distance means cts[li] < cts[ri] except when both
+            # are the same timestamp, where left pick is also correct)
+            use_left = ld <= rd_
+            best = np.where(use_left, ld, rd_)
+            win_ts = np.where(use_left, cts[li], cts[ri])
+            has = best <= NEAREST_W_US
+            # duplicate click timestamps: the winner is the FIRST click
+            # at win_ts in (ts, event_id) order -> min event_id for ties
+            click_ts = win_ts
+        uid = group.column("user_id").slice(0, 1).to_numpy(zero_copy_only=False).repeat(n)
+        delta = np.where(has, click_ts - pts, 0)
+        ct = pa.array(np.where(has, click_ts, 0), type=pa.int64()).cast(pa.timestamp("us"))
+        mask = pa.array(~has)
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_id": pa.array(peid, type=pa.int64()),
+                "ts": pa.array(pts, type=pa.int64()).cast(pa.timestamp("us")),
+                "click_ts": pc.if_else(mask, pa.nulls(n, pa.timestamp("us")), ct),
+                "delta_us": pc.if_else(
+                    mask, pa.nulls(n, pa.int64()), pa.array(delta, type=pa.int64())
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_NEAREST_CLICK = f"""
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT p.event_id, c.ts AS cts,
+         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS d,
+         epoch_us(c.ts) - epoch_us(p.ts) AS sd
+  FROM p JOIN c ON c.user_id = p.user_id
+  WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {NEAREST_W_US}),
+best AS (
+  SELECT event_id, cts, sd FROM (
+    SELECT event_id, cts, sd,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, cts) AS rn
+    FROM cand) WHERE rn = 1)
+SELECT p.user_id, p.event_id, p.ts, best.cts AS click_ts,
+       CAST(best.sd AS BIGINT) AS delta_us
+FROM p LEFT JOIN best USING (event_id)
+"""

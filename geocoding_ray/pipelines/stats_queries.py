@@ -2206,3 +2206,90 @@ SELECT user_id,
        END AS simpson
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# value vs user median: grouped-statistic join-back normalization
+# ---------------------------------------------------------------------------
+#
+# The enrich-the-stream-with-its-own-group-statistic shape (robust
+# sibling of group_zscore's mean/stddev): each event carries its
+# deviation from ITS USER's discrete median (quantile_disc rule,
+# sorted index ceil(0.5*n)-1, exact cents).  Plan: one (user, cents)
+# Count shuffle (value-domain-bounded per user), a vectorized per-user
+# cumsum fold to the median, and one distributed join of the slim
+# user-median table back onto the event stream — the stream itself is
+# never sorted and crosses the wire once.
+
+def q_value_vs_median(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def cents_rows(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "c": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(cents_rows, batch_format="pyarrow")
+
+    counts = ds.groupby(["user_id", "c"]).aggregate(Count(alias_name="n"))
+
+    def median_fold(g: pa.Table) -> pa.Table:
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, n = c[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        idx = max(0, int(np.ceil(0.5 * total)) - 1)
+        med = int(c[np.searchsorted(cum, idx + 1)])
+        return pa.table(
+            {
+                "m_uid": g.column("user_id").slice(0, 1).cast(pa.int64()),
+                "median_cents": pa.array([med], type=pa.int64()),
+            }
+        )
+
+    from .olap_queries import _scrub_empties
+
+    medians = _scrub_empties(
+        counts.groupby("user_id").map_groups(median_fold, batch_format="pyarrow")
+    )
+    joined = ds.join(
+        medians, join_type="inner", num_partitions=8, on=("user_id",), right_on=("m_uid",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        m = batch.column("median_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "median_cents": batch.column("median_cents"),
+                "dev_cents": pa.array(c - m, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VALUE_VS_MEDIAN = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(value * 100.0) AS BIGINT) AS c
+  FROM events),
+m AS (SELECT user_id, quantile_disc(c, 0.5) AS med FROM e GROUP BY user_id)
+SELECT e.event_id, e.user_id,
+       CAST(m.med AS BIGINT) AS median_cents,
+       CAST(e.c - m.med AS BIGINT) AS dev_cents
+FROM e JOIN m USING (user_id)
+"""

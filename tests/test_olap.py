@@ -693,3 +693,49 @@ class TestRollingSumW3:
                         fixes[r["event_id"]] if r["rank"] < ol.ROLL_W else r["local"]
                     )
             assert got == want, cuts
+
+
+class TestNearestClick:
+    def test_two_sided_probe_matches_brute(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(41)
+        n = 300
+        ts_us = np.sort(rng.randint(0, 4 * ol.NEAREST_W_US, n).astype(np.int64))
+        uid = rng.randint(0, 4, n)
+        et = np.where(rng.rand(n) < 0.5, "click", "purchase")
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), type=pa.int64()),
+                "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "event_type": pa.array(et.tolist(), type=pa.string()),
+                "value": pa.array(np.ones(n), type=pa.float64()),
+                "props": pa.array(["{}"] * n, type=pa.string()),
+            }
+        )
+        d = str(tmp_path)
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = {
+            r["event_id"]: (r["click_ts"], r["delta_us"])
+            for r in ol.q_nearest_click(d).take_all()
+        }
+        for i in range(n):
+            if et[i] != "purchase":
+                continue
+            cands = [
+                int(ts_us[j])
+                for j in range(n)
+                if et[j] == "click"
+                and uid[j] == uid[i]
+                and abs(int(ts_us[j]) - int(ts_us[i])) <= ol.NEAREST_W_US
+            ]
+            if not cands:
+                assert got[i] == (None, None), i
+            else:
+                best = min(cands, key=lambda c: (abs(c - int(ts_us[i])), c))
+                ct, dus = got[i]
+                assert dus == best - int(ts_us[i]), i
+                import pandas as pd
+
+                assert pd.Timestamp(ct).value // 1000 == best, i

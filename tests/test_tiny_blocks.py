@@ -78,6 +78,8 @@ QUERIES = [
     "image_rot90",
     "image_crop",
     "segment_join",
+    "nearest_click",
+    "value_vs_median",
 ]
 
 
