@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "chi2_cells": sq.q_chi2_cells,            # lang x source independence grid, exact rational contributions
+        "rfm_segments": ol.q_rfm_segments,        # recency/frequency/monetary quartile codes (boundary-comparison bins)
         "nearest_click": ol.q_nearest_click,      # as-of-nearest join with ±15min tolerance (two-sided searchsorted)
         "value_vs_median": sq.q_value_vs_median,  # grouped-median join-back normalization (robust z-score sibling)
         "segment_join": ga.q_segment_join,        # cross-user trajectory crossings: cell co-shuffle + canonical-cell dedup
@@ -333,6 +335,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "chi2_cells": sq.SQL_CHI2_CELLS,
+        "rfm_segments": ol.SQL_RFM_SEGMENTS,
         "nearest_click": ol.SQL_NEAREST_CLICK,
         "value_vs_median": sq.SQL_VALUE_VS_MEDIAN,
         "segment_join": ga.SQL_SEGMENT_JOIN,

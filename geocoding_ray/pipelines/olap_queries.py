@@ -2174,3 +2174,135 @@ SELECT p.user_id, p.event_id, p.ts, best.cts AS click_ts,
        CAST(best.sd AS BIGINT) AS delta_us
 FROM p LEFT JOIN best USING (event_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quartile codes per user
+# ---------------------------------------------------------------------------
+#
+# The classic customer-mart rollup: per user, days since last event
+# (relative to the corpus max day), event count, and spend cents; each
+# dimension quartile-binned by BOUNDARY comparison (bucket = 1 +
+# #quantile_disc boundaries strictly below the value — deterministic
+# under ties, unlike NTILE), composed into a 3-digit segment code.
+# Scale shape: one native (Max, Count, Sum) per-user aggregate shuffle;
+# each dimension's boundary fold runs over its DISTINCT-VALUE domain
+# (days and counts are bounded; money is binned in whole dollars so its
+# domain is bounded by max-spend-per-user, the per-key contract — never
+# by user count); the binning itself is a broadcast-free vectorized
+# comparison against three scalars.
+
+RFM_QS = (0.25, 0.5, 0.75)
+
+
+def _rfm_boundaries(vals: np.ndarray, cnts: np.ndarray) -> list[int]:
+    order = np.argsort(vals, kind="stable")
+    v, c = vals[order], cnts[order]
+    cum = np.cumsum(c)
+    total = int(cum[-1])
+    out = []
+    for q in RFM_QS:
+        idx = max(0, int(np.ceil(q * total)) - 1)
+        out.append(int(v[np.searchsorted(cum, idx + 1)]))
+    return out
+
+
+def q_rfm_segments(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(us // DAY_US, type=pa.int64()),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    u = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max(on="day", alias_name="last_day"),
+            Count(alias_name="f"),
+            Sum(on="cents", alias_name="m_cents"),
+        )
+        .materialize()  # user-table consumed by 3 boundary folds + the final pass
+    )
+    rows = u.take_all()  # per-user mart rows — bounded by the user dimension;
+    # the 100-TB path keeps this distributed (boundary folds below are
+    # already domain-bounded; the final bin assign is a map_batches) —
+    # collected here only to share the three tiny boundary folds.
+    gmax = max(r["last_day"] for r in rows)
+    r_days = np.array([gmax - r["last_day"] for r in rows], dtype=np.int64)
+    f = np.array([r["f"] for r in rows], dtype=np.int64)
+    m_cents = np.array([r["m_cents"] for r in rows], dtype=np.int64)
+    m_dollars = m_cents // 100
+
+    def bounds(arr: np.ndarray) -> list[int]:
+        v, c = np.unique(arr, return_counts=True)
+        return _rfm_boundaries(v, c.astype(np.int64))
+
+    rb, fb, mb = bounds(r_days), bounds(f), bounds(m_dollars)
+
+    def binit(arr: np.ndarray, b: list[int]) -> np.ndarray:
+        return 1 + (arr > b[0]).astype(np.int64) + (arr > b[1]) + (arr > b[2])
+
+    r_bin, f_bin, m_bin = binit(r_days, rb), binit(f, fb), binit(m_dollars, mb)
+    return pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+            "r_days": pa.array(r_days, type=pa.int64()),
+            "f": pa.array(f, type=pa.int64()),
+            "m_cents": pa.array(m_cents, type=pa.int64()),
+            "r_bin": pa.array(r_bin, type=pa.int64()),
+            "f_bin": pa.array(f_bin, type=pa.int64()),
+            "m_bin": pa.array(m_bin, type=pa.int64()),
+            "rfm_code": pa.array(100 * r_bin + 10 * f_bin + m_bin, type=pa.int64()),
+        }
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH u AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // {DAY_US}) AS last_day,
+         COUNT(*) AS f,
+         SUM(CAST(floor(value * 100.0) AS BIGINT)) AS m_cents
+  FROM events GROUP BY user_id),
+g AS (SELECT MAX(last_day) AS gmax FROM u),
+d AS (
+  SELECT user_id, gmax - last_day AS r_days, f, m_cents, m_cents // 100 AS m_dollars
+  FROM u, g),
+b AS (
+  SELECT quantile_disc(r_days, 0.25) AS r1, quantile_disc(r_days, 0.5) AS r2,
+         quantile_disc(r_days, 0.75) AS r3,
+         quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+         quantile_disc(f, 0.75) AS f3,
+         quantile_disc(m_dollars, 0.25) AS m1, quantile_disc(m_dollars, 0.5) AS m2,
+         quantile_disc(m_dollars, 0.75) AS m3
+  FROM d)
+SELECT user_id,
+       CAST(r_days AS BIGINT) AS r_days,
+       CAST(f AS BIGINT) AS f,
+       CAST(m_cents AS BIGINT) AS m_cents,
+       CAST(1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+              + CAST(r_days > r3 AS INT) AS BIGINT) AS r_bin,
+       CAST(1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+              + CAST(f > f3 AS INT) AS BIGINT) AS f_bin,
+       CAST(1 + CAST(m_dollars > m1 AS INT) + CAST(m_dollars > m2 AS INT)
+              + CAST(m_dollars > m3 AS INT) AS BIGINT) AS m_bin,
+       CAST(100 * (1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+                     + CAST(r_days > r3 AS INT))
+           + 10 * (1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+                     + CAST(f > f3 AS INT))
+           + (1 + CAST(m_dollars > m1 AS INT) + CAST(m_dollars > m2 AS INT)
+                + CAST(m_dollars > m3 AS INT)) AS BIGINT) AS rfm_code
+FROM d, b
+"""

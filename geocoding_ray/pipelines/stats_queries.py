@@ -2293,3 +2293,75 @@ SELECT e.event_id, e.user_id,
        CAST(e.c - m.med AS BIGINT) AS dev_cents
 FROM e JOIN m USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# chi-squared contingency cells: lang x source independence contributions
+# ---------------------------------------------------------------------------
+#
+# The categorical-independence report (is document language independent
+# of its source?): the full dense lang x source grid with each cell's
+# observed count and its chi-squared contribution
+#     (o - e)^2 / e  with  e = r*c/N,
+# carried EXACTLY as the rational ((o*N - r*c)^2, N*r*c) plus one
+# final float division per cell.  All three margins come from ONE
+# (lang, source) Count shuffle (the margins fold from the cell counts —
+# no second scan), and the grid assembly is a vocabulary-bounded driver
+# fold (|langs| x |sources| cells), the gini/weighted-median physics.
+
+def q_chi2_cells(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="o"))
+        .take_all()  # |langs| x |sources| — vocabulary-bounded, driver-small
+    )
+    obs = {(r["lang"], r["source"]): int(r["o"]) for r in counts}
+    langs = sorted({k[0] for k in obs})
+    sources = sorted({k[1] for k in obs})
+    rtot = {lg: sum(obs.get((lg, s), 0) for s in sources) for lg in langs}
+    ctot = {s: sum(obs.get((lg, s), 0) for lg in langs) for s in sources}
+    n = sum(rtot.values())
+    out_l, out_s, out_o, out_num, out_den, out_c = [], [], [], [], [], []
+    for lg in langs:
+        for s in sources:
+            o = obs.get((lg, s), 0)
+            num = (o * n - rtot[lg] * ctot[s]) ** 2
+            den = n * rtot[lg] * ctot[s]
+            out_l.append(lg)
+            out_s.append(s)
+            out_o.append(o)
+            out_num.append(num)
+            out_den.append(den)
+            out_c.append(float(num) / float(den))
+    return pa.table(
+        {
+            "lang": pa.array(out_l, type=pa.string()),
+            "source": pa.array(out_s, type=pa.string()),
+            "o": pa.array(out_o, type=pa.int64()),
+            "chi2_num": pa.array(out_num, type=pa.int64()),
+            "chi2_den": pa.array(out_den, type=pa.int64()),
+            "contrib": pa.array(out_c, type=pa.float64()),
+        }
+    )
+
+
+SQL_CHI2_CELLS = """
+WITH o AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+r AS (SELECT lang, SUM(o) AS r FROM o GROUP BY lang),
+c AS (SELECT source, SUM(o) AS c FROM o GROUP BY source),
+n AS (SELECT SUM(o) AS n FROM o),
+grid AS (
+  SELECT r.lang, c.source, COALESCE(o.o, 0) AS o, r.r, c.c, n.n
+  FROM r CROSS JOIN c CROSS JOIN n
+  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source)
+SELECT lang, source, CAST(o AS BIGINT) AS o,
+       CAST((o * n - r * c) * (o * n - r * c) AS BIGINT) AS chi2_num,
+       CAST(n * r * c AS BIGINT) AS chi2_den,
+       CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+         / CAST(n * r * c AS DOUBLE) AS contrib
+FROM grid
+"""

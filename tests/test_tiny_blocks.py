@@ -80,6 +80,8 @@ QUERIES = [
     "segment_join",
     "nearest_click",
     "value_vs_median",
+    "chi2_cells",
+    "rfm_segments",
 ]
 
 
