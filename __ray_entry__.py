@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "extent_overlap": ga.q_extent_overlap,    # rect-intersection join over per-user envelopes (cell co-shuffle)
+        "wow_change": ol.q_wow_change,            # week-over-week delta: LAG over the aggregated weekly series
+        "sentence_stats": sq.q_sentence_stats,    # sentence/word counts + words-per-sentence, pure vectorized map
         "chi2_cells": sq.q_chi2_cells,            # lang x source independence grid, exact rational contributions
         "rfm_segments": ol.q_rfm_segments,        # recency/frequency/monetary quartile codes (boundary-comparison bins)
         "nearest_click": ol.q_nearest_click,      # as-of-nearest join with ±15min tolerance (two-sided searchsorted)
@@ -335,6 +338,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "extent_overlap": ga.SQL_EXTENT_OVERLAP,
+        "wow_change": ol.SQL_WOW_CHANGE,
+        "sentence_stats": sq.SQL_SENTENCE_STATS,
         "chi2_cells": sq.SQL_CHI2_CELLS,
         "rfm_segments": ol.SQL_RFM_SEGMENTS,
         "nearest_click": ol.SQL_NEAREST_CLICK,

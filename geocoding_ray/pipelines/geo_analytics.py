@@ -1167,3 +1167,121 @@ pairs AS (
 SELECT ua AS user_a, ub AS user_b, CAST(COUNT(*) AS BIGINT) AS n_crossings
 FROM pairs WHERE p1 < 0 AND p2 < 0 GROUP BY ua, ub
 """
+
+
+# ---------------------------------------------------------------------------
+# extent overlap join: pairs of users whose activity rectangles intersect
+# ---------------------------------------------------------------------------
+#
+# The rectangle-intersection sibling of segment_join (ST_Intersects over
+# per-entity envelopes — dedup-blocking and coverage analysis both run
+# it).  The point field here is the CLUSTERED synth (each user's points
+# live in a 600x600 box anchored by a user-id LCG) so the overlap
+# structure is sparse and spatial, unlike the global-uniform field
+# whose per-user extents all overlap trivially.  Plan: per-user integer
+# extents by native Min/Max partials; each rect explodes to the <=2x2
+# grid cells its (<=600-wide) envelope covers; one cell co-shuffle;
+# vectorized interval tests per cell with the canonical-cell rule
+# (intersecting rects share the cell of the pairwise max-min corner),
+# so each overlapping pair is emitted exactly once.
+
+EXT_W = 600          # cluster box width == grid cell size
+EXT_XA, EXT_YA = 7919, 104729  # user-anchor LCG multipliers
+# anchor space deliberately DENSER than the full field so the overlap
+# structure is non-trivial at every sf tier (~19% pair overlap prob)
+EXT_AX, EXT_AY = 4200, 1800
+
+
+def _ext_xy(uid: np.ndarray, eid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = (uid * EXT_XA) % EXT_AX + (eid * RING_XM) % EXT_W
+    y = (uid * EXT_YA) % EXT_AY + (eid * RING_YM) % EXT_W
+    return x, y
+
+
+def q_extent_overlap(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = _ext_xy(uid, eid)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+            }
+        )
+
+    ext = (
+        ds.map_batches(pts, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min(on="x", alias_name="minx"),
+            Max(on="x", alias_name="maxx"),
+            Min(on="y", alias_name="miny"),
+            Max(on="y", alias_name="maxy"),
+        )
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        mnx = batch.column("minx").to_numpy(zero_copy_only=False)
+        mxx = batch.column("maxx").to_numpy(zero_copy_only=False)
+        mny = batch.column("miny").to_numpy(zero_copy_only=False)
+        mxy = batch.column("maxy").to_numpy(zero_copy_only=False)
+        x0, x1 = mnx // EXT_W, mxx // EXT_W
+        y0, y1 = mny // EXT_W, mxy // EXT_W
+        nx, ny = (x1 - x0 + 1).astype(np.int64), (y1 - y0 + 1).astype(np.int64)
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(mnx)), reps)
+        st = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        pos = np.arange(int(reps.sum())) - st[idx]
+        dx, dy = pos // ny[idx], pos % ny[idx]
+        out = batch.take(pa.array(idx, type=pa.int64()))
+        cell = (x0[idx] + dx) * 100_000 + (y0[idx] + dy)
+        return out.append_column("cell", pa.array(cell, type=pa.int64()))
+
+    def cell_group(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        mnx = g.column("minx").to_numpy(zero_copy_only=False)
+        mxx = g.column("maxx").to_numpy(zero_copy_only=False)
+        mny = g.column("miny").to_numpy(zero_copy_only=False)
+        mxy = g.column("maxy").to_numpy(zero_copy_only=False)
+        cell = int(g.column("cell")[0].as_py())
+        ccx, ccy = cell // 100_000, cell % 100_000
+        hit = (
+            (np.maximum(mnx[:, None], mnx[None, :]) <= np.minimum(mxx[:, None], mxx[None, :]))
+            & (np.maximum(mny[:, None], mny[None, :]) <= np.minimum(mxy[:, None], mxy[None, :]))
+            & (u[:, None] < u[None, :])
+            & (np.maximum(mnx[:, None], mnx[None, :]) // EXT_W == ccx)
+            & (np.maximum(mny[:, None], mny[None, :]) // EXT_W == ccy)
+        )
+        ii, jj = np.nonzero(hit)
+        return pa.table(
+            {
+                "user_a": pa.array(u[ii], type=pa.int64()),
+                "user_b": pa.array(u[jj], type=pa.int64()),
+            }
+        )
+
+    cells = ext.map_batches(explode, batch_format="pyarrow")
+    return cells.groupby("cell").map_groups(cell_group, batch_format="pyarrow")
+
+
+SQL_EXTENT_OVERLAP = f"""
+WITH p AS (
+  SELECT user_id,
+         (user_id * {EXT_XA}) % {EXT_AX} + (event_id * {RING_XM}) % {EXT_W} AS x,
+         (user_id * {EXT_YA}) % {EXT_AY} + (event_id * {RING_YM}) % {EXT_W} AS y
+  FROM events),
+e AS (
+  SELECT user_id, MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+  FROM p GROUP BY user_id)
+SELECT a.user_id AS user_a, b.user_id AS user_b
+FROM e a JOIN e b ON a.user_id < b.user_id
+ AND a.minx <= b.maxx AND b.minx <= a.maxx
+ AND a.miny <= b.maxy AND b.miny <= a.maxy
+"""

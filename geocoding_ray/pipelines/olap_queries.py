@@ -2306,3 +2306,79 @@ SELECT user_id,
                 + CAST(m_dollars > m3 AS INT)) AS BIGINT) AS rfm_code
 FROM d, b
 """
+
+
+# ---------------------------------------------------------------------------
+# week-over-week change: LAG over an aggregated weekly series
+# ---------------------------------------------------------------------------
+#
+# The two-level mart shape (aggregate first, window over the TINY
+# result): weekly revenue cents per event_type, each row carrying its
+# delta vs the type's previous REALIZED week (LAG over existing rows,
+# not the calendar).  The window never touches the event stream — one
+# native (type, week) Sum shuffle shrinks to vocabulary x weeks rows,
+# and the per-type LAG is a vectorized fold over that series.
+
+def q_wow_change(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "week": pa.array(us // (7 * DAY_US), type=pa.int64()),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    weekly = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby(["event_type", "week"])
+        .aggregate(Sum(on="cents", alias_name="cents"))
+    )
+
+    def lag_fold(g: pa.Table) -> pa.Table:
+        wk = g.column("week").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(wk, kind="stable")
+        wk, c = wk[order], c[order]
+        delta = np.empty(len(c), dtype=np.float64)
+        delta[0] = np.nan
+        if len(c) > 1:
+            delta[1:] = (c[1:] - c[:-1]).astype(np.float64)
+        arr = pa.array(delta, type=pa.float64())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [g.column("event_type").slice(0, 1).combine_chunks()] * len(c)
+                ),
+                "week": pa.array(wk, type=pa.int64()),
+                "cents": pa.array(c, type=pa.int64()),
+                "wow_delta": pc.cast(
+                    pc.if_else(pc.is_nan(arr), pa.nulls(len(c), pa.float64()), arr),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return weekly.groupby("event_type").map_groups(lag_fold, batch_format="pyarrow")
+
+
+SQL_WOW_CHANGE = f"""
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // {7 * DAY_US} AS week,
+         SUM(CAST(floor(value * 100.0) AS BIGINT)) AS cents
+  FROM events GROUP BY event_type, week)
+SELECT event_type, CAST(week AS BIGINT) AS week, CAST(cents AS BIGINT) AS cents,
+       CAST(cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)
+         AS wow_delta
+FROM w
+"""

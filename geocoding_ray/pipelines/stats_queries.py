@@ -2365,3 +2365,48 @@ SELECT lang, source, CAST(o AS BIGINT) AS o,
          / CAST(n * r * c AS DOUBLE) AS contrib
 FROM grid
 """
+
+
+# ---------------------------------------------------------------------------
+# sentence statistics: punctuation-delimited segmentation, exact ints
+# ---------------------------------------------------------------------------
+#
+# The readability-signal member of the text-analysis family: per doc,
+# non-overlapping sentence-terminator runs ([.!?]+), whitespace-token
+# count, and integer-micro words-per-sentence — three vectorized RE2
+# kernels per batch (pyarrow count_substring_regex), zero per-row
+# Python, and a pure map (no shuffle at all).
+
+def q_sentence_stats(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_sent = pc.cast(pc.count_substring_regex(text, r"[.!?]+"), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        ns = n_sent.to_numpy(zero_copy_only=False)
+        nw = n_words.to_numpy(zero_copy_only=False)
+        wps = (nw * 1_000_000) // np.maximum(ns, 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_sentences": n_sent,
+                "n_words": n_words,
+                "wps_micro": pa.array(wps, type=pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+SQL_SENTENCE_STATS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+       CAST((len(regexp_extract_all(text, '\S+')) * 1000000)
+              // greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS wps_micro
+FROM documents
+"""

@@ -82,6 +82,9 @@ QUERIES = [
     "value_vs_median",
     "chi2_cells",
     "rfm_segments",
+    "extent_overlap",
+    "wow_change",
+    "sentence_stats",
 ]
 
 
