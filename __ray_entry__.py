@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "vec_to_centroid": sq.q_vec_to_centroid,  # exact rational distance to own-label centroid (aggregate -> join-back)
+        "scd2_intervals": ol.q_scd2_intervals,    # SCD2 validity intervals from the per-user change stream
         "extent_overlap": ga.q_extent_overlap,    # rect-intersection join over per-user envelopes (cell co-shuffle)
         "wow_change": ol.q_wow_change,            # week-over-week delta: LAG over the aggregated weekly series
         "sentence_stats": sq.q_sentence_stats,    # sentence/word counts + words-per-sentence, pure vectorized map
@@ -338,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "vec_to_centroid": sq.SQL_VEC_TO_CENTROID,
+        "scd2_intervals": ol.SQL_SCD2_INTERVALS,
         "extent_overlap": ga.SQL_EXTENT_OVERLAP,
         "wow_change": ol.SQL_WOW_CHANGE,
         "sentence_stats": sq.SQL_SENTENCE_STATS,

@@ -2382,3 +2382,64 @@ SELECT event_type, CAST(week AS BIGINT) AS week, CAST(cents AS BIGINT) AS cents,
          AS wow_delta
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build: validity intervals from a change stream
+# ---------------------------------------------------------------------------
+#
+# The slowly-changing-dimension shape every warehouse load runs: per
+# user, collapse the event_type stream (ordered by ts, event_id) into
+# state intervals — a new interval opens whenever the state CHANGES,
+# carries valid_from = the opening event's ts, and closes at the next
+# interval's valid_from (NULL while current).  Gaps-and-islands with
+# interval-cardinality output; one user-keyed shuffle, vectorized
+# change detection per group (the per-key contract of user_journey).
+
+def q_scd2_intervals(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        us = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us))
+        us, et = us[order], et[order]
+        new = np.ones(len(us), dtype=bool)
+        new[1:] = et[1:] != et[:-1]
+        st = np.nonzero(new)[0]
+        vf = us[st]
+        vt = np.concatenate([vf[1:], [0]])
+        k = len(st)
+        uid = group.column("user_id").slice(0, 1).to_numpy(zero_copy_only=False).repeat(k)
+        vt_arr = pa.array(vt, type=pa.int64()).cast(pa.timestamp("us"))
+        open_mask = pa.array(np.arange(k) == k - 1)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, type=pa.int64()),
+                "state": pa.array(et[st].tolist(), type=pa.string()),
+                "valid_from": pa.array(vf, type=pa.int64()).cast(pa.timestamp("us")),
+                "valid_to": pc.if_else(open_mask, pa.nulls(k, pa.timestamp("us")), vt_arr),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_SCD2_INTERVALS = """
+WITH o AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         LAG(event_type) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, state, ts, event_id FROM o
+  WHERE prev IS NULL OR state != prev)
+SELECT user_id, state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM s
+"""

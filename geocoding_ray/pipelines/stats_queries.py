@@ -2410,3 +2410,103 @@ SELECT doc_id,
               // greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS wps_micro
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# vector-to-centroid distance: aggregate -> join-back over the vector column
+# ---------------------------------------------------------------------------
+#
+# The cluster-quality / outlier-score shape: each vector's squared
+# distance to ITS label's centroid, exact rational — with centroid
+# (s_d/n) the distance is sum_d (x_d*n - s_d)^2 / n^2, so the gate
+# carries (num, den) int64 plus ONE float division.  Scale 1e4 keeps
+# the worst-case sum (|x|<=0.6, n<=5000, 64 dims) within int64.
+# Plan: one centroid aggregate (labels x dims slim rows, the
+# label_centroids physics), broadcast of that vocabulary-bounded table,
+# then a pure vectorized map over the streaming vector column.
+
+VC_SCALE = 10_000
+
+
+def q_vec_to_centroid(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import embeddings_to_matrix
+
+    def partials(batch: pa.Table) -> pa.Table:
+        e4 = np.floor(embeddings_to_matrix(batch) * float(VC_SCALE)).astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(labels, return_inverse=True)
+        dim = e4.shape[1]
+        sums = np.zeros((len(keys), dim), dtype=np.int64)
+        np.add.at(sums, inv, e4)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(keys, dim), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(keys)), type=pa.int64()),
+                "s": pa.array(sums.ravel(), type=pa.int64()),
+                "n": pa.array(np.repeat(n, dim), type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+    cent = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum(on="s", alias_name="s"), Sum(on="n", alias_name="n"))
+        .take_all()  # labels x dims — vocabulary-bounded, broadcast below
+    )
+    labels = sorted({int(r["label"]) for r in cent})
+    dim = 1 + max(int(r["dim"]) for r in cent)
+    smat = np.zeros((len(labels), dim), dtype=np.int64)
+    nvec = np.zeros(len(labels), dtype=np.int64)
+    lix = {l: i for i, l in enumerate(labels)}
+    for r in cent:
+        smat[lix[int(r["label"])], int(r["dim"])] = int(r["s"])
+        nvec[lix[int(r["label"])]] = int(r["n"])
+    ref = ray.put((np.array(labels, dtype=np.int64), smat, nvec))
+
+    def score(batch: pa.Table) -> pa.Table:
+        labs, sm, nv = ray.get(ref)
+        e4 = np.floor(embeddings_to_matrix(batch) * float(VC_SCALE)).astype(np.int64)
+        lb = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.searchsorted(labs, lb)
+        n = nv[li]
+        diff = e4 * n[:, None] - sm[li]
+        num = (diff * diff).sum(axis=1)
+        den = n * n
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": pa.array(lb, type=pa.int64()),
+                "d2_num": pa.array(num, type=pa.int64()),
+                "d2_den": pa.array(den, type=pa.int64()),
+                "d2": pa.array(num.astype(np.float64) / den.astype(np.float64), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_VEC_TO_CENTROID = f"""
+WITH x AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {VC_SCALE}.0) AS BIGINT) AS e4
+  FROM embeddings),
+c AS (SELECT label, dim, SUM(e4) AS s, COUNT(*) AS n FROM x GROUP BY label, dim),
+d AS (
+  SELECT x.vec_id, x.label,
+         SUM((x.e4 * c.n - c.s) * (x.e4 * c.n - c.s)) AS num,
+         MAX(c.n) * MAX(c.n) AS den
+  FROM x JOIN c ON c.label = x.label AND c.dim = x.dim
+  GROUP BY x.vec_id, x.label)
+SELECT vec_id, label,
+       CAST(num AS BIGINT) AS d2_num,
+       CAST(den AS BIGINT) AS d2_den,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS d2
+FROM d
+"""

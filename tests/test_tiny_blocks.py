@@ -85,6 +85,8 @@ QUERIES = [
     "extent_overlap",
     "wow_change",
     "sentence_stats",
+    "vec_to_centroid",
+    "scd2_intervals",
 ]
 
 
