@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "percent_rank": ol.q_percent_rank,        # PERCENT_RANK + CUME_DIST via the sort-free histogram broadcast
+        "weekday_revenue": ol.q_weekday_revenue,  # calendar-dimension rollup, pure integer weekday math
+        "max_speed": ga.q_max_speed,              # fastest trajectory segment (integer micro-speed, zero-dt guarded)
         "vec_to_centroid": sq.q_vec_to_centroid,  # exact rational distance to own-label centroid (aggregate -> join-back)
         "scd2_intervals": ol.q_scd2_intervals,    # SCD2 validity intervals from the per-user change stream
         "extent_overlap": ga.q_extent_overlap,    # rect-intersection join over per-user envelopes (cell co-shuffle)
@@ -340,6 +343,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "percent_rank": ol.SQL_PERCENT_RANK,
+        "weekday_revenue": ol.SQL_WEEKDAY_REVENUE,
+        "max_speed": ga.SQL_MAX_SPEED,
         "vec_to_centroid": sq.SQL_VEC_TO_CENTROID,
         "scd2_intervals": ol.SQL_SCD2_INTERVALS,
         "extent_overlap": ga.SQL_EXTENT_OVERLAP,

@@ -1285,3 +1285,73 @@ FROM e a JOIN e b ON a.user_id < b.user_id
  AND a.minx <= b.maxx AND b.minx <= a.maxx
  AND a.miny <= b.maxy AND b.miny <= a.maxy
 """
+
+
+# ---------------------------------------------------------------------------
+# max segment speed per trajectory (integer micro-speed, zero-dt guarded)
+# ---------------------------------------------------------------------------
+#
+# The GPS-cleaning / teleport-detection signal: the fastest consecutive
+# segment per user in integer micro-units-per-second,
+#     speed = (d_int * 1e6) // dt_us   over segments with dt > 0,
+# with d_int exactly trajectory_len's scaled segment distance (the one
+# float sqrt is IEEE-exactly-rounded and already value-hash gated
+# there).  Zero-duration segments (duplicate timestamps) are excluded
+# identically on both sides.  One user shuffle, vectorized diff pass.
+
+def q_max_speed(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        lon, lat = _pip_lonlat(eid[order])
+        if len(lon) < 2:
+            return pa.table(
+                {
+                    "user_id": group.column("user_id").slice(0, 1),
+                    "n_moving": pa.array([0], type=pa.int64()),
+                    "max_speed": pa.array([None], type=pa.int64()),
+                }
+            )
+        dl = lon[1:] - lon[:-1]
+        dp = lat[1:] - lat[:-1]
+        d = np.floor(np.sqrt(dl * dl + dp * dp) * TRAJ_SCALE).astype(np.int64)
+        dt = np.diff(ts)
+        moving = dt > 0
+        sp = (d[moving] * 1_000_000) // dt[moving]
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "n_moving": pa.array([int(moving.sum())], type=pa.int64()),
+                "max_speed": pa.array(
+                    [int(sp.max()) if len(sp) else None], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_MAX_SPEED = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+seg AS (
+  SELECT user_id,
+         CAST(floor(sqrt((lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w)
+                       + (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w))
+                    * {TRAJ_SCALE}) AS BIGINT) AS d,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE dt > 0) AS BIGINT) AS n_moving,
+       CAST(MAX(CASE WHEN dt > 0 THEN (d * 1000000) // dt END) AS BIGINT) AS max_speed
+FROM seg GROUP BY user_id
+"""

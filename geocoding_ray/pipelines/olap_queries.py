@@ -2443,3 +2443,104 @@ SELECT user_id, state, ts AS valid_from,
        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK / CUME_DIST: distribution position without a global sort
+# ---------------------------------------------------------------------------
+#
+# The remaining ANSI distribution windows, on global_rank's histogram
+# physics: one per-value Count shuffle over the bounded n_chars domain,
+# a driver prefix fold, a broadcast lookup — the table never sorts.
+# percent_rank = (rank-1)/(N-1) and cume_dist = rank_le/N are each ONE
+# exact int division, so the doubles hash-match DuckDB.
+
+def q_percent_rank(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # value-domain-bounded, driver-small
+    )
+    vals = np.array([r["n_chars"] for r in counts], dtype=np.int64)
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, ns = vals[order], ns[order]
+    total = int(ns.sum())
+    rank0 = np.concatenate(([0], np.cumsum(ns)[:-1])) + 1  # RANK of each value
+    le = np.cumsum(ns)  # rows <= value
+    ref = ray.put((vals, rank0, le, total))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v, r, cle, n_all = ray.get(ref)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(v, x)
+        pr = (r[idx] - 1).astype(np.float64) / float(n_all - 1)
+        cd = cle[idx].astype(np.float64) / float(n_all)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "pct_rank": pa.array(pr, type=pa.float64()),
+                "cume_dist": pa.array(cd, type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_PERCENT_RANK = """
+SELECT doc_id, n_chars,
+       PERCENT_RANK() OVER (ORDER BY n_chars) AS pct_rank,
+       CUME_DIST() OVER (ORDER BY n_chars) AS cume_dist
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# weekday revenue: calendar-dimension rollup
+# ---------------------------------------------------------------------------
+#
+# The date-dimension enrichment every mart runs, kept oracle-exact with
+# pure integer calendar math: weekday = (epoch_day + 4) % 7 (1970-01-01
+# was a Thursday; 0 = Monday under this offset... the CODE is what is
+# gated, and both sides use the identical formula so no locale/DOW
+# convention can diverge).  One native (weekday, type) Sum shuffle of
+# per-batch partials — a 7 x vocabulary result.
+
+def q_weekday_revenue(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "weekday": pa.array((us // DAY_US + 4) % 7, type=pa.int64()),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby(["weekday", "event_type"])
+        .aggregate(Sum(on="cents", alias_name="cents"), Count(alias_name="n"))
+    )
+
+
+SQL_WEEKDAY_REVENUE = f"""
+SELECT (epoch_us(ts) // {DAY_US} + 4) % 7 AS weekday, event_type,
+       CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY weekday, event_type
+"""

@@ -87,6 +87,9 @@ QUERIES = [
     "sentence_stats",
     "vec_to_centroid",
     "scd2_intervals",
+    "percent_rank",
+    "weekday_revenue",
+    "max_speed",
 ]
 
 
