@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "qty_cube": ol.q_qty_cube,                # GROUP BY CUBE: full grouping-set lattice in one scan
+        "word_lift": sq.q_word_lift,              # association mining: lift-thresholded pairs, exact cross-multiplied
         "percent_rank": ol.q_percent_rank,        # PERCENT_RANK + CUME_DIST via the sort-free histogram broadcast
         "weekday_revenue": ol.q_weekday_revenue,  # calendar-dimension rollup, pure integer weekday math
         "max_speed": ga.q_max_speed,              # fastest trajectory segment (integer micro-speed, zero-dt guarded)
@@ -343,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "qty_cube": ol.SQL_QTY_CUBE,
+        "word_lift": sq.SQL_WORD_LIFT,
         "percent_rank": ol.SQL_PERCENT_RANK,
         "weekday_revenue": ol.SQL_WEEKDAY_REVENUE,
         "max_speed": ga.SQL_MAX_SPEED,

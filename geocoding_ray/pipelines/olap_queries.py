@@ -2544,3 +2544,73 @@ SELECT (epoch_us(ts) // {DAY_US} + 4) % 7 AS weekday, event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY weekday, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY CUBE: the full grouping-set lattice in one scan
+# ---------------------------------------------------------------------------
+#
+# qty_rollup's physics extended to CUBE(l_returnflag, l_linestatus):
+# FOUR grouping sets per batch (leaf, each one-dim subtotal, grand
+# total) with the '(all)' sentinel; one slim groupby merges — the scan
+# count stays 1 regardless of lattice size.
+
+def q_qty_cube(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False).astype(object)
+        ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False).astype(object)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        out_rf: list[str] = []
+        out_ls: list[str] = []
+        out_q: list[int] = []
+        out_n: list[int] = []
+        for level_rf, level_ls in ((rf, ls), (rf, None), (None, ls), (None, None)):
+            a = level_rf if level_rf is not None else np.full(len(rf), ROLL_ALL, dtype=object)
+            b = level_ls if level_ls is not None else np.full(len(ls), ROLL_ALL, dtype=object)
+            key = np.char.add(np.char.add(a.astype(str), "|"), b.astype(str))
+            keys, inv = np.unique(key, return_inverse=True)
+            acc = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(acc, inv, qty)
+            n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+            for k, q, c in zip(keys.tolist(), acc.tolist(), n.tolist()):
+                p = k.split("|")
+                out_rf.append(p[0])
+                out_ls.append(p[1])
+                out_q.append(q)
+                out_n.append(c)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_rf, type=pa.string()),
+                "l_linestatus": pa.array(out_ls, type=pa.string()),
+                "sum_qty_cents": pa.array(out_q, type=pa.int64()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum(on="sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum(on="n", alias_name="n"),
+        )
+    )
+
+
+SQL_QTY_CUBE = f"""
+SELECT COALESCE(l_returnflag, '{ROLL_ALL}') AS l_returnflag,
+       COALESCE(l_linestatus, '{ROLL_ALL}') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""

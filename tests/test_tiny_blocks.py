@@ -90,6 +90,8 @@ QUERIES = [
     "percent_rank",
     "weekday_revenue",
     "max_speed",
+    "qty_cube",
+    "word_lift",
 ]
 
 
