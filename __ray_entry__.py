@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "promo_share": tpch.q_promo_share,        # Q14 shape: broadcast part dim + exact-micros monthly rollup
+        "heatmap_counts": ol.q_heatmap_counts,    # (hour x value-band) dashboard grid, grid-bounded shuffle
         "qty_cube": ol.q_qty_cube,                # GROUP BY CUBE: full grouping-set lattice in one scan
         "word_lift": sq.q_word_lift,              # association mining: lift-thresholded pairs, exact cross-multiplied
         "percent_rank": ol.q_percent_rank,        # PERCENT_RANK + CUME_DIST via the sort-free histogram broadcast
@@ -345,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "promo_share": tpch.SQL_PROMO_SHARE,
+        "heatmap_counts": ol.SQL_HEATMAP_COUNTS,
         "qty_cube": ol.SQL_QTY_CUBE,
         "word_lift": sq.SQL_WORD_LIFT,
         "percent_rank": ol.SQL_PERCENT_RANK,

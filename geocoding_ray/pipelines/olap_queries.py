@@ -2614,3 +2614,59 @@ SELECT COALESCE(l_returnflag, '{ROLL_ALL}') AS l_returnflag,
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# activity heatmap: (hour-of-day x value-band) dashboard grid
+# ---------------------------------------------------------------------------
+#
+# The canonical dashboard heat grid: event counts and exact cents per
+# (hour-of-day, 5000-cent value band) cell — all integer math
+# (hour = (epoch_us // 3600e6) % 24, band = cents // 5000), one
+# per-batch partial + native Sum shuffle of grid-bounded rows.
+
+HEAT_BAND_C = 5_000  # 50-currency-unit value bands
+
+_HOUR_US_HM = 3_600_000_000
+
+
+def q_heatmap_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        hour = (us // _HOUR_US_HM) % 24
+        band = c // HEAT_BAND_C
+        key = hour * 1_000 + band
+        keys, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {
+                "hour": pa.array(keys // 1_000, type=pa.int64()),
+                "band": pa.array(keys % 1_000, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "cents": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["hour", "band"])
+        .aggregate(Sum(on="n", alias_name="n"), Sum(on="cents", alias_name="cents"))
+    )
+
+
+SQL_HEATMAP_COUNTS = f"""
+SELECT (epoch_us(ts) // {_HOUR_US_HM}) % 24 AS hour,
+       CAST(floor(value * 100.0) AS BIGINT) // {HEAT_BAND_C} AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY hour, band
+"""

@@ -588,3 +588,100 @@ SELECT l_orderkey, l_linenumber, cents FROM (
   FROM lineitem)
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# promo revenue share (TPC-H Q14 shape): broadcast dim + monthly rollup
+# ---------------------------------------------------------------------------
+#
+# Per calendar month of l_shipdate: the share of discounted revenue
+# earned by PROMO parts.  The part table is a DIMENSION — its
+# (p_partkey -> is_promo) bit broadcasts once via ray.put and each fact
+# batch resolves membership with one searchsorted; revenue stays in the
+# exact integer micro-units of pricing_summary (px_c * (100 - disc_c)),
+# months are integer (year*12 + month) so no calendar convention can
+# diverge, and the final share is ONE float division per month row.
+
+def q_promo_share(sf_dir: str):
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    import pyarrow.compute as pc
+
+    promo = pc.starts_with(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], promo[order].astype(np.int64)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, isp = ray.get(ref)
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        micros = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        us = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        month = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        )  # months since 1970-01
+        lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_promo = isp[np.searchsorted(keys, lp)]
+        keys_m, inv = np.unique(month, return_inverse=True)
+        tot = np.zeros(len(keys_m), dtype=np.int64)
+        pr = np.zeros(len(keys_m), dtype=np.int64)
+        np.add.at(tot, inv, micros)
+        np.add.at(pr, inv, micros * is_promo)
+        return pa.table(
+            {
+                "month": pa.array(keys_m, type=pa.int64()),
+                "promo_micros": pa.array(pr, type=pa.int64()),
+                "total_micros": pa.array(tot, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum(on="promo_micros", alias_name="promo_micros"),
+            Sum(on="total_micros", alias_name="total_micros"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        p = batch.column("promo_micros").to_numpy(zero_copy_only=False)
+        t = batch.column("total_micros").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "month": batch.column("month"),
+                "promo_micros": batch.column("promo_micros"),
+                "total_micros": batch.column("total_micros"),
+                "promo_share": pa.array(
+                    p.astype(np.float64) / t.astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PROMO_SHARE = """
+WITH v AS (
+  SELECT (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS month,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0) AS BIGINT)) AS micros,
+         CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part p ON p.p_partkey = l_partkey)
+SELECT CAST(month AS BIGINT) AS month,
+       CAST(SUM(micros * is_promo) AS BIGINT) AS promo_micros,
+       CAST(SUM(micros) AS BIGINT) AS total_micros,
+       CAST(SUM(micros * is_promo) AS DOUBLE) / CAST(SUM(micros) AS DOUBLE) AS promo_share
+FROM v GROUP BY month
+"""

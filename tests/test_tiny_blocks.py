@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 SRC = "/root/testdata/sf0.001"
-TABLES = ["documents", "events", "orders", "lineitem", "customer", "embeddings"]
+TABLES = ["documents", "events", "orders", "lineitem", "customer", "embeddings", "part"]
 ROW_GROUP = 16
 
 QUERIES = [
@@ -92,6 +92,8 @@ QUERIES = [
     "max_speed",
     "qty_cube",
     "word_lift",
+    "promo_share",
+    "heatmap_counts",
 ]
 
 
