@@ -685,3 +685,67 @@ SELECT CAST(month AS BIGINT) AS month,
        CAST(SUM(micros * is_promo) AS DOUBLE) / CAST(SUM(micros) AS DOUBLE) AS promo_share
 FROM v GROUP BY month
 """
+
+
+# ---------------------------------------------------------------------------
+# order priority check (TPC-H Q4 shape): EXISTS over a fact-fact join
+# ---------------------------------------------------------------------------
+#
+# Orders counted per priority when at least one of their lineitems
+# shipped late (l_shipdate > o_orderdate + 60 days) — the EXISTS /
+# semi-join report.  Both sides are FACTS, so the plan is one
+# distributed orderkey join of two pruned column sets, an integer-
+# microsecond lateness filter, a per-batch pre-distinct of surviving
+# (orderkey, priority) pairs, and a slim two-level count — the
+# priority-cardinality result never sees the lineitem stream again.
+
+_Q4_LATE_US = 60 * 24 * 3_600_000_000
+
+
+def q_order_priority_check(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    joined = items.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def late_pairs(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship > od + _Q4_LATE_US
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+        pr = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)[keep]
+        # per-batch pre-distinct: one surviving row per (order, priority)
+        _, ix = np.unique(ok, return_index=True)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[ix], type=pa.int64()),
+                "o_orderpriority": pa.array(pr[ix].tolist(), type=pa.string()),
+            }
+        )
+
+    distinct = (
+        joined.map_batches(late_pairs, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        distinct.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 60 * 24 * 3600000000)
+GROUP BY o_orderpriority
+"""

@@ -94,6 +94,7 @@ QUERIES = [
     "word_lift",
     "promo_share",
     "heatmap_counts",
+    "order_priority_check",
 ]
 
 
