@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "revenue_concentration": tpch.q_revenue_concentration,  # top-decile customer share, dimension-bounded fold
         "order_priority_check": tpch.q_order_priority_check,  # Q4 shape: EXISTS via fact-fact join + pre-distinct
         "promo_share": tpch.q_promo_share,        # Q14 shape: broadcast part dim + exact-micros monthly rollup
         "heatmap_counts": ol.q_heatmap_counts,    # (hour x value-band) dashboard grid, grid-bounded shuffle
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "revenue_concentration": tpch.SQL_REVENUE_CONCENTRATION,
         "order_priority_check": tpch.SQL_ORDER_PRIORITY_CHECK,
         "promo_share": tpch.SQL_PROMO_SHARE,
         "heatmap_counts": ol.SQL_HEATMAP_COUNTS,

@@ -749,3 +749,71 @@ WHERE EXISTS (
     AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 60 * 24 * 3600000000)
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration: the top-decile customers' share of total spend
+# ---------------------------------------------------------------------------
+#
+# The inequality/concentration KPI (the "whales" report): customers
+# ranked by exact order-total cents; the top ceil(n/10) customers'
+# share of all revenue.  One (custkey) Sum shuffle builds the
+# customer-dimension spend table; the decile cut and the two sums fold
+# over that dimension-bounded table; output is one row with the exact
+# integer numerator/denominator and ONE float division.  Ties at the
+# cut resolve by spend desc then custkey asc — deterministic on both
+# sides.
+
+def q_revenue_concentration(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": batch.column("o_custkey"), "c": pa.array(c, type=pa.int64())}
+        )
+
+    spend = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum(on="c", alias_name="c"))
+        .take_all()  # customer-dimension-bounded, driver-small
+    )
+    ck = np.array([r["o_custkey"] for r in spend], dtype=np.int64)
+    cs = np.array([r["c"] for r in spend], dtype=np.int64)
+    order = np.lexsort((ck, -cs))  # spend desc, custkey asc
+    n = len(ck)
+    top_n = int(np.ceil(n / 10.0))
+    top = int(cs[order][:top_n].sum())
+    total = int(cs.sum())
+    return pa.table(
+        {
+            "n_customers": pa.array([n], type=pa.int64()),
+            "top_n": pa.array([top_n], type=pa.int64()),
+            "top_cents": pa.array([top], type=pa.int64()),
+            "total_cents": pa.array([total], type=pa.int64()),
+            "share": pa.array([float(top) / float(total)], type=pa.float64()),
+        }
+    )
+
+
+SQL_REVENUE_CONCENTRATION = """
+WITH s AS (
+  SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS c
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, o_custkey ASC) AS rk,
+         COUNT(*) OVER () AS n
+  FROM s)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(CAST(ceil(MAX(n) / 10.0) AS BIGINT) AS BIGINT) AS top_n,
+       CAST(SUM(CASE WHEN rk <= ceil(n / 10.0) THEN c ELSE 0 END) AS BIGINT) AS top_cents,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rk <= ceil(n / 10.0) THEN c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(c) AS DOUBLE) AS share
+FROM r
+"""

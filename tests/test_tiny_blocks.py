@@ -95,6 +95,7 @@ QUERIES = [
     "promo_share",
     "heatmap_counts",
     "order_priority_check",
+    "revenue_concentration",
 ]
 
 
