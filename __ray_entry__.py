@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "session_stats": tq.q_session_stats,      # composed rollup over the gated sessionizer (end-to-end hash gate)
+        "time_to_purchase": ol.q_time_to_purchase,  # funnel latency: first event -> first purchase, NULL on never
         "revenue_concentration": tpch.q_revenue_concentration,  # top-decile customer share, dimension-bounded fold
         "order_priority_check": tpch.q_order_priority_check,  # Q4 shape: EXISTS via fact-fact join + pre-distinct
         "promo_share": tpch.q_promo_share,        # Q14 shape: broadcast part dim + exact-micros monthly rollup
@@ -349,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "session_stats": tq.SQL_SESSION_STATS,
+        "time_to_purchase": ol.SQL_TIME_TO_PURCHASE,
         "revenue_concentration": tpch.SQL_REVENUE_CONCENTRATION,
         "order_priority_check": tpch.SQL_ORDER_PRIORITY_CHECK,
         "promo_share": tpch.SQL_PROMO_SHARE,

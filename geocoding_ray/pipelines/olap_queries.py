@@ -2670,3 +2670,63 @@ SELECT (epoch_us(ts) // {_HOUR_US_HM}) % 24 AS hour,
        CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
 FROM events GROUP BY hour, band
 """
+
+
+# ---------------------------------------------------------------------------
+# time to first purchase: funnel latency per user
+# ---------------------------------------------------------------------------
+#
+# The activation-latency KPI: microseconds from each user's FIRST event
+# to their FIRST purchase (NULL for users who never purchased) — two
+# native Min aggregates over one pruned scan (the purchase side
+# filtered per batch), aligned by a left join; integer microseconds end
+# to end.
+
+def q_time_to_purchase(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).materialize()  # consumed twice (all-events min + purchase min)
+    first = ds.groupby("user_id").aggregate(Min(on="ts", alias_name="first_ts"))
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("event_type"), "purchase")
+        f = batch.filter(keep)
+        return pa.table({"p_uid": f.column("user_id"), "ts": f.column("ts")})
+
+    fp = (
+        ds.map_batches(purchases, batch_format="pyarrow")
+        .groupby("p_uid")
+        .aggregate(Min(on="ts", alias_name="first_purchase"))
+    )
+    joined = _scrub_empties(first, 4).join(
+        _scrub_empties(fp, 4), join_type="left_outer", num_partitions=4,
+        on=("user_id",), right_on=("p_uid",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ft = batch.column("first_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        pt = batch.column("first_purchase").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "first_ts": batch.column("first_ts").cast(pa.timestamp("us")),
+                "first_purchase": batch.column("first_purchase").cast(pa.timestamp("us")),
+                "latency_us": pc.subtract(pt, ft),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TIME_TO_PURCHASE = """
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+p AS (SELECT user_id, MIN(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT f.user_id, f.first_ts, p.first_purchase,
+       CAST(epoch_us(p.first_purchase) - epoch_us(f.first_ts) AS BIGINT) AS latency_us
+FROM f LEFT JOIN p USING (user_id)
+"""

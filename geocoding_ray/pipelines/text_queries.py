@@ -1997,3 +1997,58 @@ nn AS (
 SELECT x.qid AS a, x.nid AS b
 FROM nn x JOIN nn y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < y.qid
 """
+
+
+# ---------------------------------------------------------------------------
+# session statistics: composed rollup over the gated sessionizer
+# ---------------------------------------------------------------------------
+#
+# The composition gate for the sessionize family (corpus_pipeline's
+# pattern): the per-user session report — session count, total events,
+# total in-session dwell microseconds, and the longest session — built
+# by aggregating q_sessionize's OUTPUT Dataset, so the whole two-stage
+# plan (sort -> partial sessionize -> merge -> rollup) is value-hash
+# gated end to end as one composed query.
+
+def q_session_stats(sf_dir: str):
+    sess = q_sessionize(sf_dir)
+
+    def fold(g: pa.Table) -> pa.Table:
+        n = g.column("n_events").to_numpy(zero_copy_only=False)
+        st = g.column("session_start").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        en = g.column("session_end").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = en - st
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(0, 1),
+                "n_sessions": pa.array([len(n)], type=pa.int64()),
+                "n_events": pa.array([int(n.sum())], type=pa.int64()),
+                "dwell_us": pa.array([int(dur.sum())], type=pa.int64()),
+                "longest_us": pa.array([int(dur.max())], type=pa.int64()),
+            }
+        )
+
+    return sess.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_SESSION_STATS = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o),
+sess AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dur) AS BIGINT) AS dwell_us,
+       CAST(MAX(dur) AS BIGINT) AS longest_us
+FROM sess GROUP BY user_id
+"""

@@ -96,6 +96,8 @@ QUERIES = [
     "heatmap_counts",
     "order_priority_check",
     "revenue_concentration",
+    "session_stats",
+    "time_to_purchase",
 ]
 
 
