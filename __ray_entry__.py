@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_grid": gc.q_dbscan_grid,          # grid-density DBSCAN: core cells + distributed CC labels
         "cell_compact": gc.q_cell_compact,        # quadtree compaction: complete 4-child families -> parent
         "traj_simplify": gc.q_traj_simplify,      # per-user Douglas-Peucker, exact int cross-product DP
+        "discount_effect": tpch.q_discount_effect,  # Q6-family per-discount-level profile, grid-bounded shuffle
         "session_stats": tq.q_session_stats,      # composed rollup over the gated sessionizer (end-to-end hash gate)
         "time_to_purchase": ol.q_time_to_purchase,  # funnel latency: first event -> first purchase, NULL on never
         "revenue_concentration": tpch.q_revenue_concentration,  # top-decile customer share, dimension-bounded fold
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": sq.SQL_EMBED_GRAM,
         "dbscan_grid": gc.SQL_DBSCAN_GRID,
         "cell_compact": gc.SQL_CELL_COMPACT,
+        "discount_effect": tpch.SQL_DISCOUNT_EFFECT,
         "session_stats": tq.SQL_SESSION_STATS,
         "time_to_purchase": ol.SQL_TIME_TO_PURCHASE,
         "revenue_concentration": tpch.SQL_REVENUE_CONCENTRATION,

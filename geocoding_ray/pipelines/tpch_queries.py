@@ -817,3 +817,89 @@ SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
          / CAST(SUM(c) AS DOUBLE) AS share
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# discount effect: per-discount-level revenue/quantity profile (Q6 family)
+# ---------------------------------------------------------------------------
+#
+# The pricing-analysis rollup behind TPC-H Q6's predicate: for every
+# discount level (exact cents, the bounded 0..100 domain), order-line
+# count, exact quantity cents, exact discounted-revenue micros, and the
+# one-division average quantity.  One scan, one grid-bounded Sum
+# shuffle.
+
+def q_discount_effect(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        px = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dc = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys, inv = np.unique(dc, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        sq = np.zeros(len(keys), dtype=np.int64)
+        sr = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        np.add.at(sr, inv, px * (100 - dc))
+        return pa.table(
+            {
+                "disc_c": pa.array(keys, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "qty_cents": pa.array(sq, type=pa.int64()),
+                "rev_micros": pa.array(sr, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("disc_c")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="qty_cents", alias_name="qty_cents"),
+            Sum(on="rev_micros", alias_name="rev_micros"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        q = batch.column("qty_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "disc_c": batch.column("disc_c"),
+                "n": batch.column("n"),
+                "qty_cents": batch.column("qty_cents"),
+                "rev_micros": batch.column("rev_micros"),
+                "avg_qty_cents": pa.array(
+                    q.astype(np.float64) / n.astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DISCOUNT_EFFECT = """
+WITH v AS (
+  SELECT CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_c,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS qty_c,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS px_c
+  FROM lineitem)
+SELECT disc_c,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qty_c) AS BIGINT) AS qty_cents,
+       CAST(SUM(px_c * (100 - disc_c)) AS BIGINT) AS rev_micros,
+       CAST(SUM(qty_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty_cents
+FROM v GROUP BY disc_c
+"""

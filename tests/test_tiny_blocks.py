@@ -98,6 +98,7 @@ QUERIES = [
     "revenue_concentration",
     "session_stats",
     "time_to_purchase",
+    "discount_effect",
 ]
 
 
