@@ -1120,6 +1120,13 @@ def q_segment_join(sf_dir: str):
         ii, jj = np.nonzero(hit)
         if len(ii) == 0:
             return empty
+        # packed-domain invariant: the (user_a, user_b) composite decodes
+        # with // and %, bijective only while 0 <= user_id < 10_000_000
+        if len(u):
+            assert 0 <= u.min() and u.max() < 10_000_000, (
+                "pair packing requires 0 <= user_id < 10_000_000; use a "
+                "two-column distinct for wider id domains"
+            )
         key = u[ii] * 10_000_000 + u[jj]
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table(

@@ -1392,6 +1392,13 @@ def q_growth_accounting(sf_dir: str):
         us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         day = us // DAY_US
+        # packed-domain invariant: the (day, user) composite decodes with
+        # // and %, which is only bijective while 0 <= uid < the modulus
+        if len(uid):
+            assert 0 <= uid.min() and uid.max() < 1_000_000_007, (
+                "day_churn packing requires 0 <= user_id < 1_000_000_007; "
+                "use a two-column distinct for wider id domains"
+            )
         key = np.unique(day * 1_000_000_007 + uid)  # per-batch pre-distinct
         return pa.table(
             {
@@ -2001,6 +2008,13 @@ def q_day_churn(sf_dir: str):
         us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         day = us // DAY_US
+        # packed-domain invariant: the (day, user) composite decodes with
+        # // and %, which is only bijective while 0 <= uid < the modulus
+        if len(uid):
+            assert 0 <= uid.min() and uid.max() < 1_000_000_007, (
+                "day_churn packing requires 0 <= user_id < 1_000_000_007; "
+                "use a two-column distinct for wider id domains"
+            )
         key = np.unique(day * 1_000_000_007 + uid)
         return pa.table(
             {
@@ -2185,12 +2199,17 @@ FROM p LEFT JOIN best USING (event_id)
 # dimension quartile-binned by BOUNDARY comparison (bucket = 1 +
 # #quantile_disc boundaries strictly below the value — deterministic
 # under ties, unlike NTILE), composed into a 3-digit segment code.
-# Scale shape: one native (Max, Count, Sum) per-user aggregate shuffle;
-# each dimension's boundary fold runs over its DISTINCT-VALUE domain
-# (days and counts are bounded; money is binned in whole dollars so its
-# domain is bounded by max-spend-per-user, the per-key contract — never
-# by user count); the binning itself is a broadcast-free vectorized
-# comparison against three scalars.
+# Scale shape: one native (Max, Count, Sum) per-user aggregate shuffle
+# builds the user mart, WHICH STAYS DISTRIBUTED end to end; one slim
+# map_batches pass over it emits per-batch (dim, value) -> count
+# partials for all three dimensions at once, and a single
+# groupby((dim, value)) Sum shuffle shrinks those to the DISTINCT-VALUE
+# domains (days and counts are bounded; money is binned in whole
+# dollars so its domain is bounded by max-spend-per-user, the per-key
+# contract — never by user count).  The driver folds only those
+# domain-bounded count rows into 9 boundary ints + the global max day,
+# and the final bin assign is a broadcast-scalar vectorized comparison
+# in map_batches over the distributed mart.
 
 RFM_QS = (0.25, 0.5, 0.75)
 
@@ -2208,6 +2227,7 @@ def _rfm_boundaries(vals: np.ndarray, cnts: np.ndarray) -> list[int]:
 
 
 def q_rfm_segments(sf_dir: str):
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
@@ -2233,40 +2253,79 @@ def q_rfm_segments(sf_dir: str):
             Count(alias_name="f"),
             Sum(on="cents", alias_name="m_cents"),
         )
-        .materialize()  # user-table consumed by 3 boundary folds + the final pass
+        .materialize()  # user mart, consumed by the boundary fold + the bin pass
     )
-    rows = u.take_all()  # per-user mart rows — bounded by the user dimension;
-    # the 100-TB path keeps this distributed (boundary folds below are
-    # already domain-bounded; the final bin assign is a map_batches) —
-    # collected here only to share the three tiny boundary folds.
-    gmax = max(r["last_day"] for r in rows)
-    r_days = np.array([gmax - r["last_day"] for r in rows], dtype=np.int64)
-    f = np.array([r["f"] for r in rows], dtype=np.int64)
-    m_cents = np.array([r["m_cents"] for r in rows], dtype=np.int64)
-    m_dollars = m_cents // 100
 
-    def bounds(arr: np.ndarray) -> list[int]:
-        v, c = np.unique(arr, return_counts=True)
-        return _rfm_boundaries(v, c.astype(np.int64))
+    # one slim pass emits (dim, value) -> count partials for all three
+    # dimensions (dim 0 keys last_day so the calendar max rides along;
+    # dim 1 keys f; dim 2 keys whole-dollar spend) — per-batch distinct,
+    # so the single shuffle below moves only domain-bounded rows, never
+    # the user dimension.
+    def dim_partials(batch: pa.Table) -> pa.Table:
+        ld = batch.column("last_day").to_numpy(zero_copy_only=False)
+        fv = batch.column("f").to_numpy(zero_copy_only=False)
+        md = batch.column("m_cents").to_numpy(zero_copy_only=False) // 100
+        dims, vals, cnts = [], [], []
+        for d, arr in ((0, ld), (1, fv), (2, md)):
+            v, c = np.unique(arr, return_counts=True)
+            dims.append(np.full(len(v), d, dtype=np.int64))
+            vals.append(v.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "dim": pa.array(np.concatenate(dims), type=pa.int64()),
+                "v": pa.array(np.concatenate(vals), type=pa.int64()),
+                "c": pa.array(np.concatenate(cnts), type=pa.int64()),
+            }
+        )
 
-    rb, fb, mb = bounds(r_days), bounds(f), bounds(m_dollars)
-
-    def binit(arr: np.ndarray, b: list[int]) -> np.ndarray:
-        return 1 + (arr > b[0]).astype(np.int64) + (arr > b[1]) + (arr > b[2])
-
-    r_bin, f_bin, m_bin = binit(r_days, rb), binit(f, fb), binit(m_dollars, mb)
-    return pa.table(
-        {
-            "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
-            "r_days": pa.array(r_days, type=pa.int64()),
-            "f": pa.array(f, type=pa.int64()),
-            "m_cents": pa.array(m_cents, type=pa.int64()),
-            "r_bin": pa.array(r_bin, type=pa.int64()),
-            "f_bin": pa.array(f_bin, type=pa.int64()),
-            "m_bin": pa.array(m_bin, type=pa.int64()),
-            "rfm_code": pa.array(100 * r_bin + 10 * f_bin + m_bin, type=pa.int64()),
-        }
+    dom = (
+        u.map_batches(dim_partials, batch_format="pyarrow")
+        .groupby(["dim", "v"])
+        .aggregate(Sum(on="c", alias_name="c"))
+        .take_all()  # #distinct values across 3 bounded domains — driver-small
     )
+
+    def fold(d: int, xform=lambda v: v) -> list[int]:
+        vc = {}
+        for r in dom:
+            if r["dim"] == d:
+                vc[xform(int(r["v"]))] = vc.get(xform(int(r["v"])), 0) + int(r["c"])
+        v = np.array(sorted(vc), dtype=np.int64)
+        c = np.array([vc[k] for k in sorted(vc)], dtype=np.int64)
+        return _rfm_boundaries(v, c)
+
+    gmax = max(int(r["v"]) for r in dom if r["dim"] == 0)
+    rb = fold(0, lambda v: gmax - v)  # recency domain = gmax - last_day
+    fb = fold(1)
+    mb = fold(2)
+    bref = ray.put((gmax, np.array(rb + fb + mb, dtype=np.int64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g, b = ray.get(bref)
+
+        def binit(arr: np.ndarray, o: int) -> np.ndarray:
+            return 1 + (arr > b[o]).astype(np.int64) + (arr > b[o + 1]) + (arr > b[o + 2])
+
+        ld = batch.column("last_day").to_numpy(zero_copy_only=False)
+        fv = batch.column("f").to_numpy(zero_copy_only=False)
+        mc = batch.column("m_cents").to_numpy(zero_copy_only=False)
+        r_days = g - ld
+        r_bin, f_bin, m_bin = binit(r_days, 0), binit(fv, 3), binit(mc // 100, 6)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "r_days": pa.array(r_days, type=pa.int64()),
+                "f": pa.array(fv, type=pa.int64()),
+                "m_cents": pa.array(mc, type=pa.int64()),
+                "r_bin": pa.array(r_bin, type=pa.int64()),
+                "f_bin": pa.array(f_bin, type=pa.int64()),
+                "m_bin": pa.array(m_bin, type=pa.int64()),
+                "rfm_code": pa.array(100 * r_bin + 10 * f_bin + m_bin, type=pa.int64()),
+            }
+        )
+
+    return u.map_batches(assign, batch_format="pyarrow")
 
 
 SQL_RFM_SEGMENTS = f"""
@@ -2479,7 +2538,13 @@ def q_percent_rank(sf_dir: str):
         v, r, cle, n_all = ray.get(ref)
         x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.searchsorted(v, x)
-        pr = (r[idx] - 1).astype(np.float64) / float(n_all - 1)
+        # ANSI PERCENT_RANK is defined as 0 for a single-row partition;
+        # guard the N==1 division instead of emitting inf/nan.
+        pr = (
+            (r[idx] - 1).astype(np.float64) / float(n_all - 1)
+            if n_all > 1
+            else np.zeros(len(x), dtype=np.float64)
+        )
         cd = cle[idx].astype(np.float64) / float(n_all)
         return pa.table(
             {
@@ -2641,6 +2706,13 @@ def q_heatmap_counts(sf_dir: str):
         )
         hour = (us // _HOUR_US_HM) % 24
         band = c // HEAT_BAND_C
+        # packed-domain invariant: hour*1000+band decodes only while
+        # 0 <= band < 1000 (values up to HEAT_BAND_C*1000 cents)
+        if len(band):
+            assert 0 <= band.min() and band.max() < 1_000, (
+                "heatmap packing requires 0 <= value-band < 1000; widen "
+                "HEAT_BAND_C or use a two-column distinct"
+            )
         key = hour * 1_000 + band
         keys, inv = np.unique(key, return_inverse=True)
         n = np.bincount(inv, minlength=len(keys)).astype(np.int64)

@@ -410,18 +410,30 @@ WHERE d.n_chars > med.med
 # hash has NO duplicate partner (the "survivors without siblings"
 # pass a training-data pipeline runs before expensive near-dup work).
 # Distributed anti-join shape: per-batch partial (hash, count) -> tiny
-# groupby sum over realized hashes -> the n == 1 hash set semi-joins
+# groupby sum over realized hashes -> the n >= 2 hash set anti-joins
 # the docs stream.  Mirrors q_dedup_exact's md5(text) content key so
-# both gates share one definition of "identical content".
+# both gates share one definition of "identical content".  The dup-hash
+# set grows with the corpus DUP MASS, which a boilerplate-heavy 100-TB
+# corpus does not bound — so the plan switches adaptively on measured
+# size (the minhash pattern): below the bound the sorted hash array is
+# ray.put-broadcast and membership is a vectorized is_in; above it the
+# hashed stream LEFT_ANTI-joins the dup set via the native
+# ``Dataset.join`` and nothing hash-set-sized is ever driver-resident.
+# Both paths are parity-tested (tests/test_trainingdata.py).
+
+UNIQUE_DOCS_BROADCAST_MAX = 1_000_000  # dup md5 hex strings ~ 32 MB
 
 
-def q_unique_docs(sf_dir: str):
+def q_unique_docs(sf_dir: str, _broadcast_max: int | None = None):
     import hashlib
 
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    from .poolsize import auto_pool
+
+    bound = UNIQUE_DOCS_BROADCAST_MAX if _broadcast_max is None else _broadcast_max
     path = f"{sf_dir}/documents.parquet"
 
     def hashed(batch: pa.Table) -> pa.Table:
@@ -435,20 +447,29 @@ def q_unique_docs(sf_dir: str):
         hashed, batch_format="pyarrow"
     ).materialize()  # consumed by the count pass and the anti-join pass
     counts = hashed_ds.groupby("hx").aggregate(Count(alias_name="n"))
-    dup_hx = counts.filter(expr="n >= 2").select_columns(["hx"]).take_all()
-    # the DUP hash set is the slim side (bounded by the dup mass, the
-    # quantity exact dedup already collects); broadcast it and ANTI-join
-    dup_arr = pa.array(sorted(r["hx"] for r in dup_hx), type=pa.string())
-    dup_ref = ray.put(dup_arr)
+    dup = counts.filter(expr="n >= 2").select_columns(["hx"]).materialize()
 
-    def keep_unique(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    if dup.count() <= bound:
+        # BROADCAST plan: dup set is measured-small — ship once, filter
+        # with a vectorized is_in per batch.
+        dup_arr = pa.array(sorted(r["hx"] for r in dup.take_all()), type=pa.string())
+        dup_ref = ray.put(dup_arr)
 
-        dup = ray.get(dup_ref)
-        mask = pc.invert(pc.is_in(batch.column("hx"), value_set=dup))
-        return batch.filter(mask).select(["doc_id"])
+        def keep_unique(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    return hashed_ds.map_batches(keep_unique, batch_format="pyarrow")
+            dups = ray.get(dup_ref)
+            mask = pc.invert(pc.is_in(batch.column("hx"), value_set=dups))
+            return batch.filter(mask).select(["doc_id"])
+
+        out = hashed_ds.map_batches(keep_unique, batch_format="pyarrow")
+    else:
+        # DISTRIBUTED plan: native left_anti join keeps the dup set in
+        # worker blocks (the q_orders_no_lineitem shape).
+        out = hashed_ds.join(
+            dup, join_type="left_anti", num_partitions=auto_pool(), on=("hx",)
+        ).select_columns(["doc_id"])
+    return out
 
 
 SQL_UNIQUE_DOCS = """
@@ -2311,6 +2332,13 @@ FROM e JOIN m USING (user_id)
 # (lang, source) Count shuffle (the margins fold from the cell counts —
 # no second scan), and the grid assembly is a vocabulary-bounded driver
 # fold (|langs| x |sources| cells), the gini/weighted-median physics.
+# DOMAIN BOUND: the int64 rational carry requires (o*N - r*c)^2 < 2^63,
+# i.e. |o*N - r*c| < ~3.04e9 — guaranteed for near-independent margins
+# at any N (o*N ~ r*c) but violated by strongly dependent margins once
+# N reaches ~5e4 (worst case N^4/16).  The fold below checks the fit
+# explicitly and raises with the float64-carry remedy rather than
+# letting pyarrow fail opaquely; the DuckDB oracle computes the same
+# products in HUGEINT and its BIGINT cast enforces the same bound.
 
 def q_chi2_cells(sf_dir: str):
     import ray.data as rd
@@ -2334,6 +2362,12 @@ def q_chi2_cells(sf_dir: str):
             o = obs.get((lg, s), 0)
             num = (o * n - rtot[lg] * ctot[s]) ** 2
             den = n * rtot[lg] * ctot[s]
+            if num >= 2**63 or den >= 2**63:
+                raise ValueError(
+                    "chi2_cells: exact rational outgrew int64 (strongly "
+                    "dependent margins at this N); carry chi2_num/chi2_den "
+                    "as float64 for this corpus"
+                )
             out_l.append(lg)
             out_s.append(s)
             out_o.append(o)
@@ -2595,7 +2629,23 @@ def q_word_lift(sf_dir: str):
         nab = batch.column("n_ab").to_numpy(zero_copy_only=False)
         ca = cv[np.searchsorted(wv, w1)]
         cb = cv[np.searchsorted(wv, w2)]
-        keep = LIFT_DEN * n * nab >= LIFT_NUM * ca * cb
+        # int64 fast path only while both cross products provably fit;
+        # past ~10^9 docs the comparison reruns in arbitrary-precision
+        # Python ints (the scale path the family comment promises).
+        if len(nab) and (
+            LIFT_DEN * n * int(nab.max()) >= 2**62
+            or LIFT_NUM * int(ca.max()) * int(cb.max()) >= 2**62
+        ):
+            keep = np.fromiter(
+                (
+                    LIFT_DEN * n * int(x) >= LIFT_NUM * int(a) * int(b)
+                    for x, a, b in zip(nab, ca, cb)
+                ),
+                dtype=bool,
+                count=len(nab),
+            )
+        else:
+            keep = LIFT_DEN * n * nab >= LIFT_NUM * ca * cb
         return pa.table(
             {
                 "w1": batch.column("w1").filter(pa.array(keep)),

