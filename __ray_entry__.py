@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "traj_diameter": ga.q_traj_diameter,      # farthest point pair per user (convex-hull prune)
         "rnn_pairs": tq.q_rnn_pairs,              # reciprocal-NN pairs over embeddings (block-pair argmax)
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
+        "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
         "minhash_pairs": tq.q_minhash_pairs,
         "simhash": tq.q_simhash,
@@ -278,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": tpch.SQL_REVENUE_BY_NATION,
         "dedup_clusters_exact": tq.SQL_DEDUP_CLUSTERS_EXACT,
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
+        "reverse_annotations_geo": oq.SQL_REVERSE_ANNOTATIONS_GEO,
         "decontaminate": cq.SQL_DECONTAMINATE,
         "pii_redact": cq.SQL_PII_REDACT,
         "rep_ratio": cq.SQL_REP_RATIO,

@@ -1150,13 +1150,171 @@ FROM xy
 """
 
 
+def q_reverse_annotations_geo(sf_dir: str):
+    """Round-5 gate (round-4 VERDICT Next #4) for the remaining O4
+    annotation strings (opencage.rs:581-599 shape): the full 1-metre
+    MGRS string, the Maidenhead locator, the three-word cell code (the
+    what3words ROLE, engine wordlist), and the sunrise/sunset unix
+    seconds.  Maidenhead and threeword are pure floor/Morton integer
+    arithmetic — exactly SQL-expressible.  MGRS and sun involve
+    transcendental compositions (Krüger series; the NOAA sunrise
+    equation) that DuckDB lacks sinh/atanh for, so the oracle composes
+    them from exp/ln; the compositions were probe-verified CHAR-EXACT
+    on all 100k synthetic points at sf0.1 (max easting/northing
+    divergence ~3e-9 m against a 1 m digit floor; sun int64 seconds
+    equal everywhere once the oracle truncates like numpy's astype).
+    The non-string numeric slice stays gated via
+    ``q_reverse_annotations_num``."""
+    import ray.data as rd
+
+    from ..stages.annotations import annotate_points
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = ds.map_batches(_synth_pip_points, batch_format="pyarrow")
+    ds = ds.map_batches(annotate_points, batch_format="pyarrow")
+    return ds.select_columns(
+        ["event_id", "mgrs", "maidenhead", "threeword", "sun_rise", "sun_set"]
+    )
+
+
+def _annotations_geo_sql() -> str:
+    """DuckDB reproduction of the geodesy kernels (state/geodesy.py),
+    term-for-term in the same IEEE evaluation order as the numpy code;
+    constants are repr'd from the very module the engine uses."""
+    from ..state import geodesy as gd
+
+    sqn = 2.0 * np.sqrt(gd._N) / (1.0 + gd._N)
+    k0aa = gd._K0 * gd._AA
+    a1, a2, a3 = gd._ALPHA
+    cons, vow = gd._CONS, gd._VOWELS
+    band, col, row = gd._BAND_LETTERS, gd._COL_LETTERS, gd._ROW_LETTERS
+    morton13 = _morton_sql("x13", "y13", 13)
+
+    def word(w: str) -> str:
+        return (
+            f"substr('{cons}', CAST(({w})//350 AS INT)+1, 1) || "
+            f"substr('{vow}', CAST((({w})//70)%5 AS INT)+1, 1) || "
+            f"substr('{cons}', CAST((({w})//5)%14 AS INT)+1, 1) || "
+            f"substr('{vow}', CAST(({w})%5 AS INT)+1, 1)"
+        )
+
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+mh0 AS (
+  SELECT event_id, lon, lat,
+         least(greatest(lon + 180.0, 0.0), 360.0 - 0.000000001) AS mlo,
+         least(greatest(lat + 90.0, 0.0), 180.0 - 0.000000001) AS mla,
+         least(greatest(CAST(floor((lon+180.0)/360.0*8192.0) AS BIGINT),0),8191) AS x13,
+         least(greatest(CAST(floor((lat+90.0)/180.0*8192.0) AS BIGINT),0),8191) AS y13
+  FROM pts),
+tw0 AS (SELECT *, ({morton13}) AS pl FROM mh0),
+z AS (
+  SELECT *, (CASE
+    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 0.0 AND lon < 9.0 THEN 31
+    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 9.0 AND lon < 21.0 THEN 33
+    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 21.0 AND lon < 33.0 THEN 35
+    WHEN lat >= 72.0 AND lat < 84.0 AND lon >= 33.0 AND lon < 42.0 THEN 37
+    WHEN lat >= 56.0 AND lat < 64.0 AND lon >= 3.0 AND lon < 12.0 THEN 32
+    ELSE (CAST(floor((lon + 180.0)/6.0) AS BIGINT) % 60) + 1 END) AS zone
+  FROM tw0),
+k1 AS (
+  SELECT *, radians(lat) AS phi,
+         radians(lon - ((zone - 1.0)*6.0 - 180.0 + 3.0)) AS lam,
+         sin(radians(lat)) AS sphi
+  FROM z),
+k2 AS (
+  SELECT *, 0.5*ln((1.0+sphi)/(1.0-sphi))
+            - {sqn!r}*(0.5*ln((1.0+{sqn!r}*sphi)/(1.0-{sqn!r}*sphi))) AS targ
+  FROM k1),
+k3 AS (SELECT *, (exp(targ) - exp(-targ))/2.0 AS t FROM k2),
+k4 AS (
+  SELECT *, atan2(t, cos(lam)) AS xi,
+         0.5*ln((1.0 + sin(lam)/sqrt(1.0+t*t))/(1.0 - sin(lam)/sqrt(1.0+t*t))) AS eta
+  FROM k3),
+k5 AS (
+  SELECT *,
+    xi + {a1!r}*sin(2.0*xi)*((exp(2.0*eta)+exp(-2.0*eta))/2.0)
+       + {a2!r}*sin(4.0*xi)*((exp(4.0*eta)+exp(-4.0*eta))/2.0)
+       + {a3!r}*sin(6.0*xi)*((exp(6.0*eta)+exp(-6.0*eta))/2.0) AS xis,
+    eta + {a1!r}*cos(2.0*xi)*((exp(2.0*eta)-exp(-2.0*eta))/2.0)
+        + {a2!r}*cos(4.0*xi)*((exp(4.0*eta)-exp(-4.0*eta))/2.0)
+        + {a3!r}*cos(6.0*xi)*((exp(6.0*eta)-exp(-6.0*eta))/2.0) AS etas
+  FROM k4),
+utm AS (
+  SELECT *, 500000.0 + {k0aa!r}*etas AS e_,
+    CASE WHEN {k0aa!r}*xis < 0.0 THEN {k0aa!r}*xis + 10000000.0
+         ELSE {k0aa!r}*xis END AS n_
+  FROM k5),
+mg AS (
+  SELECT *,
+    CAST(least(greatest(CASE WHEN lat >= 72.0 THEN 19
+               ELSE CAST(floor((lat + 80.0)/8.0) AS BIGINT) END, 0), 19) AS BIGINT) AS band_idx,
+    ((zone - 1) % 3) * 8 + (CAST(floor(e_/100000.0) AS BIGINT) - 1) AS col_idx,
+    (CAST(floor(n_/100000.0) AS BIGINT)
+       + CASE WHEN zone % 2 = 0 THEN 5 ELSE 0 END) % 20 AS row_idx,
+    CAST(floor(e_) AS BIGINT) % 100000 AS edig,
+    CAST(floor(n_) AS BIGINT) % 100000 AS ndig
+  FROM utm),
+sun1 AS (
+  SELECT event_id, lat,
+    floor({float(1_710_892_800)!r}/86400.0 + 2440587.5 - 2451545.0 + 0.0008
+          - (-lon)/360.0 + 0.5) + (-lon)/360.0 AS jstar
+  FROM pts),
+sun2 AS (SELECT *, radians(fmod(357.5291 + 0.98560028*jstar, 360.0)) AS m FROM sun1),
+sun3 AS (
+  SELECT *, radians(fmod(degrees(m) + (1.9148*sin(m) + 0.02*sin(2.0*m)
+             + 0.0003*sin(3.0*m)) + 180.0 + 102.9372, 360.0)) AS lams
+  FROM sun2),
+sun4 AS (
+  SELECT *, 2451545.0 + jstar + 0.0053*sin(m) - 0.0069*sin(2.0*lams) AS jt,
+         sin(lams)*sin(radians(23.4397)) AS sd
+  FROM sun3),
+sun5 AS (
+  SELECT *, (sin(radians(-0.833)) - sin(radians(lat))*sd)
+            / (cos(radians(lat))*cos(asin(sd))) AS ch
+  FROM sun4),
+sun AS (
+  SELECT event_id,
+    CASE WHEN ch < -1.0 OR ch > 1.0 THEN -1
+         ELSE CAST(trunc((jt - degrees(acos(least(greatest(ch,-1.0),1.0)))/360.0
+                          - 2440587.5)*86400.0) AS BIGINT) END AS sun_rise,
+    CASE WHEN ch < -1.0 OR ch > 1.0 THEN -1
+         ELSE CAST(trunc((jt + degrees(acos(least(greatest(ch,-1.0),1.0)))/360.0
+                          - 2440587.5)*86400.0) AS BIGINT) END AS sun_set
+  FROM sun5)
+SELECT m.event_id,
+  CASE WHEN m.lat < -80.0 OR m.lat > 84.0 THEN NULL
+    ELSE CAST(m.zone AS VARCHAR) || substr('{band}', CAST(m.band_idx AS INT)+1, 1)
+      || substr('{col}', CAST(m.col_idx % 24 AS INT)+1, 1)
+      || substr('{row}', CAST(m.row_idx AS INT)+1, 1)
+      || printf('%05d', m.edig) || printf('%05d', m.ndig) END AS mgrs,
+  chr(65 + CAST(floor(m.mlo/20.0) AS INT)) || chr(65 + CAST(floor(m.mla/10.0) AS INT))
+    || CAST(CAST(floor(fmod(m.mlo,20.0)/2.0) AS BIGINT) AS VARCHAR)
+    || CAST(CAST(floor(fmod(m.mla,10.0)) AS BIGINT) AS VARCHAR)
+    || chr(97 + CAST(floor(fmod(m.mlo,2.0)*12.0) AS INT))
+    || chr(97 + CAST(floor(fmod(m.mla,1.0)*24.0) AS INT)) AS maidenhead,
+  {word('m.pl%1024')} || '.' || {word('(m.pl//1024)%1024')}
+    || '.' || {word('(m.pl//1048576)%1024')} AS threeword,
+  s.sun_rise, s.sun_set
+FROM mg m JOIN sun s USING (event_id)
+"""
+
+
+SQL_REVERSE_ANNOTATIONS_GEO = _annotations_geo_sql()
+
+
 def q_reverse_annotations(sf_dir: str):
     """O4 annotations analogue (opencage.rs:581-599): DMS strings,
     quadkey (the geohash role), cell id, Mercator x/y, MGRS, Maidenhead,
-    qibla, sun rise/set.  Rows-only: DMS/MGRS string formatting and
-    sun/qibla trig aren't SQL-reproducible at the bit level; the numeric
-    slice IS gated via ``q_reverse_annotations_num``, and the kernels
-    are unit/property tested against public fixed points."""
+    qibla, sun rise/set.  Rows-only as a whole because of mercator_y
+    (1-ulp ln/tan divergence) and qibla (rounded trig) — but every
+    string family is now hash-gated elsewhere: DMS via
+    ``q_reverse_annotations_num``, MGRS/Maidenhead/threeword/sun via
+    ``q_reverse_annotations_geo``."""
     import ray.data as rd
 
     from ..stages.annotations import annotate_points

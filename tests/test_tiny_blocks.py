@@ -99,6 +99,9 @@ QUERIES = [
     "session_stats",
     "time_to_purchase",
     "discount_effect",
+    # round-5: annotation strings gate, de-drivered marts
+    "reverse_annotations_geo",
+    "unique_docs",
 ]
 
 
