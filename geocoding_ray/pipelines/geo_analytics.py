@@ -922,31 +922,58 @@ LEFT JOIN (
 # user_journey / trajectory_len (SURVEY §2.6).
 
 
+def _prune_chain(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized QuickHull refinement of the UPPER convex chain over a
+    strictly-increasing-x integer point list; returns indices into
+    x/y.  Each round assigns every point to its current chain segment
+    with ONE searchsorted, picks the max-cross point per segment (the
+    farthest from the segment line — always a boundary point) with ONE
+    lexsort, and inserts them all simultaneously — O(log h) vectorized
+    rounds, no per-point Python (round-4 VERDICT Next #6).  Cross
+    products are exact int64 for coordinate spreads < 2^31."""
+    n = len(x)
+    cx = np.array([0, max(n - 1, 0)], dtype=np.int64)
+    if n <= 2:
+        return np.arange(n, dtype=np.int64)
+    idx_all = np.arange(n, dtype=np.int64)
+    while True:
+        seg = np.clip(np.searchsorted(x[cx], x, side="right") - 1, 0, len(cx) - 2)
+        a, b = cx[seg], cx[seg + 1]
+        cross = (x[b] - x[a]) * (y - y[a]) - (y[b] - y[a]) * (x - x[a])
+        above = cross > 0
+        if not above.any():
+            return cx
+        ii = idx_all[above]
+        order = np.lexsort((ii, cross[above], seg[above]))
+        sii, sseg = ii[order], seg[above][order]
+        take = np.r_[sseg[1:] != sseg[:-1], np.array([True])]
+        cx = np.unique(np.concatenate([cx, sii[take]]))
+
+
 def _hull_int(xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Andrew monotone chain over integer coords; returns hull vertices
-    (no interior points, no duplicate endpoints).  Collinear points are
-    dropped (<= 0 turn), which never changes the diameter."""
+    """Convex-boundary candidate set over integer coords, fully
+    vectorized: per-distinct-x y-extremes (every hull vertex is one),
+    then the vectorized QuickHull chain refinement on the upper and the
+    mirrored lower extreme graphs.  Returns a SUPERSET of the hull
+    vertices that lies entirely ON the hull boundary (rare collinear
+    QuickHull ties may survive), which leaves the diameter exact —
+    verified against O(n^2) brute force in
+    tests/test_graph_geo.py::test_hull_diameter_matches_brute_force."""
     pts = np.unique(np.stack([xs, ys], axis=1), axis=0)  # sorted lex (x, y)
     if len(pts) <= 2:
         return pts[:, 0], pts[:, 1]
-
-    def half(p):
-        out: list[np.ndarray] = []
-        for row in p:
-            while len(out) >= 2:
-                ox, oy = out[-2]
-                ax, ay = out[-1]
-                # cross((a-o), (row-o)) <= 0 -> not a left turn: pop
-                if (int(ax - ox) * int(row[1] - oy)) - (int(ay - oy) * int(row[0] - ox)) <= 0:
-                    out.pop()
-                else:
-                    break
-            out.append(row)
-        return out
-
-    lower = half(pts)
-    upper = half(pts[::-1])
-    hull = np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+    x, y = pts[:, 0], pts[:, 1]
+    xu, first = np.unique(x, return_index=True)
+    last = np.r_[first[1:], np.array([len(x)])] - 1
+    ylo, yhi = y[first], y[last]  # per-x runs are y-ascending under the lex sort
+    up = _prune_chain(xu, yhi)
+    lo = _prune_chain(xu, -ylo)
+    hull = np.unique(
+        np.stack(
+            [np.concatenate([xu[up], xu[lo]]), np.concatenate([yhi[up], ylo[lo]])], axis=1
+        ),
+        axis=0,
+    )
     return hull[:, 0], hull[:, 1]
 
 

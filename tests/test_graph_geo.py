@@ -464,3 +464,32 @@ def test_segment_join_cell_plan_matches_brute(ray_session, tmp_path):
             if p1 < 0 and p2 < 0:
                 want[(ua, ub)] = want.get((ua, ub), 0) + 1
     assert got == want
+
+
+def test_hull_vectorized_stress_large_and_gridded():
+    """Round-5: the vectorized QuickHull chain on inputs that stress its
+    collinear-tie and multi-round insertion paths — large random clouds,
+    a lattice (every boundary edge full of collinear points), and a
+    circle-ish ring (many hull vertices)."""
+    rng = np.random.RandomState(11)
+
+    def brute(xs, ys):
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        return int((dx * dx + dy * dy).max())
+
+    cases = []
+    for n in (500, 2000):
+        cases.append((rng.randint(0, 36000, n).astype(np.int64),
+                      rng.randint(0, 18000, n).astype(np.int64)))
+    gx, gy = np.meshgrid(np.arange(40, dtype=np.int64), np.arange(25, dtype=np.int64))
+    cases.append((gx.ravel(), gy.ravel()))
+    th = np.linspace(0, 2 * np.pi, 600)
+    cases.append((np.round(10000 + 9000 * np.cos(th)).astype(np.int64),
+                  np.round(10000 + 9000 * np.sin(th)).astype(np.int64)))
+    for xs, ys in cases:
+        hx, hy = ga._hull_int(xs, ys)
+        hdx = hx[:, None] - hx[None, :]
+        hdy = hy[:, None] - hy[None, :]
+        assert int((hdx * hdx + hdy * hdy).max()) == brute(xs, ys)
+        assert len(hx) < len(xs)  # it actually prunes
