@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_roundtrip": oq.q_jpeg_roundtrip,    # lossy-codec invariant: real JPEG enc/dec, PSNR >= 40 dB per row
         "transcode_stats": oq.q_transcode_stats,  # tiff -> png transcode through both real codecs, means bit-exact
         "video_frames": oq.q_video_frames,        # real strided frame sampling, per-frame means
+        "video_delta": oq.q_video_delta,          # GRV2 inter-frame codec: GOP seek-decode, size + I-count gated
         "scene_cuts": oq.q_scene_cuts,            # temporal frame-delta cut detection through dense real decode
         "image_tiles": oq.q_image_tiles,          # real-codec roundtrip -> 2x2-box tile sums (downsample shape)
         "image_grad": oq.q_image_grad,            # real-codec roundtrip -> exact Sobel L1 edge energy per channel
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_roundtrip": oq.SQL_JPEG_ROUNDTRIP,
         "transcode_stats": oq.SQL_TRANSCODE_STATS,
         "video_frames": oq.SQL_VIDEO_FRAMES,
+        "video_delta": oq.SQL_VIDEO_DELTA,
         "scene_cuts": oq.SQL_SCENE_CUTS,
         "image_tiles": oq.SQL_IMAGE_TILES,
         "image_grad": oq.SQL_IMAGE_GRAD,

@@ -1634,6 +1634,91 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# inter-frame delta video (GRV2): compressed GOP stream, real seek-decode
+# ---------------------------------------------------------------------------
+#
+# Round-5 (round-4 VERDICT Next #5): the compressed-video gate.  Each
+# event synthesizes a clip whose frames share one spatial gradient G
+# (values < 32) plus a per-frame fill < 192 — temporally correlated, so
+# P-frame residuals are CONSTANT planes and the whole GOP structure has
+# a closed form the oracle can predict: I-frames (every 8th, 192 raw
+# bytes) and 2-byte RLE P-frames.  The Ray side earns the match only by
+# actually encoding the GRV2 container and seek-decoding the sampled
+# frames through the real residual-accumulation path; the gate pins
+# (a) decoded pixel means (losslessness), (b) the exact container byte
+# size (encoder behavior), and (c) the I-frame count (GOP structure).
+
+VDELTA_EVERY_N = 5
+
+
+class _VideoDeltaStats:
+    def __init__(self):
+        from ..sources.deltavideo import DEFAULT_KEYINT, encode_deltavideo, extract_frames
+
+        self.encode = encode_deltavideo
+        self.extract = extract_frames
+        self.keyint = DEFAULT_KEYINT
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grad = ((2 * r + c + k) % 32).astype(np.uint8)  # max 23
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.deltavideo import _parse_table, video_info
+
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_e, out_f, out_m, out_b, out_i = [], [], [], [], []
+        for e in eid:
+            n = int(20 + e % 11)
+            fills = ((e * 7 + np.arange(n, dtype=np.int64) * 13) % 192).astype(np.uint8)
+            frames = (self.grad[None] + fills[:, None, None, None]).astype(np.uint8)
+            buf = self.encode(frames, keyint=self.keyint)
+            _w, _h, nn, _fps, _ki = video_info(buf)
+            _sizes, types, _off = _parse_table(buf, nn)
+            idx = np.arange(0, n, VDELTA_EVERY_N, dtype=np.int64)
+            dec = self.extract(buf, idx)
+            means = dec.reshape(len(idx), -1).astype(np.int64).sum(axis=1) / 192.0
+            out_e.extend([int(e)] * len(idx))
+            out_f.extend(idx.tolist())
+            out_m.extend(means.tolist())
+            out_b.extend([len(buf)] * len(idx))
+            out_i.extend([int((types == 0).sum())] * len(idx))
+        return pa.table(
+            {
+                "event_id": pa.array(out_e, type=pa.int64()),
+                "frame_idx": pa.array(out_f, type=pa.int64()),
+                "mean_val": pa.array(out_m, type=pa.float64()),
+                "bytes_payload": pa.array(out_b, type=pa.int64()),
+                "n_iframes": pa.array(out_i, type=pa.int64()),
+            }
+        )
+
+
+def q_video_delta(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _VideoDeltaStats, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_VIDEO_DELTA = f"""
+WITH s AS (
+  SELECT event_id, (20 + event_id % 11) AS n,
+         unnest(generate_series(0, (20 + event_id % 11) - 1, {VDELTA_EVERY_N})) AS g
+  FROM events)
+SELECT event_id,
+       CAST(g AS BIGINT) AS frame_idx,
+       CAST((event_id * 7 + g * 13) % 192 AS DOUBLE) + 11.5 AS mean_val,
+       CAST(24 + 5 * n + 192 * ((n + 7) // 8) + 2 * (n - (n + 7) // 8) AS BIGINT)
+         AS bytes_payload,
+       CAST((n + 7) // 8 AS BIGINT) AS n_iframes
+FROM s
+"""
+
+
 def q_phash_clusters(sf_dir: str):
     """Image duplicate clusters: fully distributed min-label propagation
     (stages.dedup.connected_components — labels stay a Dataset, joined

@@ -81,7 +81,9 @@ class ImageDecode:
                 return None
         if self.fake_missing:
             # STUB: codecs that genuinely need absent libraries
-            # (webp/heic/mp3/video) — deterministic fake
+            # (webp/heic/mp3) — deterministic fake.  Video is REAL:
+            # raw GRV1 (sources/rawvideo.py) and inter-frame GRV2
+            # (sources/deltavideo.py)
             h = hashlib.blake2b(buf, digest_size=3).digest()
             return np.full((1, 1, 3), np.frombuffer(h, dtype=np.uint8).reshape(1, 1, 3))
         raise NotImplementedError(f"no codec for fmt={fmt!r} in this environment")

@@ -99,9 +99,10 @@ QUERIES = [
     "session_stats",
     "time_to_purchase",
     "discount_effect",
-    # round-5: annotation strings gate, de-drivered marts
+    # round-5: annotation strings gate, de-drivered marts, delta video
     "reverse_annotations_geo",
     "unique_docs",
+    "video_delta",
 ]
 
 
