@@ -53,8 +53,11 @@ def dtype_kinds(df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import ray
 
@@ -80,10 +83,12 @@ def main() -> int:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001
             print(f"[FAIL] {name}: ray side raised {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         if name not in sqls:
             print(f"[rows-only] {name}: {len(got)} rows, cols={list(got.columns)}")
+            results[name] = {"status": "rows_only", "rows": len(got)}
             continue
         exp = canon(con.sql(sqls[name]).df())
         ok_rows = len(got) == len(exp)
@@ -102,7 +107,20 @@ def main() -> int:
         print(f"[{status}] {name}: rows {len(got)}/{len(exp)} cols_match={ok_cols} vals_match={ok_vals} {detail}")
         if not ok_cols:
             print(f"        ray={list(got.columns)} kinds={dtype_kinds(got)}\n        sql={list(exp.columns)} kinds={dtype_kinds(exp)}")
+        results[name] = {
+            "status": "ok" if status == "OK  " else "fail",
+            "rows": len(got),
+            "oracle_rows": len(exp),
+            "cols_match": bool(ok_cols),
+            "vals_match": bool(ok_vals),
+        }
     ray.shutdown()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return n_fail
 
 
