@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": tpch.q_revenue_by_nation,  # Q5 shape: fact pre-agg + broadcast dim chain
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "decontaminate": cq.q_decontaminate,      # benchmark decontamination: train/val 5-gram overlap join
+        "substring_dup": cq.q_substring_dup,      # Lee-et-al. exact substring-window dedup stats (6-gram)
         "pii_redact": cq.q_pii_redact,            # vectorized RE2 scrub (PII-redaction shape) + match counts
         "rep_ratio": cq.q_rep_ratio,              # duplicate-word-fraction quality signal, exact micros
         "compact_lww": cq.q_compact_lww,          # last-writer-wins upsert compaction (argmax partials)
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
         "reverse_annotations_geo": oq.SQL_REVERSE_ANNOTATIONS_GEO,
         "decontaminate": cq.SQL_DECONTAMINATE,
+        "substring_dup": cq.SQL_SUBSTRING_DUP,
         "pii_redact": cq.SQL_PII_REDACT,
         "rep_ratio": cq.SQL_REP_RATIO,
         "compact_lww": cq.SQL_COMPACT_LWW,

@@ -65,42 +65,37 @@ def _train_mask(ids: list[int]) -> np.ndarray:
     return digit < SPLIT_TRAIN_OUT_OF_16
 
 
-def _ngram_rows(batch: pa.Table, *, want_train: bool) -> pa.Table:
-    """Explode documents into slim (doc_id, ngram u64-hash) rows for one
-    split side.  Fully vectorized: Arrow space-split -> flat word-hash
-    array -> shifted-multiply rolling combine over each doc's window.
+def _gram_rows(tbl: pa.Table, n: int) -> pa.Table:
+    """Explode documents into slim (doc_id, ngram u64-hash) rows.
+    Fully vectorized: Arrow space-split -> flat word-hash array ->
+    shifted-multiply rolling combine over each doc's window.
 
-    The join key is a 64-bit polynomial hash of the 5 word hashes; a
-    cross-side collision would need two distinct word-5-grams at the
-    same u64 — ~1e-10 at sf-scale vocabularies, and the oracle gate
-    would catch it.
-    """
-    ids = batch.column("doc_id").to_pylist()
-    keep = _train_mask(ids) == want_train
-    if not keep.any():
-        return pa.table(
-            {"doc_id": pa.array([], type=pa.int64()), "ng_h": pa.array([], type=pa.int64())}
-        )
-    tbl = batch.filter(pa.array(keep))
+    The key is a 64-bit polynomial hash of the n word hashes; a
+    collision would need two distinct word-n-grams at the same u64 —
+    ~1e-10 at sf-scale vocabularies, and the oracle gate would catch
+    it."""
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "ng_h": pa.array([], type=pa.int64())}
+    )
+    if tbl.num_rows == 0:
+        return empty
     words = pc.split_pattern(tbl.column("text").combine_chunks(), " ")
     wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
     flat = wa.values  # all words, all docs
     offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     h = polyhash_strings(flat).astype(np.uint64)
     nw = len(h)
-    if nw < NGRAM_N:
-        return pa.table(
-            {"doc_id": pa.array([], type=pa.int64()), "ng_h": pa.array([], type=pa.int64())}
-        )
-    # rolling 5-gram combine: g[i] = sum_j h[i+j] * B^(N-1-j)  (u64 wrap)
-    m = nw - (NGRAM_N - 1)
+    if nw < n:
+        return empty
+    # rolling n-gram combine: g[i] = sum_j h[i+j] * B^(n-1-j)  (u64 wrap)
+    m = nw - (n - 1)
     g = np.zeros(m, dtype=np.uint64)
-    for j in range(NGRAM_N):
-        g += h[j : j + m] * (_B ** np.uint64(NGRAM_N - 1 - j))
-    # valid starts: i such that i+N-1 < doc_end for i's doc
+    for j in range(n):
+        g += h[j : j + m] * (_B ** np.uint64(n - 1 - j))
+    # valid starts: i such that i+n-1 < doc_end for i's doc
     doc_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     starts, ends = offs[:-1], offs[1:]
-    counts = np.maximum(ends - starts - (NGRAM_N - 1), 0)
+    counts = np.maximum(ends - starts - (n - 1), 0)
     row_doc = np.repeat(doc_ids, counts)
     # flat indices of valid window starts, per doc
     base = np.repeat(starts, counts)
@@ -115,6 +110,17 @@ def _ngram_rows(batch: pa.Table, *, want_train: bool) -> pa.Table:
             "ng_h": pa.array(g[idx].view(np.int64), type=pa.int64()),
         }
     )
+
+
+def _ngram_rows(batch: pa.Table, *, want_train: bool) -> pa.Table:
+    """Slim (doc_id, 5-gram-hash) rows for one split side."""
+    ids = batch.column("doc_id").to_pylist()
+    keep = _train_mask(ids) == want_train
+    if not keep.any():
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()), "ng_h": pa.array([], type=pa.int64())}
+        )
+    return _gram_rows(batch.filter(pa.array(keep)), NGRAM_N)
 
 
 def _distinct_i64(ds, col: str):
@@ -178,6 +184,111 @@ SELECT DISTINCT g.doc_id
 FROM g
 JOIN (SELECT DISTINCT ng FROM g WHERE NOT is_train) v USING (ng)
 WHERE g.is_train
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact substring-window dedup stats (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" removes
+# exact substrings repeated across documents.  The distributed stat
+# behind that pass: for every document, how many of its word k-gram
+# windows also occur in at least one OTHER document.  The corpus text
+# is never shuffled — only 16-byte (doc_id, gram-hash) rows move, the
+# duplicated-gram set is reduced by one bounded groupby, and the
+# position recount is a hash join, the same physics as decontaminate.
+
+SUBDUP_N = 6
+
+
+def q_substring_dup(sf_dir: str):
+    """Per-doc duplicated-window stats: n_win = word {SUBDUP_N}-gram
+    windows in the doc, n_dup = windows whose exact gram text appears
+    in >=2 distinct docs.  Because each document lands wholly in one
+    batch, per-batch-distinct (gram, doc) pairs are globally distinct,
+    so one groupby(count) yields exact distinct-doc frequencies."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def grams(b: pa.Table) -> pa.Table:
+        return _gram_rows(b, SUBDUP_N)
+
+    g = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        grams, batch_format="pyarrow"
+    )
+
+    def pair_distinct(b: pa.Table) -> pa.Table:
+        h = b.column("ng_h").to_numpy(zero_copy_only=False)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        hs, ds_ = h[order], d[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table({"ng_h": pa.array(hs[keep], type=pa.int64())})
+
+    dup_h = (
+        g.map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby("ng_h")
+        .aggregate(Count(alias_name="nd"))
+        .filter(expr="nd >= 2")
+        .select_columns(["ng_h"])
+    )
+    n_dup = (
+        g.join(dup_h, join_type="inner", num_partitions=8, on=("ng_h",))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_dup"))
+    )
+
+    def win_counts(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text").combine_chunks(), " ")
+        wa = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        offs = wa.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_win = np.maximum(offs[1:] - offs[:-1] - (SUBDUP_N - 1), 0)
+        keep = n_win > 0
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_win": pa.array(n_win[keep], type=pa.int64()),
+            }
+        )
+
+    wins = rd.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        win_counts, batch_format="pyarrow"
+    )
+    joined = wins.join(n_dup, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+    def fin(b: pa.Table) -> pa.Table:
+        nd = pc.coalesce(b.column("n_dup"), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_win": b.column("n_win"),
+                "n_dup": pc.cast(nd, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_SUBSTRING_DUP = f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+w AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, i, i + {SUBDUP_N - 1}), ' ') AS g
+  FROM s, UNNEST(generate_series(1, greatest(len(ws) - {SUBDUP_N - 1}, 0))) AS t(i)),
+d AS (
+  SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT w.doc_id,
+       COUNT(*) AS n_win,
+       CAST(COALESCE(SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup
+FROM w LEFT JOIN d USING (g)
+GROUP BY w.doc_id
+ORDER BY doc_id
 """
 
 

@@ -18,6 +18,7 @@ ROW_GROUP = 16
 
 QUERIES = [
     "decontaminate",
+    "substring_dup",
     "compact_lww",
     "bloom_semijoin",
     "order_revenue_topk",
