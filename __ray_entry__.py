@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity": sq.q_simpson_diversity,  # per-user behavioral diversity, fully rational
         "traj_diameter": ga.q_traj_diameter,      # farthest point pair per user (convex-hull prune)
         "rnn_pairs": tq.q_rnn_pairs,              # reciprocal-NN pairs over embeddings (block-pair argmax)
+        "volume_shipping": tpch.q_volume_shipping,  # Q7 shape: cross-nation trade flows, 2 slim joins
+        "returned_revenue": tpch.q_returned_revenue,  # Q10 shape: top-20 customers by returned revenue
+        "customer_order_dist": tpch.q_customer_order_dist,  # Q13 shape: LEFT OUTER order-count histogram (incl 0)
+        "volume_customers": tpch.q_volume_customers,  # Q18 shape: HAVING whale orders + join-back
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
@@ -392,6 +396,10 @@ def oracle_sql() -> dict[str, str]:
         "simpson_diversity": sq.SQL_SIMPSON_DIVERSITY,
         "traj_diameter": ga.SQL_TRAJ_DIAMETER,
         "rnn_pairs": tq.SQL_RNN_PAIRS,
+        "volume_shipping": tpch.SQL_VOLUME_SHIPPING,
+        "returned_revenue": tpch.SQL_RETURNED_REVENUE,
+        "customer_order_dist": tpch.SQL_CUSTOMER_ORDER_DIST,
+        "volume_customers": tpch.SQL_VOLUME_CUSTOMERS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

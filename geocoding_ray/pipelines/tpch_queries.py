@@ -962,3 +962,385 @@ SELECT disc_c,
        CAST(SUM(qty_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty_cents
 FROM v GROUP BY disc_c
 """
+
+
+# ---------------------------------------------------------------------------
+# volume shipping (TPC-H Q7 shape): cross-nation trade flows by year
+# ---------------------------------------------------------------------------
+#
+# Revenue shipped between every (supplier nation -> customer nation)
+# pair per calendar year, same-nation flows excluded.  The supplier
+# chain is a broadcast dimension (searchsorted resolve inside the fact
+# scan, as in revenue_by_nation); the customer side is scale-honest: at
+# 10^12 orders the customer table is itself a fact, so it is resolved
+# with a distributed ``Dataset.join``, never a driver broadcast.  The
+# lineitem stream pre-aggregates to one slim row per
+# (orderkey, supp_nation, year) seen per batch BEFORE any exchange, so
+# the two joins move aggregate rows only.  Revenue stays in the exact
+# integer micro-units of pricing_summary.
+
+def q_volume_shipping(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    so = np.argsort(sk, kind="stable")
+    no = np.argsort(nk, kind="stable")
+    sk, snk = sk[so], snk[so]
+    nk, nname = nk[no], nname[no]
+    n_nat = len(nk)
+    ref = ray.put((sk, snk, nk, nname))
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        skk, snkk, nkk, nn = ray.get(ref)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        ni = np.searchsorted(nkk, snkk[np.searchsorted(skk, supp)])
+        us = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        yr = us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        # packed-domain invariants (ADVICE discipline): assert before packing
+        assert yr.size == 0 or (yr.min() >= 1970 and yr.max() < 2034)
+        assert len(nkk) <= 64
+        key = (ok * 64 + ni) * 64 + (yr - 1970)
+        keys, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys >> 12, type=pa.int64()),
+                "supp_ni": pa.array((keys >> 6) & 63, type=pa.int64()),
+                "yr": pa.array((keys & 63) + 1970, type=pa.int64()),
+                "rev": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    li = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partials, batch_format="pyarrow")
+        .groupby(["l_orderkey", "supp_ni", "yr"])
+        .aggregate(Sum(on="rev", alias_name="rev"))
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def cust_nation(batch: pa.Table) -> pa.Table:
+        _, _, nkk, _ = ray.get(ref)
+        cnk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "cust_ni": pa.array(np.searchsorted(nkk, cnk), type=pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_nation, batch_format="pyarrow")
+
+    j1 = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    j2 = j1.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        si = batch.column("supp_ni").to_numpy(zero_copy_only=False)
+        ci = batch.column("cust_ni").to_numpy(zero_copy_only=False)
+        keep = si != ci
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "supp_ni": t.column("supp_ni"),
+                "cust_ni": t.column("cust_ni"),
+                "yr": t.column("yr"),
+                "rev": t.column("rev"),
+            }
+        )
+
+    agg = (
+        j2.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["supp_ni", "cust_ni", "yr"])
+        .aggregate(Sum(on="rev", alias_name="revenue_micros"))
+    )
+
+    def names(batch: pa.Table) -> pa.Table:
+        _, _, _, nn = ray.get(ref)
+        si = batch.column("supp_ni").to_numpy(zero_copy_only=False)
+        ci = batch.column("cust_ni").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array(nn[si].tolist(), type=pa.string()),
+                "cust_nation": pa.array(nn[ci].tolist(), type=pa.string()),
+                "yr": batch.column("yr"),
+                "revenue_micros": batch.column("revenue_micros"),
+            }
+        )
+
+    return agg.map_batches(names, batch_format="pyarrow")
+
+
+SQL_VOLUME_SHIPPING = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS revenue_micros
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# returned-item report (TPC-H Q10 shape): top customers by returned revenue
+# ---------------------------------------------------------------------------
+#
+# The 20 customers who returned the most discounted revenue
+# (l_returnflag = 'R'), with name and nation.  lineitem pre-aggregates
+# per orderkey inside the scan; ONE fact-fact join resolves orderkey ->
+# custkey; a custkey Sum shuffle builds the (distributed) customer
+# spend; the customer name/nation attach is a second slim join; the
+# final top-20 is a distributed sort + limit with the custkey
+# tie-break, so the result is deterministic even under revenue ties.
+
+Q10_K = 20
+
+
+def q_returned_revenue(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    no = np.argsort(nk, kind="stable")
+    ref = ray.put((nk[no], nname[no]))
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        keep = rf == "R"
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        keys, inv = np.unique(ok, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, type=pa.int64()),
+                "rev": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    li = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="rev", alias_name="rev"))
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    per_cust = (
+        li.join(
+            orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        .select_columns(["o_custkey", "rev"])
+        .groupby("o_custkey")
+        .aggregate(Sum(on="rev", alias_name="revenue_micros"))
+    )
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        nkk, nn = ray.get(ref)
+        cnk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "n_name": pa.array(nn[np.searchsorted(nkk, cnk)].tolist(), type=pa.string()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(cust_slim, batch_format="pyarrow")
+    named = per_cust.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_custkey", "c_name", "n_name", "revenue_micros"])
+    return named.sort(["revenue_micros", "o_custkey"], descending=[True, False]).limit(Q10_K)
+
+
+SQL_RETURNED_REVENUE = f"""
+WITH r AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                  * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+           AS revenue_micros
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey)
+SELECT r.o_custkey, c.c_name, n.n_name, r.revenue_micros
+FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_micros DESC, r.o_custkey ASC
+LIMIT {Q10_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+#
+# How many customers placed exactly k orders, INCLUDING k = 0 — the
+# LEFT OUTER distribution report.  Orders pre-count per custkey inside
+# the scan; the customer table LEFT-joins that slim count set (nulls ->
+# 0); the final histogram is a count-cardinality groupby.  Both big
+# tables move once, already reduced.
+
+def q_customer_order_dist(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def o_partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(keys, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(o_partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = cust.join(
+        counts, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.coalesce(batch.column("n"), pa.scalar(0, type=pa.int64()))
+        return pa.table({"n_orders": n})
+
+    return (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DIST = """
+WITH k AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM k GROUP BY n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# large-volume customers (TPC-H Q18 shape): HAVING over a fact rollup
+# ---------------------------------------------------------------------------
+#
+# Orders whose total quantity exceeds 250 units, with the order header
+# attached — the HAVING-filtered join-back.  The quantity rollup
+# shrinks to per-orderkey partials inside the scan, the threshold
+# filter drops all but the whale orders BEFORE the join, and the
+# orders attach moves only the survivors.
+
+Q18_MIN_QTY_C = 250 * 100  # 250 units in exact quantity cents
+
+
+def q_volume_customers(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys, inv = np.unique(ok, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, qty)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, type=pa.int64()),
+                "qty_cents": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    whales = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .map_batches(li_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="qty_cents", alias_name="qty_cents"))
+        .filter(expr=f"qty_cents > {Q18_MIN_QTY_C}")
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    joined = whales.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        od = batch.column("o_orderdate").cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "total_cents": pa.array(cents, type=pa.int64()),
+                "orderdate_us": od,
+                "qty_cents": batch.column("qty_cents"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VOLUME_CUSTOMERS = f"""
+WITH q AS (
+  SELECT l_orderkey, CAST(SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity * 100.0) AS BIGINT)) > {Q18_MIN_QTY_C})
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
+       q.qty_cents
+FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+"""

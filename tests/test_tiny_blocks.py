@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 SRC = "/root/testdata/sf0.001"
-TABLES = ["documents", "events", "orders", "lineitem", "customer", "embeddings", "part"]
+TABLES = ["documents", "events", "orders", "lineitem", "customer", "embeddings", "part", "supplier", "nation"]
 ROW_GROUP = 16
 
 QUERIES = [
@@ -104,6 +104,11 @@ QUERIES = [
     "reverse_annotations_geo",
     "unique_docs",
     "video_delta",
+    # round-5 TPC-H breadth: Q7 / Q10 / Q13 / Q18 shapes
+    "volume_shipping",
+    "returned_revenue",
+    "customer_order_dist",
+    "volume_customers",
 ]
 
 
