@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue": tpch.q_returned_revenue,  # Q10 shape: top-20 customers by returned revenue
         "customer_order_dist": tpch.q_customer_order_dist,  # Q13 shape: LEFT OUTER order-count histogram (incl 0)
         "volume_customers": tpch.q_volume_customers,  # Q18 shape: HAVING whale orders + join-back
+        "top_supplier_quarter": tpch.q_top_supplier_quarter,  # Q15 shape: per-quarter argmax with ties
+        "supplier_breadth": tpch.q_supplier_breadth,  # Q16 shape: COUNT DISTINCT suppliers per (brand,type)
+        "small_qty_revenue": tpch.q_small_qty_revenue,  # Q17 shape: cross-multiplied avg-comparison subquery
+        "or_filter_revenue": tpch.q_or_filter_revenue,  # Q19 shape: OR-of-ANDs disjunctive predicate
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
@@ -400,6 +404,10 @@ def oracle_sql() -> dict[str, str]:
         "returned_revenue": tpch.SQL_RETURNED_REVENUE,
         "customer_order_dist": tpch.SQL_CUSTOMER_ORDER_DIST,
         "volume_customers": tpch.SQL_VOLUME_CUSTOMERS,
+        "top_supplier_quarter": tpch.SQL_TOP_SUPPLIER_QUARTER,
+        "supplier_breadth": tpch.SQL_SUPPLIER_BREADTH,
+        "small_qty_revenue": tpch.SQL_SMALL_QTY_REVENUE,
+        "or_filter_revenue": tpch.SQL_OR_FILTER_REVENUE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

@@ -1344,3 +1344,402 @@ SELECT o.o_orderkey, o.o_custkey,
        q.qty_cents
 FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# top supplier per quarter (TPC-H Q15 shape): grouped argmax WITH ties
+# ---------------------------------------------------------------------------
+#
+# For every calendar quarter, the supplier(s) with the maximum
+# discounted revenue — the view-over-aggregate + "= MAX" shape, which
+# unlike a top-k keeps ALL tied winners.  One (suppkey, quarter) Sum
+# shuffle shrinks the stream to supplier x quarter rows; the per-quarter
+# argmax runs in map_groups over that slim mart (quarter cardinality is
+# calendar-bounded); names resolve from the broadcast supplier
+# dimension.
+
+def q_top_supplier_quarter(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sname = np.asarray(sup.column("s_name").to_pylist(), dtype=object)
+    so = np.argsort(sk, kind="stable")
+    ref = ray.put((sk[so], sname[so]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        us = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        months = us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        quarter = months // 3  # quarters since 1970-Q1, pure integer
+        # packed-domain invariant: quarters are calendar-bounded
+        assert quarter.size == 0 or (quarter.min() >= 0 and quarter.max() < 2**20)
+        key = supp * (2**20) + quarter
+        keys, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(keys >> 20, type=pa.int64()),
+                "quarter": pa.array(keys & (2**20 - 1), type=pa.int64()),
+                "rev": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    mart = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_suppkey", "quarter"])
+        .aggregate(Sum(on="rev", alias_name="rev"))
+    )
+
+    def argmax_ties(group: pa.Table) -> pa.Table:
+        rev = group.column("rev").to_numpy(zero_copy_only=False)
+        keep = rev == rev.max()
+        return group.filter(pa.array(keep))
+
+    winners = mart.groupby("quarter").map_groups(argmax_ties, batch_format="pyarrow")
+
+    def names(batch: pa.Table) -> pa.Table:
+        skk, sn = ray.get(ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "quarter": batch.column("quarter"),
+                "s_suppkey": batch.column("l_suppkey"),
+                "s_name": pa.array(sn[np.searchsorted(skk, supp)].tolist(), type=pa.string()),
+                "revenue_micros": batch.column("rev"),
+            }
+        )
+
+    return winners.map_batches(names, batch_format="pyarrow")
+
+
+SQL_TOP_SUPPLIER_QUARTER = """
+WITH m AS (
+  SELECT l_suppkey,
+         ((year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1) // 3 AS quarter,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100.0) AS BIGINT))) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2)
+SELECT CAST(m.quarter AS BIGINT) AS quarter, m.l_suppkey AS s_suppkey, s.s_name,
+       m.rev AS revenue_micros
+FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+WHERE m.rev = (SELECT MAX(rev) FROM m m2 WHERE m2.quarter = m.quarter)
+"""
+
+
+# ---------------------------------------------------------------------------
+# supplier breadth (TPC-H Q16 shape): COUNT DISTINCT suppliers per part class
+# ---------------------------------------------------------------------------
+#
+# How many distinct suppliers actually shipped parts of each
+# (p_brand, p_type) class.  Two-level exact distinct with NO integer
+# packing (suppkey x partkey products overflow at scale): per-batch
+# lexsort first-occurrence masks pre-distinct (partkey, suppkey) pairs,
+# one pair groupby makes them globally distinct, the broadcast part
+# dimension rewrites partkey -> (brand, type), and a second
+# pre-distinct + groupby counts suppliers per class.
+
+def q_supplier_breadth(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    ptype = np.asarray(part.column("p_type").to_pylist(), dtype=object)
+    po = np.argsort(pk, kind="stable")
+    ref = ray.put((pk[po], brand[po], ptype[po]))
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        part_k = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((supp, part_k))
+        p, s = part_k[order], supp[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        return pa.table(
+            {
+                "l_partkey": pa.array(p[first], type=pa.int64()),
+                "l_suppkey": pa.array(s[first], type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+        .map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        pkk, br, ty = ray.get(ref)
+        part_k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(pkk, part_k)
+        b, t = br[i], ty[i]
+        # per-batch pre-distinct of (brand, type, suppkey)
+        key = np.char.add(np.char.add(b.astype(str), "|"), t.astype(str))
+        order = np.lexsort((supp, key))
+        k, s = key[order], supp[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        parts = [x.split("|") for x in k[first].tolist()]
+        return pa.table(
+            {
+                "p_brand": pa.array([x[0] for x in parts], type=pa.string()),
+                "p_type": pa.array([x[1] for x in parts], type=pa.string()),
+                "l_suppkey": pa.array(s[first], type=pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(classify, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "l_suppkey"])
+        .aggregate(Count(alias_name="_m"))
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_BREADTH = """
+SELECT p.p_brand, p.p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# small-quantity revenue (TPC-H Q17 shape): avg-comparison subquery, exact
+# ---------------------------------------------------------------------------
+#
+# Total revenue from brand-restricted lines whose quantity is below
+# 20% of that part's average quantity.  The per-part average never
+# becomes a float: the filter is the cross-multiplied exact integer
+# comparison 5 * n_part * qty_c < sum_qty_c.  The brand restriction
+# resolves from the broadcast part dimension (brand-bounded subset);
+# the per-part stats mart stays DISTRIBUTED and meets the line stream
+# again in one partkey `Dataset.join` — nothing part-cardinality ever
+# reaches the driver.
+
+Q17_BRAND = "Brand#5"
+
+
+def q_small_qty_revenue(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    keys = np.sort(
+        part.filter(pa.compute.equal(part.column("p_brand"), Q17_BRAND))
+        .column("p_partkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ref = ray.put(keys)
+
+    def brand_lines(batch: pa.Table) -> pa.Table:
+        bk = ray.get(ref)
+        part_k = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(bk, part_k)
+        pos_c = np.minimum(pos, len(bk) - 1) if len(bk) else pos
+        keep = (bk[pos_c] == part_k) if len(bk) else np.zeros(len(part_k), dtype=bool)
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        px_c = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(part_k[keep], type=pa.int64()),
+                "qty_c": pa.array(qty_c[keep], type=pa.int64()),
+                "px_c": pa.array(px_c[keep], type=pa.int64()),
+            }
+        )
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(brand_lines, batch_format="pyarrow")
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        part_k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty_c = batch.column("qty_c").to_numpy(zero_copy_only=False)
+        keys_p, inv = np.unique(part_k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys_p)).astype(np.int64)
+        s = np.zeros(len(keys_p), dtype=np.int64)
+        np.add.at(s, inv, qty_c)
+        return pa.table(
+            {
+                "p_key": pa.array(keys_p, type=pa.int64()),
+                "n_part": pa.array(n, type=pa.int64()),
+                "sum_qty": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    stats = (
+        lines.map_batches(stat_partials, batch_format="pyarrow")
+        .groupby("p_key")
+        .aggregate(Sum(on="n_part", alias_name="n_part"), Sum(on="sum_qty", alias_name="sum_qty"))
+        .repartition(4)  # scrub groupby's schemaless empties pre-join (brand-bounded slim side)
+    )
+    joined = lines.join(
+        stats, join_type="inner", num_partitions=8, on=("l_partkey",), right_on=("p_key",)
+    )
+
+    def small_partials(batch: pa.Table) -> pa.Table:
+        qty_c = batch.column("qty_c").to_numpy(zero_copy_only=False)
+        px_c = batch.column("px_c").to_numpy(zero_copy_only=False)
+        n = batch.column("n_part").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_qty").to_numpy(zero_copy_only=False)
+        keep = 5 * n * qty_c < s  # qty < 0.2 * avg, exact cross-multiplied
+        return pa.table(
+            {
+                "one": pa.array([0], type=pa.int64()),
+                "total_cents": pa.array([int(px_c[keep].sum())], type=pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(small_partials, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum(on="total_cents", alias_name="total_cents"), Sum(on="n_lines", alias_name="n_lines"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.column("total_cents").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "total_cents": batch.column("total_cents"),
+                "n_lines": batch.column("n_lines"),
+                "avg_yearly_cents": pa.array(t / 7.0, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+WITH b AS (
+  SELECT l.l_partkey, CAST(floor(l.l_quantity * 100.0) AS BIGINT) AS qty_c,
+         CAST(floor(l.l_extendedprice * 100.0) AS BIGINT) AS px_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{Q17_BRAND}'),
+s AS (
+  SELECT l_partkey, COUNT(*) AS n_part, SUM(qty_c) AS sum_qty
+  FROM b GROUP BY l_partkey)
+SELECT CAST(SUM(b.px_c) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(b.px_c) AS DOUBLE) / 7.0 AS avg_yearly_cents
+FROM b JOIN s ON b.l_partkey = s.l_partkey
+WHERE 5 * s.n_part * b.qty_c < s.sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# disjunctive-predicate revenue (TPC-H Q19 shape): OR-of-ANDs pushdown
+# ---------------------------------------------------------------------------
+#
+# Revenue matching any of three (brand, quantity-range, size-range)
+# conjunctions — the classic OR-of-ANDs predicate that defeats naive
+# partition pruning.  The part dimension broadcasts (partkey -> brand
+# code, size) once; each fact batch evaluates the whole disjunction
+# vectorized; output is one exact row.
+
+Q19_ARMS = (
+    ("Brand#1", 100, 1100, 1, 5),     # qty cents in [100, 1100], size 1..5
+    ("Brand#2", 1000, 2000, 1, 10),
+    ("Brand#3", 2000, 3000, 1, 15),
+)
+
+
+def q_or_filter_revenue(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    size = part.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    code = np.zeros(len(pk), dtype=np.int64)
+    for i, arm in enumerate(Q19_ARMS):
+        code[brand == arm[0]] = i + 1
+    po = np.argsort(pk, kind="stable")
+    ref = ray.put((pk[po], code[po], size[po]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pkk, cd, sz = ray.get(ref)
+        part_k = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(pkk, part_k)
+        c, s = cd[i], sz[i]
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        px_c = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = np.zeros(len(part_k), dtype=bool)
+        for j, (_, qlo, qhi, slo, shi) in enumerate(Q19_ARMS):
+            keep |= (c == j + 1) & (qty_c >= qlo) & (qty_c <= qhi) & (s >= slo) & (s <= shi)
+        rev = px_c[keep] * (100 - disc_c[keep])
+        return pa.table(
+            {
+                "one": pa.array([0], type=pa.int64()),
+                "revenue_micros": pa.array([int(rev.sum())], type=pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum(on="revenue_micros", alias_name="revenue_micros"), Sum(on="n_lines", alias_name="n_lines"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["one"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_or_filter_revenue() -> str:
+    arms = []
+    for b, qlo, qhi, slo, shi in Q19_ARMS:
+        arms.append(
+            f"(p.p_brand = '{b}' AND CAST(floor(l.l_quantity * 100.0) AS BIGINT) BETWEEN {qlo} AND {qhi}"
+            f" AND p.p_size BETWEEN {slo} AND {shi})"
+        )
+    pred = "\n   OR ".join(arms)
+    return f"""
+SELECT CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))) AS BIGINT)
+         AS revenue_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {pred}
+"""
+
+
+SQL_OR_FILTER_REVENUE = _sql_or_filter_revenue()

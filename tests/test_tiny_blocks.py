@@ -109,6 +109,11 @@ QUERIES = [
     "returned_revenue",
     "customer_order_dist",
     "volume_customers",
+    # round-5 TPC-H breadth: Q15 / Q16 / Q17 / Q19 shapes
+    "top_supplier_quarter",
+    "supplier_breadth",
+    "small_qty_revenue",
+    "or_filter_revenue",
 ]
 
 
