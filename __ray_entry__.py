@@ -214,6 +214,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_breadth": tpch.q_supplier_breadth,  # Q16 shape: COUNT DISTINCT suppliers per (brand,type)
         "small_qty_revenue": tpch.q_small_qty_revenue,  # Q17 shape: cross-multiplied avg-comparison subquery
         "or_filter_revenue": tpch.q_or_filter_revenue,  # Q19 shape: OR-of-ANDs disjunctive predicate
+        "market_share": tpch.q_market_share,        # Q8 shape: num/den-in-one-pass yearly share
+        "nation_profit": tpch.q_nation_profit,      # Q9 shape: exact signed profit per nation-year
+        "blame_supplier": tpch.q_blame_supplier,    # Q21 shape: unique last shipper of shared orders
+        "idle_customers": tpch.q_idle_customers,    # Q22 shape: cross-multiplied avg filter + anti-join
+        "ship_latency": tpch.q_ship_latency,        # Q12 family: lag-bucket x priority grid
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
@@ -408,6 +413,11 @@ def oracle_sql() -> dict[str, str]:
         "supplier_breadth": tpch.SQL_SUPPLIER_BREADTH,
         "small_qty_revenue": tpch.SQL_SMALL_QTY_REVENUE,
         "or_filter_revenue": tpch.SQL_OR_FILTER_REVENUE,
+        "market_share": tpch.SQL_MARKET_SHARE,
+        "nation_profit": tpch.SQL_NATION_PROFIT,
+        "blame_supplier": tpch.SQL_BLAME_SUPPLIER,
+        "idle_customers": tpch.SQL_IDLE_CUSTOMERS,
+        "ship_latency": tpch.SQL_SHIP_LATENCY,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

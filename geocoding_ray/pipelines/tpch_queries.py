@@ -1743,3 +1743,506 @@ WHERE {pred}
 
 
 SQL_OR_FILTER_REVENUE = _sql_or_filter_revenue()
+
+
+# ---------------------------------------------------------------------------
+# market share (TPC-H Q8 shape): one nation's share of yearly revenue
+# ---------------------------------------------------------------------------
+#
+# Per order year, the fraction of total discounted revenue supplied by
+# NATION_3 — the numerator/denominator-in-one-pass shape.  Supplier ->
+# nation resolves from the broadcast dimension inside the lineitem
+# scan, which pre-aggregates (orderkey, rev, target_rev) partials; ONE
+# fact-fact orderkey join attaches the order year; the final rollup is
+# year-cardinality with exact integer num/den and one division per row.
+
+Q8_NATION = "NATION_3"
+
+
+def q_market_share(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    target_nk = nat.filter(pa.compute.equal(nat.column("n_name"), Q8_NATION)).column(
+        "n_nationkey"
+    ).to_numpy(zero_copy_only=False)
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk, kind="stable")
+    is_target = np.isin(snk[so], target_nk.astype(np.int64)).astype(np.int64)
+    ref = ray.put((sk[so], is_target))
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        skk, tgt = ray.get(ref)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(px * 100.0).astype(np.int64) * (
+            100 - np.floor(disc * 100.0).astype(np.int64)
+        )
+        t = tgt[np.searchsorted(skk, supp)]
+        keys, inv = np.unique(ok, return_inverse=True)
+        tot = np.zeros(len(keys), dtype=np.int64)
+        tr = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(tot, inv, rev)
+        np.add.at(tr, inv, rev * t)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, type=pa.int64()),
+                "rev": pa.array(tot, type=pa.int64()),
+                "target_rev": pa.array(tr, type=pa.int64()),
+            }
+        )
+
+    li = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partials, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum(on="rev", alias_name="rev"), Sum(on="target_rev", alias_name="target_rev"))
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def year_partials(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        yr = us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        keys, inv = np.unique(yr, return_inverse=True)
+        tot = np.zeros(len(keys), dtype=np.int64)
+        tr = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(tot, inv, batch.column("rev").to_numpy(zero_copy_only=False))
+        np.add.at(tr, inv, batch.column("target_rev").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "yr": pa.array(keys, type=pa.int64()),
+                "total_micros": pa.array(tot, type=pa.int64()),
+                "target_micros": pa.array(tr, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(year_partials, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(
+            Sum(on="total_micros", alias_name="total_micros"),
+            Sum(on="target_micros", alias_name="target_micros"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.column("total_micros").to_numpy(zero_copy_only=False).astype(np.float64)
+        g = batch.column("target_micros").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "yr": batch.column("yr"),
+                "target_micros": batch.column("target_micros"),
+                "total_micros": batch.column("total_micros"),
+                "share": pa.array(g / t, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MARKET_SHARE = f"""
+WITH v AS (
+  SELECT o.o_orderdate,
+         CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT)) AS micros,
+         CASE WHEN n.n_name = '{Q8_NATION}' THEN 1 ELSE 0 END AS tgt
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(micros * tgt) AS BIGINT) AS target_micros,
+       CAST(SUM(micros) AS BIGINT) AS total_micros,
+       CAST(SUM(micros * tgt) AS DOUBLE) / CAST(SUM(micros) AS DOUBLE) AS share
+FROM v GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation profit (TPC-H Q9 shape): revenue minus retail cost per nation-year
+# ---------------------------------------------------------------------------
+#
+# Profit per (supplier nation, ship year): discounted revenue minus
+# p_retailprice x quantity (the retail-cost stand-in for the absent
+# partsupp table).  Both units are exact 10^-4-dollar integers
+# (px_c·(100−disc_c) and retail_c·qty_c), so profit is an exact —
+# possibly negative — int64.  Two broadcast dimensions (part cost,
+# supplier nation), one fact scan, one (nation, year) Sum shuffle.
+
+def q_nation_profit(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    retail_c = np.floor(
+        part.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    po = np.argsort(pk, kind="stable")
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    so, no = np.argsort(sk, kind="stable"), np.argsort(nk, kind="stable")
+    ref = ray.put((pk[po], retail_c[po], sk[so], snk[so], nk[no], nname[no]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pkk, rc, skk, snkk, nkk, nn = ray.get(ref)
+        part_k = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty_c = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        px_c = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc_c = np.floor(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        profit = px_c * (100 - disc_c) - rc[np.searchsorted(pkk, part_k)] * qty_c
+        ni = np.searchsorted(nkk, snkk[np.searchsorted(skk, supp)])
+        us = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        yr = us.astype("datetime64[us]").astype("datetime64[Y]").astype(np.int64) + 1970
+        assert yr.size == 0 or (yr.min() >= 1970 and yr.max() < 2034)
+        assert len(nkk) <= 64
+        key = ni * 64 + (yr - 1970)
+        keys, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, profit)
+        return pa.table(
+            {
+                "ni": pa.array(keys >> 6, type=pa.int64()),
+                "yr": pa.array((keys & 63) + 1970, type=pa.int64()),
+                "profit": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["ni", "yr"])
+        .aggregate(Sum(on="profit", alias_name="profit_micros"))
+    )
+
+    def names(batch: pa.Table) -> pa.Table:
+        _, _, _, _, _, nn = ray.get(ref)
+        ni = batch.column("ni").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(nn[ni].tolist(), type=pa.string()),
+                "yr": batch.column("yr"),
+                "profit_micros": batch.column("profit_micros"),
+            }
+        )
+
+    return agg.map_batches(names, batch_format="pyarrow")
+
+
+SQL_NATION_PROFIT = """
+SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100.0) AS BIGINT))
+              - CAST(floor(p.p_retailprice * 100.0) AS BIGINT)
+                * CAST(floor(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+         AS profit_micros
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# blame supplier (TPC-H Q21 shape): the unique last shipper of shared orders
+# ---------------------------------------------------------------------------
+#
+# For every multi-supplier order, the supplier whose line shipped
+# STRICTLY last (ties blame nobody) gets one demerit; report demerits
+# per supplier.  The adaptation of Q21's "kept orders waiting" to this
+# schema's single date column.  Physically the argmin_join physics: a
+# per-(orderkey, suppkey) Max mart (per-batch partials first), then a
+# per-orderkey vectorized map_groups over <= lines-per-order rows, one
+# slim suppkey Count shuffle, broadcast name attach.
+
+def q_blame_supplier(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sname = np.asarray(sup.column("s_name").to_pylist(), dtype=object)
+    so = np.argsort(sk, kind="stable")
+    ref = ray.put((sk[so], sname[so]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, supp, ok))
+        o, s, u = ok[order], supp[order], us[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (o[:-1] != o[1:]) | (s[:-1] != s[1:])  # max ship per (order, supp)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(o[last], type=pa.int64()),
+                "l_suppkey": pa.array(s[last], type=pa.int64()),
+                "ship_us": pa.array(u[last], type=pa.int64()),
+            }
+        )
+
+    mart = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max(on="ship_us", alias_name="ship_us"))
+    )
+
+    def blame(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:  # single-supplier order: nobody to blame
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64())})
+        us = group.column("ship_us").to_numpy(zero_copy_only=False)
+        at_max = us == us.max()
+        if int(at_max.sum()) != 1:  # tie at the last ship: no unique culprit
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64())})
+        s = group.column("l_suppkey").to_numpy(zero_copy_only=False)[at_max]
+        return pa.table({"l_suppkey": pa.array(s, type=pa.int64())})
+
+    blamed = mart.groupby("l_orderkey").map_groups(blame, batch_format="pyarrow")
+    counts = blamed.groupby("l_suppkey").aggregate(Count(alias_name="n_orders"))
+
+    def names(batch: pa.Table) -> pa.Table:
+        skk, sn = ray.get(ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": batch.column("l_suppkey"),
+                "s_name": pa.array(sn[np.searchsorted(skk, supp)].tolist(), type=pa.string()),
+                "n_orders": batch.column("n_orders"),
+            }
+        )
+
+    return counts.map_batches(names, batch_format="pyarrow")
+
+
+SQL_BLAME_SUPPLIER = """
+WITH ps AS (
+  SELECT l_orderkey, l_suppkey, MAX(epoch_us(l_shipdate)) AS m
+  FROM lineitem GROUP BY 1, 2),
+o AS (
+  SELECT l_orderkey, MAX(m) AS mm, COUNT(*) AS ns FROM ps GROUP BY 1),
+late AS (
+  SELECT ps.l_orderkey, MAX(ps.l_suppkey) AS blame, COUNT(*) AS c
+  FROM ps JOIN o USING (l_orderkey)
+  WHERE o.ns >= 2 AND ps.m = o.mm
+  GROUP BY 1)
+SELECT late.blame AS s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM late JOIN supplier s ON late.blame = s.s_suppkey
+WHERE late.c = 1
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# idle customers (TPC-H Q22 shape): rich balances that never ordered
+# ---------------------------------------------------------------------------
+#
+# Per nation: customers whose account balance exceeds the global
+# average POSITIVE balance and who placed no orders since 1999.  The average is
+# never a float — the filter is the cross-multiplied exact comparison
+# bal_c * n_pos > sum_pos_c over round()-integerized cents (round, not
+# floor: balances are signed).  The global (n_pos, sum_pos) fold is two
+# ints; the "lapsed" test (no orders since the cutoff — every customer
+# in this corpus has SOME order) is the native left_anti join against
+# the recency-filtered pre-distinct custkey stream.
+
+Q22_CUTOFF_US = 915_148_800_000_000  # 1999-01-01 in epoch microseconds
+
+def q_idle_customers(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    no = np.argsort(nk, kind="stable")
+    ref = ray.put((nk[no], nname[no]))
+
+    def pos_partials(batch: pa.Table) -> pa.Table:
+        c = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        pos = c[c > 0]
+        return pa.table(
+            {
+                "one": pa.array([0], type=pa.int64()),
+                "n_pos": pa.array([len(pos)], type=pa.int64()),
+                "sum_pos": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    fold = (
+        rd.read_parquet(cust_path, columns=["c_acctbal"])
+        .map_batches(pos_partials, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum(on="n_pos", alias_name="n_pos"), Sum(on="sum_pos", alias_name="sum_pos"))
+        .take_all()  # exactly one row: two global ints
+    )
+    n_pos, sum_pos = int(fold[0]["n_pos"]), int(fold[0]["sum_pos"])
+
+    def okeys(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.unique(ck[us >= Q22_CUTOFF_US])
+        return pa.table({"o_custkey": pa.array(v, type=pa.int64())})
+
+    ordered = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(okeys, batch_format="pyarrow")
+    cust = rd.read_parquet(cust_path, columns=["c_custkey", "c_acctbal", "c_nationkey"])
+    idle = cust.join(
+        ordered, join_type="left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def rich_partials(batch: pa.Table) -> pa.Table:
+        nkk, _ = ray.get(ref)
+        c = np.round(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = c * n_pos > sum_pos  # bal > avg positive bal, exact cross-multiplied
+        cnk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ni = np.searchsorted(nkk, cnk)
+        keys, inv = np.unique(ni, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(s, inv, c[keep])
+        return pa.table(
+            {
+                "ni": pa.array(keys, type=pa.int64()),
+                "n_cust": pa.array(n, type=pa.int64()),
+                "bal_cents": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        idle.map_batches(rich_partials, batch_format="pyarrow")
+        .groupby("ni")
+        .aggregate(Sum(on="n_cust", alias_name="n_cust"), Sum(on="bal_cents", alias_name="bal_cents"))
+    )
+
+    def names(batch: pa.Table) -> pa.Table:
+        _, nn = ray.get(ref)
+        ni = batch.column("ni").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(nn[ni].tolist(), type=pa.string()),
+                "n_cust": batch.column("n_cust"),
+                "bal_cents": batch.column("bal_cents"),
+            }
+        )
+
+    return agg.map_batches(names, batch_format="pyarrow")
+
+
+SQL_IDLE_CUSTOMERS = """
+WITH t AS (
+  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100.0) AS BIGINT) AS c
+  FROM customer),
+p AS (
+  SELECT COUNT(*) AS n_pos, SUM(c) AS sum_pos FROM t WHERE c > 0)
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_cust, CAST(SUM(t.c) AS BIGINT) AS bal_cents
+FROM t
+JOIN nation n ON t.c_nationkey = n.n_nationkey
+CROSS JOIN p
+WHERE t.c * p.n_pos > p.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = t.c_custkey
+                  AND epoch_us(o.o_orderdate) >= 915148800000000)
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# shipping latency histogram (TPC-H Q12 family): lag-bucket x priority grid
+# ---------------------------------------------------------------------------
+#
+# How long after order placement lines actually ship, bucketed in
+# 10-day bands per order priority — the Q12 shipmode report re-keyed to
+# this schema's date pair.  One fact-fact orderkey join of two pruned
+# column sets, pure-integer day math identical on both sides, one
+# grid-bounded Sum shuffle.
+
+def q_ship_latency(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    joined = items.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    _DAY_US = 24 * 3_600_000_000
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # dates are midnight-aligned so the day count is an exact multiple;
+        # the 10-day bucket mirrors DuckDB's TRUNCATING integer `//` (which
+        # is NOT numpy floor division for the negative lags in this data)
+        days = (ship - od) // _DAY_US
+        lag_b = np.where(days >= 0, days // 10, -((-days) // 10))
+        pr = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(pr.astype(str), "|"), lag_b.astype(str))
+        keys, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        parts = [k.rsplit("|", 1) for k in keys.tolist()]
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([p[0] for p in parts], type=pa.string()),
+                "lag_bucket": pa.array([int(p[1]) for p in parts], type=pa.int64()),
+                "n_lines": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(partials, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "lag_bucket"])
+        .aggregate(Sum(on="n_lines", alias_name="n_lines"))
+    )
+
+
+SQL_SHIP_LATENCY = """
+SELECT o.o_orderpriority,
+       (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 // 10 AS lag_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""

@@ -114,6 +114,12 @@ QUERIES = [
     "supplier_breadth",
     "small_qty_revenue",
     "or_filter_revenue",
+    # round-5 TPC-H breadth: Q8 / Q9 / Q12 / Q21 / Q22 shapes
+    "market_share",
+    "nation_profit",
+    "blame_supplier",
+    "idle_customers",
+    "ship_latency",
 ]
 
 
