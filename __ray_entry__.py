@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_grad": oq.q_image_grad,            # real-codec roundtrip -> exact Sobel L1 edge energy per channel
         "image_hist": oq.q_image_hist,            # real-codec roundtrip -> corpus per-channel pixel-value histogram
         "image_flip": oq.q_image_flip,            # augmentation: mirror through a DOUBLE codec roundtrip, weighted checksum
+        "image_resize": oq.q_image_resize,        # preprocessing: nearest-neighbor 2x downsample, double codec roundtrip
+        "image_luma": oq.q_image_luma,            # preprocessing: fixed-point integer grayscale (BT.601-style >>8)
+        "image_conv3": oq.q_image_conv3,          # conv shape: exact 3x3 box neighborhood sum over the valid interior
         # --- training-data ops ---
         "dedup_exact": tq.q_dedup_exact,
         "token_count": tq.q_token_count,
@@ -260,6 +263,9 @@ def oracle_sql() -> dict[str, str]:
         "image_grad": oq.SQL_IMAGE_GRAD,
         "image_hist": oq.SQL_IMAGE_HIST,
         "image_flip": oq.SQL_IMAGE_FLIP,
+        "image_resize": oq.SQL_IMAGE_RESIZE,
+        "image_luma": oq.SQL_IMAGE_LUMA,
+        "image_conv3": oq.SQL_IMAGE_CONV3,
         "dedup_exact": tq.SQL_DEDUP_EXACT,
         "token_count": tq.SQL_TOKEN_COUNT,
         "seq_pack": tq.SQL_SEQ_PACK,

@@ -2314,3 +2314,226 @@ SELECT event_id,
        CAST(SUM(dv) * 192 AS BIGINT) AS delta_energy
 FROM d GROUP BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# image resize (nearest-neighbor 2x downsample through the real codec)
+# ---------------------------------------------------------------------------
+#
+# The preprocessing resize stage of a multimodal pipeline: each 8x8x3
+# synthetic image round-trips the REAL TIFF codec, downsamples 2x by
+# nearest-neighbor (output (r, c) = original (2r, 2c)), re-encodes the
+# 4x4 result through the codec again, and reduces to the per-channel
+# (r+1)(c+1)-weighted checksum.  The oracle enumerates the sampled
+# original pixels arithmetically — it can only agree if both codec
+# passes and the stride sampling are bit-exact.
+
+class _ImageResize:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        rc = np.arange(4).reshape(4, 1, 1)
+        cc = np.arange(4).reshape(1, 4, 1)
+        self.w = ((rc + 1) * (cc + 1)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        out = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0))
+            small = dec[::2, ::2, :]  # nearest-neighbor 2x downsample
+            dec2 = self.tiff.parse_pixels(
+                self.tiff.encode_tiff(np.ascontiguousarray(small), 0, 0)
+            ).astype(np.int64)
+            out[i] = (dec2 * self.w).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_r": pa.array(out[:, 0], type=pa.int64()),
+                "w_g": pa.array(out[:, 1], type=pa.int64()),
+                "w_b": pa.array(out[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_resize(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageResize, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_resize() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        # resized pixel at (r, c) is the ORIGINAL pixel at (2r, 2c)
+        cols.append(
+            f"CAST(SUM(((event_id + 16 * (2 * g.r) + 2 * (2 * g.c) + {k}) % 256)"
+            f" * (g.r + 1) * (g.c + 1)) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 4) r, range(0, 4) c)
+SELECT event_id, {col_block}
+FROM events, g
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_RESIZE = _sql_image_resize()
+
+
+# ---------------------------------------------------------------------------
+# image luma (integer grayscale conversion through the real codec)
+# ---------------------------------------------------------------------------
+#
+# The canonical RGB -> grayscale preprocessing stage with the
+# fixed-point BT.601-style integer kernel (77 R + 150 G + 29 B) >> 8 —
+# weights sum to 256 so the result stays a clean uint8 with NO float
+# anywhere.  Decode is the real TIFF path; the oracle reproduces the
+# same truncating integer arithmetic per pixel.
+
+class _ImageLuma:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        rr = np.arange(8).reshape(8, 1)
+        cc = np.arange(8).reshape(1, 8)
+        self.w = ((rr + 1) * (cc + 1)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        wsum = np.zeros(n, dtype=np.int64)
+        lsum = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)).astype(np.int64)
+            luma = (77 * dec[:, :, 0] + 150 * dec[:, :, 1] + 29 * dec[:, :, 2]) >> 8
+            wsum[i] = (luma * self.w).sum()
+            lsum[i] = luma.sum()
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_luma": pa.array(wsum, type=pa.int64()),
+                "sum_luma": pa.array(lsum, type=pa.int64()),
+            }
+        )
+
+
+def q_image_luma(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageLuma, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_IMAGE_LUMA = """
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 8) c),
+px AS (
+  SELECT event_id, g.r, g.c,
+         (77 * ((event_id + 16 * g.r + 2 * g.c + 0) % 256)
+          + 150 * ((event_id + 16 * g.r + 2 * g.c + 1) % 256)
+          + 29 * ((event_id + 16 * g.r + 2 * g.c + 2) % 256)) // 256 AS luma
+  FROM events, g)
+SELECT event_id,
+       CAST(SUM(luma * (r + 1) * (c + 1)) AS BIGINT) AS w_luma,
+       CAST(SUM(luma) AS BIGINT) AS sum_luma
+FROM px GROUP BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# image 3x3 box convolution (the conv-kernel shape through the real codec)
+# ---------------------------------------------------------------------------
+#
+# A 3x3 box neighborhood sum over the valid 6x6 interior — the
+# structural shape of every convolution stage (sliding window over
+# decoded pixels), kept in exact integers by skipping the kernel
+# division.  The oracle enumerates the window algebraically with two
+# offset ranges; agreement requires the real decode and the exact
+# window geometry.
+
+class _ImageConv3:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        rr = np.arange(1, 7).reshape(6, 1)
+        cc = np.arange(1, 7).reshape(1, 6)
+        self.w = (rr * cc).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        out = np.zeros((n, 3), dtype=np.int64)
+        for i in range(n):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)).astype(np.int64)
+            # vectorized 3x3 box sum over the valid interior
+            s = np.zeros((6, 6, 3), dtype=np.int64)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    s += dec[1 + dr : 7 + dr, 1 + dc : 7 + dc, :]
+            out[i] = (s * self.w[:, :, None]).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_r": pa.array(out[:, 0], type=pa.int64()),
+                "w_g": pa.array(out[:, 1], type=pa.int64()),
+                "w_b": pa.array(out[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_conv3(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageConv3, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_conv3() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        cols.append(
+            f"CAST(SUM(((event_id + 16 * (g.r + d.dr) + 2 * (g.c + d.dc) + {k}) % 256)"
+            f" * g.r * g.c) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(1, 7) r, range(1, 7) c),
+d AS (
+  SELECT a.range AS dr, b.range AS dc FROM range(-1, 2) a, range(-1, 2) b)
+SELECT event_id, {col_block}
+FROM events, g, d
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_CONV3 = _sql_image_conv3()

@@ -120,6 +120,10 @@ QUERIES = [
     "blame_supplier",
     "idle_customers",
     "ship_latency",
+    # round-5 image-modality breadth: resize / grayscale / conv window
+    "image_resize",
+    "image_luma",
+    "image_conv3",
 ]
 
 
