@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blame_supplier": tpch.q_blame_supplier,    # Q21 shape: unique last shipper of shared orders
         "idle_customers": tpch.q_idle_customers,    # Q22 shape: cross-multiplied avg filter + anti-join
         "ship_latency": tpch.q_ship_latency,        # Q12 family: lag-bucket x priority grid
+        "regr_user": sq.q_regr_user,                # REGR_SLOPE/INTERCEPT: exact int moments, hugeint closed forms
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "blame_supplier": tpch.SQL_BLAME_SUPPLIER,
         "idle_customers": tpch.SQL_IDLE_CUSTOMERS,
         "ship_latency": tpch.SQL_SHIP_LATENCY,
+        "regr_user": sq.SQL_REGR_USER,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

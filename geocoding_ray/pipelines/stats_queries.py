@@ -2678,3 +2678,107 @@ JOIN df cb ON cb.w = p.w2
 CROSS JOIN n
 WHERE {LIFT_DEN} * n.n * p.c >= {LIFT_NUM} * ca.c * cb.c
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user linear regression (REGR_SLOPE / REGR_INTERCEPT shape, exact)
+# ---------------------------------------------------------------------------
+#
+# OLS value-vs-time trend per user, with NO float accumulation: the
+# five moment sums (n, Sx, Sy, Sxy, Sxx) are exact int64 partials over
+# x = whole seconds since 2024-01-01 (x < 2^31 asserted) and
+# y = value cents, merged by native Sums; slope and intercept come from
+# the closed forms (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and
+# (Sy·Sxx − Sx·Sxy)/(n·Sxx − Sx²), evaluated in arbitrary-precision
+# Python ints over the SLIM per-user mart (the products exceed int64
+# at large n — the documented word_lift overflow lesson) with exactly
+# ONE float division each, mirroring DuckDB HUGEINT arithmetic.
+# Degenerate groups (single point / constant x) yield NULLs on both
+# sides.
+
+_REGR_T0_S = 1_704_067_200  # 2024-01-01 in epoch seconds
+
+
+def q_regr_user(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = us // 1_000_000 - _REGR_T0_S
+        y = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        # int64-safety domain (see header): x, y small enough that the
+        # PARTIAL sums cannot wrap; the closed forms go object-int later
+        assert x.size == 0 or (x.min() >= 0 and x.max() < 2**31)
+        assert y.size == 0 or (np.abs(y).max() < 2**31)
+        keys, inv = np.unique(uid, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        out = {"user_id": pa.array(keys, type=pa.int64()), "n": pa.array(n, type=pa.int64())}
+        for name, v in (("sx", x), ("sy", y), ("sxy", x * y), ("sxx", x * x)):
+            acc = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = pa.array(acc, type=pa.int64())
+        return pa.table(out)
+
+    mart = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="sx", alias_name="sx"),
+            Sum(on="sy", alias_name="sy"),
+            Sum(on="sxy", alias_name="sxy"),
+            Sum(on="sxx", alias_name="sxx"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # object dtype = arbitrary-precision Python ints: n·Sxy and Sx·Sy
+        # exceed int64 once a user holds ~10^4 events
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(object)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False).astype(object)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False).astype(object)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False).astype(object)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False).astype(object)
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        inum = sy * sxx - sx * sxy
+        slope = [None if d == 0 else float(a) / float(d) for a, d in zip(num, den)]
+        icpt = [None if d == 0 else float(b) / float(d) for b, d in zip(inum, den)]
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n": batch.column("n"),
+                "slope": pa.array(slope, type=pa.float64()),
+                "intercept": pa.array(icpt, type=pa.float64()),
+            }
+        )
+
+    return mart.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REGR_USER = f"""
+WITH v AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - {_REGR_T0_S} AS x,
+         CAST(floor(value * 100.0) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM v GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS intercept
+FROM m
+"""

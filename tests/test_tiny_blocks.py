@@ -124,6 +124,8 @@ QUERIES = [
     "image_resize",
     "image_luma",
     "image_conv3",
+    # round-5 exact regression
+    "regr_user",
 ]
 
 
