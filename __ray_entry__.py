@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers": tpch.q_idle_customers,    # Q22 shape: cross-multiplied avg filter + anti-join
         "ship_latency": tpch.q_ship_latency,        # Q12 family: lag-bucket x priority grid
         "regr_user": sq.q_regr_user,                # REGR_SLOPE/INTERCEPT: exact int moments, hugeint closed forms
+        "char_class_hist": sq.q_char_class_hist,    # corpus audit: per-lang char-class counts, RE2 zero-copy
+        "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
+        "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
@@ -426,6 +429,9 @@ def oracle_sql() -> dict[str, str]:
         "idle_customers": tpch.SQL_IDLE_CUSTOMERS,
         "ship_latency": tpch.SQL_SHIP_LATENCY,
         "regr_user": sq.SQL_REGR_USER,
+        "char_class_hist": sq.SQL_CHAR_CLASS_HIST,
+        "bearing_sectors": ga.SQL_BEARING_SECTORS,
+        "audio_windows": oq.SQL_AUDIO_WINDOWS,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

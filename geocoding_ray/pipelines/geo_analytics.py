@@ -1389,3 +1389,86 @@ SELECT user_id,
        CAST(MAX(CASE WHEN dt > 0 THEN (d * 1000000) // dt END) AS BIGINT) AS max_speed
 FROM seg GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bearing-sector histogram (heading rose) per trajectory
+# ---------------------------------------------------------------------------
+#
+# Per user: how many trajectory segments head into each of the 8
+# compass octants — the heading-rose report.  NO trigonometry: the
+# octant comes from exact integer sign/magnitude predicates on the
+# segment vector (dx, dy) over the shared integer point field, applied
+# in the SAME branch order on both sides (np.select here, a CASE chain
+# in the oracle), so ties at the diagonals resolve identically.
+# Zero-length segments are excluded.  One user shuffle; per-group work
+# is a vectorized diff + select.
+
+def _octant_conds(dx, dy, adx, ady):
+    """Shared branch ORDER for the 8 sectors (E NE N NW W SW S SE)."""
+    return [
+        (dx > 0) & (adx >= ady) & (dy >= 0),   # 0: E  (ties E over NE)
+        (dx > 0) & (dy > 0),                   # 1: NE (remaining +/+)
+        (dy > 0) & (ady >= adx),               # 2: N  (incl dx <= 0)
+        (dx < 0) & (dy > 0),                   # 3: NW
+        (dx < 0) & (adx >= ady),               # 4: W
+        (dx < 0) & (dy < 0),                   # 5: SW
+        (dy < 0) & (ady >= adx),               # 6: S
+        (dx > 0) & (dy < 0),                   # 7: SE
+    ]
+
+
+def q_bearing_sectors(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def fold(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        x = (eid[order] * RING_XM) % RING_MOD
+        y = (eid[order] * RING_YM) % RING_MOD
+        dx, dy = np.diff(x), np.diff(y)
+        keep = (dx != 0) | (dy != 0)
+        dx, dy = dx[keep], dy[keep]
+        sec = np.select(_octant_conds(dx, dy, np.abs(dx), np.abs(dy)), np.arange(8), -1)
+        n = np.bincount(sec[sec >= 0], minlength=8).astype(np.int64)
+        present = np.nonzero(n)[0]
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)[0]
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(present), uid), type=pa.int64()),
+                "sector": pa.array(present.astype(np.int64), type=pa.int64()),
+                "n_segments": pa.array(n[present], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_BEARING_SECTORS = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         (event_id * {RING_XM}) % {RING_MOD} AS x,
+         (event_id * {RING_YM}) % {RING_MOD} AS y
+  FROM events),
+d AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         CASE WHEN dx > 0 AND ABS(dx) >= ABS(dy) AND dy >= 0 THEN 0
+              WHEN dx > 0 AND dy > 0 THEN 1
+              WHEN dy > 0 AND ABS(dy) >= ABS(dx) THEN 2
+              WHEN dx < 0 AND dy > 0 THEN 3
+              WHEN dx < 0 AND ABS(dx) >= ABS(dy) THEN 4
+              WHEN dx < 0 AND dy < 0 THEN 5
+              WHEN dy < 0 AND ABS(dy) >= ABS(dx) THEN 6
+              WHEN dx > 0 AND dy < 0 THEN 7
+         END AS sector
+  FROM d WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0))
+SELECT user_id, CAST(sector AS BIGINT) AS sector, CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM s GROUP BY 1, 2
+"""

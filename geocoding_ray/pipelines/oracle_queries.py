@@ -2537,3 +2537,87 @@ GROUP BY event_id
 
 
 SQL_IMAGE_CONV3 = _sql_image_conv3()
+
+
+# ---------------------------------------------------------------------------
+# windowed audio energy (frame-level feature extraction via the real codec)
+# ---------------------------------------------------------------------------
+#
+# The frame-level sibling of audio_features: each clip's samples decode
+# through the REAL RIFF/PCM path, then reduce to per-256-sample-frame
+# integer energy (count, sum of squares, peak) — the framing stage
+# every audio featurizer (MFCC, VAD) starts with.  The oracle
+# reproduces frames arithmetically from the closed-form generator;
+# agreement requires the container parse, PCM decode, and frame
+# geometry all bit-exact.
+
+_AUDIO_FRAME = 256
+
+
+class _AudioWindows:
+    def __init__(self):
+        from ..sources.wav import decode_wav, encode_wav
+
+        self.encode = encode_wav
+        self.decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, frames, counts, sumsq, peaks = [], [], [], [], []
+        for e in eid:
+            k = 1 + (e % 32)
+            nn = 1024 + (e % 7) * 128
+            n = np.arange(nn, dtype=np.int64)
+            s16 = (((n * k + e * 7919) % 65536) - 32768).astype(np.int16)
+            _, dec = self.decode(self.encode(s16, rate=16000))
+            s = np.asarray(dec).ravel().astype(np.int64)
+            fr = np.arange(len(s)) // _AUDIO_FRAME
+            nf = int(fr[-1]) + 1 if len(s) else 0
+            cnt = np.bincount(fr, minlength=nf).astype(np.int64)
+            ss = np.zeros(nf, dtype=np.int64)
+            np.add.at(ss, fr, s * s)
+            pk = np.zeros(nf, dtype=np.int64)
+            np.maximum.at(pk, fr, np.abs(s))
+            ids.append(np.full(nf, e))
+            frames.append(np.arange(nf, dtype=np.int64))
+            counts.append(cnt)
+            sumsq.append(ss)
+            peaks.append(pk)
+        cat = lambda xs: np.concatenate(xs) if xs else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(cat(ids), type=pa.int64()),
+                "frame": pa.array(cat(frames), type=pa.int64()),
+                "n_samples": pa.array(cat(counts), type=pa.int64()),
+                "sum_sq": pa.array(cat(sumsq), type=pa.int64()),
+                "peak_abs": pa.array(cat(peaks), type=pa.int64()),
+            }
+        )
+
+
+def q_audio_windows(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _AudioWindows, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_AUDIO_WINDOWS = f"""
+WITH params AS (
+  SELECT event_id,
+         1 + (event_id % 32) AS k,
+         1024 + (event_id % 7) * 128 AS nn
+  FROM events),
+samples AS (
+  SELECT p.event_id, g.n // {_AUDIO_FRAME} AS frame,
+         ((g.n * p.k + p.event_id * 7919) % 65536) - 32768 AS s
+  FROM params p, generate_series(0, 1791) AS g(n)
+  WHERE g.n < p.nn)
+SELECT event_id, CAST(frame AS BIGINT) AS frame,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+FROM samples GROUP BY 1, 2
+"""

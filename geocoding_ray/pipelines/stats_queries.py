@@ -2782,3 +2782,58 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
                  / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS intercept
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# character-class histogram per language (corpus-audit shape)
+# ---------------------------------------------------------------------------
+#
+# Per language: total codepoints and how many are alphabetic, digits,
+# or whitespace — the character-level corpus audit.  Pure zero-copy
+# Arrow: three RE2 ``count_substring_regex`` kernels + ``utf8_length``
+# per batch, then a vocabulary-bounded Sum shuffle (one row per
+# (lang, batch)).  Single-char classes make "matches" == "characters",
+# so DuckDB's length(regexp_replace(...)) difference reproduces each
+# count exactly.
+
+def q_char_class_hist(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        total = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.count_substring_regex(text, "[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.count_substring_regex(text, "[0-9]").to_numpy(zero_copy_only=False).astype(np.int64)
+        space = pc.count_substring_regex(text, r"\s").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, inv = np.unique(lang, return_inverse=True)
+        out = {"lang": pa.array(keys.tolist(), type=pa.string())}
+        for name, v in (("n_chars", total), ("n_alpha", alpha), ("n_digit", digit), ("n_space", space)):
+            acc = np.zeros(len(keys), dtype=np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = pa.array(acc, type=pa.int64())
+        return pa.table(out)
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum(on="n_chars", alias_name="n_chars"),
+            Sum(on="n_alpha", alias_name="n_alpha"),
+            Sum(on="n_digit", alias_name="n_digit"),
+            Sum(on="n_space", alias_name="n_space"),
+        )
+    )
+
+
+SQL_CHAR_CLASS_HIST = r"""
+SELECT lang,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS n_alpha,
+       CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS n_digit,
+       CAST(SUM(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_space
+FROM documents GROUP BY lang
+"""

@@ -126,6 +126,10 @@ QUERIES = [
     "image_conv3",
     # round-5 exact regression
     "regr_user",
+    # round-5 audit / heading-rose / audio-frame ops
+    "char_class_hist",
+    "bearing_sectors",
+    "audio_windows",
 ]
 
 
