@@ -2681,22 +2681,23 @@ WHERE {LIFT_DEN} * n.n * p.c >= {LIFT_NUM} * ca.c * cb.c
 
 
 # ---------------------------------------------------------------------------
-# per-user linear regression (REGR_SLOPE / REGR_INTERCEPT shape, exact)
+# per-user linear regression (REGR_SLOPE / REGR_INTERCEPT shape)
 # ---------------------------------------------------------------------------
 #
 # OLS value-vs-time trend per user, with NO float accumulation: the
 # five moment sums (n, Sx, Sy, Sxy, Sxx) are exact int64 partials over
-# x = whole seconds since 2024-01-01 (x < 2^31 asserted) and
-# y = value cents, merged by native Sums; slope and intercept come from
-# the closed forms (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and
-# (Sy·Sxx − Sx·Sxy)/(n·Sxx − Sx²), evaluated in arbitrary-precision
-# Python ints over the SLIM per-user mart (the products exceed int64
-# at large n — the documented word_lift overflow lesson) with exactly
-# ONE float division each, mirroring DuckDB HUGEINT arithmetic.
-# Degenerate groups (single point / constant x) yield NULLs on both
-# sides.
+# x = whole MINUTES since 2024-01-01 and y = value cents, merged by
+# native Sums.  Minute resolution keeps every merged moment strictly
+# below 2^53 (asserted), so both engines convert them to DOUBLE
+# exactly; slope and intercept are then the IDENTICAL IEEE operation
+# sequence on both sides — n·Sxy − Sx·Sy over n·Sxx − Sx², then
+# (Sy − slope·Sx)/n — which is bit-deterministic given exact inputs.
+# (The first cut kept an exact-rational HUGEINT form; DuckDB's
+# HUGEINT→DOUBLE cast is not correctly rounded above 2^63 and diverged
+# from Python by 1 ulp on 0.27% of rows at sf0.1 — pinned by the gate.)
+# Degenerate groups (constant x) yield NULLs on both sides.
 
-_REGR_T0_S = 1_704_067_200  # 2024-01-01 in epoch seconds
+_REGR_T0_MIN = 1_704_067_200 // 60  # 2024-01-01 in epoch minutes
 
 
 def q_regr_user(sf_dir: str):
@@ -2706,14 +2707,14 @@ def q_regr_user(sf_dir: str):
     def partials(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        x = us // 1_000_000 - _REGR_T0_S
+        x = us // 60_000_000 - _REGR_T0_MIN
         y = np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(
             np.int64
         )
-        # int64-safety domain (see header): x, y small enough that the
-        # PARTIAL sums cannot wrap; the closed forms go object-int later
-        assert x.size == 0 or (x.min() >= 0 and x.max() < 2**31)
-        assert y.size == 0 or (np.abs(y).max() < 2**31)
+        # representability domain (see header): minute-resolution x and
+        # cent y keep every MERGED moment under 2^53
+        assert x.size == 0 or (x.min() >= 0 and x.max() < 2**26)
+        assert y.size == 0 or (np.abs(y).max() < 2**26)
         keys, inv = np.unique(uid, return_inverse=True)
         n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
         out = {"user_id": pa.array(keys, type=pa.int64()), "n": pa.array(n, type=pa.int64())}
@@ -2737,24 +2738,26 @@ def q_regr_user(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        # object dtype = arbitrary-precision Python ints: n·Sxy and Sx·Sy
-        # exceed int64 once a user holds ~10^4 events
-        n = batch.column("n").to_numpy(zero_copy_only=False).astype(object)
-        sx = batch.column("sx").to_numpy(zero_copy_only=False).astype(object)
-        sy = batch.column("sy").to_numpy(zero_copy_only=False).astype(object)
-        sxy = batch.column("sxy").to_numpy(zero_copy_only=False).astype(object)
-        sxx = batch.column("sxx").to_numpy(zero_copy_only=False).astype(object)
+        ni = batch.column("n").to_numpy(zero_copy_only=False)
+        sxi = batch.column("sx").to_numpy(zero_copy_only=False)
+        syi = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxyi = batch.column("sxy").to_numpy(zero_copy_only=False)
+        sxxi = batch.column("sxx").to_numpy(zero_copy_only=False)
+        for v in (sxyi, sxxi):  # merged moments must convert to double exactly
+            assert v.size == 0 or np.abs(v).max() < 2**53
+        n, sx, sy = ni.astype(np.float64), sxi.astype(np.float64), syi.astype(np.float64)
+        sxy, sxx = sxyi.astype(np.float64), sxxi.astype(np.float64)
         den = n * sxx - sx * sx
-        num = n * sxy - sx * sy
-        inum = sy * sxx - sx * sxy
-        slope = [None if d == 0 else float(a) / float(d) for a, d in zip(num, den)]
-        icpt = [None if d == 0 else float(b) / float(d) for b, d in zip(inum, den)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / den
+            icpt = (sy - slope * sx) / n
+        ok = den != 0.0
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
                 "n": batch.column("n"),
-                "slope": pa.array(slope, type=pa.float64()),
-                "intercept": pa.array(icpt, type=pa.float64()),
+                "slope": pa.array(np.where(ok, slope, np.nan), type=pa.float64(), mask=~ok),
+                "intercept": pa.array(np.where(ok, icpt, np.nan), type=pa.float64(), mask=~ok),
             }
         )
 
@@ -2764,22 +2767,20 @@ def q_regr_user(sf_dir: str):
 SQL_REGR_USER = f"""
 WITH v AS (
   SELECT user_id,
-         epoch_us(ts) // 1000000 - {_REGR_T0_S} AS x,
+         epoch_us(ts) // 60000000 - {_REGR_T0_MIN} AS x,
          CAST(floor(value * 100.0) AS BIGINT) AS y
   FROM events),
 m AS (
-  SELECT user_id, COUNT(*) AS n,
-         SUM(x) AS sx, SUM(y) AS sy,
-         SUM(CAST(x AS HUGEINT) * y) AS sxy,
-         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
   FROM v GROUP BY user_id)
 SELECT user_id, CAST(n AS BIGINT) AS n,
-       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
-            ELSE CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS slope,
-       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
-            ELSE CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
-                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END AS intercept
 FROM m
 """
 
