@@ -222,10 +222,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blame_supplier": tpch.q_blame_supplier,    # Q21 shape: unique last shipper of shared orders
         "idle_customers": tpch.q_idle_customers,    # Q22 shape: cross-multiplied avg filter + anti-join
         "ship_latency": tpch.q_ship_latency,        # Q12 family: lag-bucket x priority grid
+        "important_parts": tpch.q_important_parts,  # Q11 shape: group share vs global threshold
+        "dominant_supplier": tpch.q_dominant_supplier,  # Q20 shape: group-vs-parent share filter
         "regr_user": sq.q_regr_user,                # REGR_SLOPE/INTERCEPT: exact int moments, hugeint closed forms
         "char_class_hist": sq.q_char_class_hist,    # corpus audit: per-lang char-class counts, RE2 zero-copy
         "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
         "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
+        "dense_rank": ol.q_dense_rank,              # DENSE_RANK via the sort-free histogram broadcast
+        "image_pipeline": oq.q_image_pipeline,      # composed multimodal chain: decode -> luma filter -> resize
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
         "reverse_annotations_geo": oq.q_reverse_annotations_geo,  # gated MGRS/Maidenhead/threeword/sun strings
         # --- rows-only (not SQL-expressible) ---
@@ -428,10 +432,14 @@ def oracle_sql() -> dict[str, str]:
         "blame_supplier": tpch.SQL_BLAME_SUPPLIER,
         "idle_customers": tpch.SQL_IDLE_CUSTOMERS,
         "ship_latency": tpch.SQL_SHIP_LATENCY,
+        "important_parts": tpch.SQL_IMPORTANT_PARTS,
+        "dominant_supplier": tpch.SQL_DOMINANT_SUPPLIER,
         "regr_user": sq.SQL_REGR_USER,
         "char_class_hist": sq.SQL_CHAR_CLASS_HIST,
         "bearing_sectors": ga.SQL_BEARING_SECTORS,
         "audio_windows": oq.SQL_AUDIO_WINDOWS,
+        "dense_rank": ol.SQL_DENSE_RANK,
+        "image_pipeline": oq.SQL_IMAGE_PIPELINE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /
         # reverse_annotations strings / traj_simplify (DP recursion):
         # rows-only by design

@@ -2802,3 +2802,49 @@ SELECT f.user_id, f.first_ts, p.first_purchase,
        CAST(epoch_us(p.first_purchase) - epoch_us(f.first_ts) AS BIGINT) AS latency_us
 FROM f LEFT JOIN p USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# DENSE_RANK (the remaining ANSI ranking window, sort-free)
+# ---------------------------------------------------------------------------
+#
+# DENSE_RANK() over all documents by n_chars, on the same
+# histogram-broadcast physics as global_rank / percent_rank: one
+# per-value Count shuffle over the BOUNDED value domain, a driver
+# prefix that numbers the distinct values 1..k, and a broadcast
+# searchsorted assign — the table is never sorted or shuffled.
+
+def q_dense_rank(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # value-domain-bounded (distinct lengths), driver-small
+    )
+    vals = np.sort(np.array([r["n_chars"] for r in counts], dtype=np.int64))
+    ref = ray.put(vals)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "drnk": pa.array(np.searchsorted(v, x) + 1, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DENSE_RANK = """
+SELECT doc_id, n_chars,
+       CAST(DENSE_RANK() OVER (ORDER BY n_chars) AS BIGINT) AS drnk
+FROM documents
+"""

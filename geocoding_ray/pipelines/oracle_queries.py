@@ -2621,3 +2621,96 @@ SELECT event_id, CAST(frame AS BIGINT) AS frame,
        CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
 FROM samples GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# composed image-corpus pipeline (decode -> filter -> resize, one gate)
+# ---------------------------------------------------------------------------
+#
+# The multimodal sibling of corpus_pipeline: a real image-curation
+# chain — decode every image through the REAL codec, keep those whose
+# integer luma mean clears 128 (the brightness quality filter), and
+# push only the survivors through the nearest-neighbor 2x resize (a
+# SECOND double codec roundtrip) — hash-gated END TO END as one
+# composed query.  Two actor-pool stages with a Dataset filter between
+# them; the oracle composes both closed forms under the same HAVING.
+
+_IMGPIPE_MIN_LUMA = 128 * 64  # mean >= 128 over 64 pixels
+
+
+class _ImgPipeLuma:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pix = ((eid[:, None, None, None] + self.grid[None]) % 256).astype(np.uint8)
+        lsum = np.zeros(len(eid), dtype=np.int64)
+        for i in range(len(eid)):
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix[i], 0, 0)).astype(np.int64)
+            luma = (77 * dec[:, :, 0] + 150 * dec[:, :, 1] + 29 * dec[:, :, 2]) >> 8
+            lsum[i] = luma.sum()
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "sum_luma": pa.array(lsum, type=pa.int64()),
+            }
+        )
+
+
+def q_image_pipeline(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    pool = auto_pool(pools=2)  # TWO chained actor pools share this plan
+    bright = ds.map_batches(
+        _ImgPipeLuma, batch_format="pyarrow", concurrency=pool, num_cpus=1
+    ).filter(expr=f"sum_luma >= {_IMGPIPE_MIN_LUMA}")
+
+    class _Resize(_ImageResize):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = _ImageResize.__call__(self, batch.select(["event_id"]))
+            return out.append_column("sum_luma", batch.column("sum_luma"))
+
+    return bright.map_batches(
+        _Resize, batch_format="pyarrow", concurrency=pool, num_cpus=1
+    )
+
+
+def _sql_image_pipeline() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        cols.append(
+            f"CAST(SUM(((event_id + 16 * (2 * g.r) + 2 * (2 * g.c) + {k}) % 256)"
+            f" * (g.r + 1) * (g.c + 1)) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g8 AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 8) c),
+lum AS (
+  SELECT event_id,
+         SUM((77 * ((event_id + 16 * g8.r + 2 * g8.c + 0) % 256)
+              + 150 * ((event_id + 16 * g8.r + 2 * g8.c + 1) % 256)
+              + 29 * ((event_id + 16 * g8.r + 2 * g8.c + 2) % 256)) // 256) AS sum_luma
+  FROM events, g8 GROUP BY event_id
+  HAVING SUM((77 * ((event_id + 16 * g8.r + 2 * g8.c + 0) % 256)
+              + 150 * ((event_id + 16 * g8.r + 2 * g8.c + 1) % 256)
+              + 29 * ((event_id + 16 * g8.r + 2 * g8.c + 2) % 256)) // 256)
+         >= {_IMGPIPE_MIN_LUMA}),
+g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 4) r, range(0, 4) c)
+SELECT lum.event_id, {col_block},
+       CAST(MAX(lum.sum_luma) AS BIGINT) AS sum_luma
+FROM lum, g
+GROUP BY lum.event_id
+"""
+
+
+SQL_IMAGE_PIPELINE = _sql_image_pipeline()

@@ -2246,3 +2246,160 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# important parts (TPC-H Q11 shape): group share vs a GLOBAL threshold
+# ---------------------------------------------------------------------------
+#
+# Q11's `HAVING SUM(value) > (SELECT SUM(value) * fraction FROM ...)`
+# re-expressed over the lineitem fact (this dataset has no partsupp
+# mart): keep every part whose exact-integer revenue exceeds 1/10000 of
+# global revenue.  ONE scan of two pruned money columns: per-batch
+# per-part partials -> one slim Sum shuffle -> the reduced per-part
+# mart is materialized (part-dimension-bounded, the share_of_total
+# precedent) and consumed twice — once by a scalar tree-aggregate for
+# the global denominator, once by the vectorized threshold filter.
+# The compare is kept exact WITHOUT the int64-overflowing
+# rev * 10000 > total product:  with q = total // 10000 and
+# r = total % 10000 (0 <= r < 10000),
+#   rev >= q + 1  ->  rev*10000 >= 10000q + 10000 > 10000q + r = total
+#   rev <= q      ->  rev*10000 <= 10000q     <= total
+# so `rev*10000 > total  <=>  rev > total // 10000`, and the broadcast
+# threshold is a single Python int immune to the 1e18-micros global
+# total of the 100-TB tier.
+
+Q11_FRACTION_DEN = 10_000
+
+
+def _q11_partials(batch: pa.Table) -> pa.Table:
+    pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    px = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+    rev = np.floor(px * 100.0).astype(np.int64) * (
+        100 - np.floor(disc * 100.0).astype(np.int64)
+    )
+    keys, inv = np.unique(pk, return_inverse=True)
+    acc = np.zeros(len(keys), dtype=np.int64)
+    np.add.at(acc, inv, rev)
+    return pa.table(
+        {
+            "l_partkey": pa.array(keys, type=pa.int64()),
+            "rev_micros": pa.array(acc, type=pa.int64()),
+        }
+    )
+
+
+def q_important_parts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    mart = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_q11_partials, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum(on="rev_micros", alias_name="rev_micros"))
+        .materialize()  # part-dimension-bounded; consumed twice
+    )
+    total = int(mart.aggregate(Sum(on="rev_micros", alias_name="t"))["t"])
+    thresh = total // Q11_FRACTION_DEN
+    return mart.filter(expr=f"rev_micros > {thresh}")
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH pr AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100.0) AS BIGINT))) AS rev_micros
+  FROM lineitem GROUP BY 1)
+SELECT l_partkey, CAST(rev_micros AS BIGINT) AS rev_micros
+FROM pr
+WHERE rev_micros > (SELECT SUM(rev_micros) FROM pr) // {Q11_FRACTION_DEN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dominant supplier per part (TPC-H Q20 shape): group-vs-parent share
+# ---------------------------------------------------------------------------
+#
+# Q20's `availqty > 0.5 * SUM(l_quantity ...)` correlated-subquery
+# shape: every (part, supplier) whose shipped quantity exceeds 1.5x the
+# AVERAGE supplier's share of that part (a fixed fraction of the total
+# goes degenerate as suppliers-per-part grows with scale; the
+# avg-relative form keeps a stable ~6% selectivity at every SF).  One
+# scan: per-batch (part, supplier) quantity partials (lexsort +
+# reduceat, NO integer key packing) -> one composite-key Sum shuffle ->
+# a second groupby on the part key whose map_groups computes the parent
+# total + supplier count and filters `2*qty*n_sup > 3*part_qty` in
+# place — cross-multiplied exact ints with a pack-time domain assert,
+# and the parent aggregates never leave their own group task (no join,
+# no driver state, nothing consumed twice).
+
+def _q20_partials(batch: pa.Table) -> pa.Table:
+    pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    qty = np.floor(batch.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+    if len(pk) == 0:
+        e = pa.array([], type=pa.int64())
+        return pa.table({"l_partkey": e, "l_suppkey": e, "qty": e})
+    o = np.lexsort((sk, pk))
+    pk, sk, qty = pk[o], sk[o], qty[o]
+    new = np.empty(len(pk), dtype=bool)
+    new[0] = True
+    new[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+    starts = np.flatnonzero(new)
+    return pa.table(
+        {
+            "l_partkey": pa.array(pk[starts], type=pa.int64()),
+            "l_suppkey": pa.array(sk[starts], type=pa.int64()),
+            "qty": pa.array(np.add.reduceat(qty, starts), type=pa.int64()),
+        }
+    )
+
+
+def q_dominant_supplier(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    mart = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        )
+        .map_batches(_q20_partials, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum(on="qty", alias_name="qty"))
+    )
+
+    def dominant(group: pa.Table) -> pa.Table:
+        q = group.column("qty").to_numpy(zero_copy_only=False).astype(np.int64)
+        part_qty = int(q.sum())
+        n_sup = len(q)
+        # packed-domain invariant: the cross-multiplied compare fits int64
+        assert n_sup == 0 or 2 * int(q.max()) * n_sup < 2**62
+        out = group.filter(pa.array(2 * q * n_sup > 3 * part_qty))
+        out = out.append_column(
+            "part_qty", pa.array(np.full(out.num_rows, part_qty), type=pa.int64())
+        )
+        return out.append_column(
+            "n_sup", pa.array(np.full(out.num_rows, n_sup), type=pa.int64())
+        )
+
+    return mart.groupby("l_partkey").map_groups(dominant, batch_format="pyarrow")
+
+
+SQL_DOMINANT_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(floor(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2),
+p AS (
+  SELECT l_partkey, SUM(qty) AS part_qty, COUNT(*) AS n_sup FROM ps GROUP BY 1)
+SELECT ps.l_partkey, ps.l_suppkey, CAST(ps.qty AS BIGINT) AS qty,
+       CAST(p.part_qty AS BIGINT) AS part_qty, CAST(p.n_sup AS BIGINT) AS n_sup
+FROM ps JOIN p USING (l_partkey)
+WHERE 2 * ps.qty * p.n_sup > 3 * p.part_qty
+"""

@@ -130,6 +130,12 @@ QUERIES = [
     "char_class_hist",
     "bearing_sectors",
     "audio_windows",
+    # round-5 window completion + composed multimodal chain
+    "dense_rank",
+    "image_pipeline",
+    # round-5 TPC-H completion: Q11 / Q20 shapes
+    "important_parts",
+    "dominant_supplier",
 ]
 
 
