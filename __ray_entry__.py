@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morton_range_scan": ga.q_morton_range_scan,  # two-phase index scan: Morton range prune + exact refine
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "triangle_count": gq.q_triangle_count,    # degree-oriented wedge-closure triangle counts per node
+        "node_jaccard": gq.q_node_jaccard,        # per-edge neighborhood Jaccard (link-prediction primitive)
         "bfs_hops": gq.q_bfs_hops,                # single-source BFS: iterative frontier relax to fixpoint
         "kcore": gq.q_kcore,                      # k-core peel: fixed unrolled filter rounds, cascade-complete
         "sssp_dist": gq.q_sssp_dist,              # weighted Bellman-Ford: improved-frontier-only relaxation
@@ -226,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_supplier": tpch.q_dominant_supplier,  # Q20 shape: group-vs-parent share filter
         "regr_user": sq.q_regr_user,                # REGR_SLOPE/INTERCEPT: exact int moments, hugeint closed forms
         "char_class_hist": sq.q_char_class_hist,    # corpus audit: per-lang char-class counts, RE2 zero-copy
+        "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
         "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
         "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
         "dense_rank": ol.q_dense_rank,              # DENSE_RANK via the sort-free histogram broadcast
@@ -360,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "morton_range_scan": ga.SQL_MORTON_RANGE_SCAN,
         "pagerank": gq.SQL_PAGERANK,
         "triangle_count": gq.SQL_TRIANGLE_COUNT,
+        "node_jaccard": gq.SQL_NODE_JACCARD,
         "bfs_hops": gq.SQL_BFS_HOPS,
         "kcore": gq.SQL_KCORE,
         "sssp_dist": gq.SQL_SSSP,
@@ -436,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "dominant_supplier": tpch.SQL_DOMINANT_SUPPLIER,
         "regr_user": sq.SQL_REGR_USER,
         "char_class_hist": sq.SQL_CHAR_CLASS_HIST,
+        "ranksum": sq.SQL_RANKSUM,
         "bearing_sectors": ga.SQL_BEARING_SECTORS,
         "audio_windows": oq.SQL_AUDIO_WINDOWS,
         "dense_rank": ol.SQL_DENSE_RANK,

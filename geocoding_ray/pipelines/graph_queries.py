@@ -1076,3 +1076,188 @@ SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
 FROM deg d LEFT JOIN tcnt t USING (node)
 WHERE d.deg >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# per-edge neighborhood Jaccard (link-prediction / graph-dedup primitive)
+# ---------------------------------------------------------------------------
+#
+# For every distinct undirected edge (a, b): |N(a) ∩ N(b)| (= triangles
+# through the edge), both endpoint degrees, and the neighborhood
+# Jaccard  inter / (deg_a + deg_b - inter)  — the similarity score
+# under link prediction and graph-side near-dup detection.  Same
+# degree-oriented triangle enumeration as q_triangle_count (the
+# O(E^1.5) wedge bound is the skew story), but each triangle fans out
+# to its THREE canonical edges instead of its three vertices; edges on
+# no triangle survive via a left join with inter = 0.  The one float
+# op is the final division (denominator >= 2: each endpoint is in the
+# other's neighborhood).
+
+def q_node_jaccard(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .olap_queries import _scrub_empties
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    edges = (
+        ds.map_batches(_tri_edges_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+    edges = _scrub_empties(edges, 8).materialize()  # working set, consumed 3x
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), type=pa.int64())})
+
+    deg = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    deg = _scrub_empties(deg, 4).materialize()
+
+    e1 = edges.join(
+        deg.map_batches(lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        join_type="inner",
+        on=("a",),
+        num_partitions=8,
+    )
+    e2 = e1.join(
+        deg.map_batches(lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        join_type="inner",
+        on=("b",),
+        num_partitions=8,
+    )
+    withdeg = _scrub_empties(e2, 8).materialize()  # (a, b, da, db), reused at finish
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        da = batch.column("da").to_numpy(zero_copy_only=False)
+        db = batch.column("db").to_numpy(zero_copy_only=False)
+        fwd = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {
+                "x": pa.array(np.where(fwd, a, b), type=pa.int64()),
+                "y": pa.array(np.where(fwd, b, a), type=pa.int64()),
+                "dy": pa.array(np.where(fwd, db, da), type=pa.int64()),
+            }
+        )
+
+    oriented = _scrub_empties(
+        withdeg.map_batches(orient, batch_format="pyarrow"), 8
+    ).materialize()
+
+    wedges = oriented.join(
+        oriented.map_batches(
+            lambda t: t.rename_columns(["x", "y2", "dy2"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        on=("x",),
+        num_partitions=8,
+    )
+
+    def tips(batch: pa.Table) -> pa.Table:
+        y1 = batch.column("y").to_numpy(zero_copy_only=False)
+        d1 = batch.column("dy").to_numpy(zero_copy_only=False)
+        y2 = batch.column("y2").to_numpy(zero_copy_only=False)
+        d2 = batch.column("dy2").to_numpy(zero_copy_only=False)
+        keep = (d1 < d2) | ((d1 == d2) & (y1 < y2))
+        return pa.table(
+            {
+                "x": batch.column("x").filter(pa.array(keep)),
+                "y": pa.array(y1[keep], type=pa.int64()),
+                "y2": pa.array(y2[keep], type=pa.int64()),
+            }
+        )
+
+    closing = oriented.map_batches(
+        lambda t: pa.table({"y": t.column("x"), "y2": t.column("y")}),
+        batch_format="pyarrow",
+    )
+    tri = _scrub_empties(wedges.map_batches(tips, batch_format="pyarrow"), 8).join(
+        _scrub_empties(closing, 8),
+        join_type="inner",
+        on=("y", "y2"),
+        num_partitions=8,
+    )
+
+    def tri_edges(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        z = batch.column("y2").to_numpy(zero_copy_only=False)
+        u = np.concatenate([np.minimum(x, y), np.minimum(x, z), np.minimum(y, z)])
+        v = np.concatenate([np.maximum(x, y), np.maximum(x, z), np.maximum(y, z)])
+        return pa.table(
+            {
+                "a": pa.array(u, type=pa.int64()),
+                "b": pa.array(v, type=pa.int64()),
+            }
+        )
+
+    inter = (
+        tri.map_batches(tri_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_common"))
+    )
+
+    j = _scrub_empties(withdeg, 8).join(
+        _scrub_empties(inter, 8),
+        join_type="left_outer",
+        on=("a", "b"),
+        num_partitions=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        da = batch.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch.column("n_common").to_numpy(zero_copy_only=False)
+        nc = np.where(np.isnan(nc.astype(np.float64)), 0, nc).astype(np.int64)
+        return pa.table(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "n_common": pa.array(nc, type=pa.int64()),
+                "deg_a": pa.array(da, type=pa.int64()),
+                "deg_b": pa.array(db, type=pa.int64()),
+                "jaccard": pa.array(nc / (da + db - nc), type=pa.float64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NODE_JACCARD = f"""
+WITH {SQL_TRI_EDGES_RAW},
+ed AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+tedge AS (
+  SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri
+  UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+  UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+inter AS (
+  SELECT a, b, COUNT(*) AS n_common FROM tedge GROUP BY 1, 2),
+und AS (
+  SELECT a AS node FROM ed UNION ALL SELECT b FROM ed),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM und GROUP BY 1)
+SELECT ed.a, ed.b,
+       CAST(COALESCE(inter.n_common, 0) AS BIGINT) AS n_common,
+       dda.deg AS deg_a, ddb.deg AS deg_b,
+       CAST(COALESCE(inter.n_common, 0) AS DOUBLE)
+         / (dda.deg + ddb.deg - COALESCE(inter.n_common, 0)) AS jaccard
+FROM ed
+LEFT JOIN inter USING (a, b)
+JOIN deg dda ON dda.node = ed.a
+JOIN deg ddb ON ddb.node = ed.b
+"""

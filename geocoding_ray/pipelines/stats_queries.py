@@ -2838,3 +2838,95 @@ SELECT lang,
        CAST(SUM(length(text) - length(regexp_replace(text, '\s', '', 'g'))) AS BIGINT) AS n_space
 FROM documents GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped Mann-Whitney rank-sum (the nonparametric two-sample primitive)
+# ---------------------------------------------------------------------------
+#
+# Per-language Wilcoxon/Mann-Whitney rank-sum of n_chars against the
+# GLOBAL ranking with midrank tie handling — the hypothesis-test
+# primitive under every "does corpus slice A differ from B" check.
+# Physics: the global value histogram is one Count shuffle over the
+# BOUNDED n_chars domain (the percent_rank/dense_rank fold), broadcast
+# as (value, 2*cl + c + 1) — DOUBLED so every midrank is an int64 and
+# the only float op is ONE final division by 2.0 (an exact power of
+# two, so Ray and DuckDB round identically).  Per-batch per-lang
+# partial sums -> one vocabulary-bounded Sum shuffle -> finish.
+#   midrank(v) = cl(v) + (c(v)+1)/2      (cl = rows < v, c = ties)
+#   ranksum    = sum midrank             = num / 2
+#   U          = ranksum - n(n+1)/2      = (num - n(n+1)) / 2
+
+def q_ranksum(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="c"))
+        .take_all()  # value-domain-bounded, driver-small
+    )
+    vals = np.array([r["n_chars"] for r in counts], dtype=np.int64)
+    cs = np.array([r["c"] for r in counts], dtype=np.int64)
+    o = np.argsort(vals)
+    vals, cs = vals[o], cs[o]
+    cl = np.concatenate(([0], np.cumsum(cs)[:-1]))
+    ref = ray.put((vals, 2 * cl + cs + 1))  # doubled midranks: exact int64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v, mid2 = ray.get(ref)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        m2 = mid2[np.searchsorted(v, x)]
+        keys, inv = np.unique(lang, return_inverse=True)
+        num = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(num, inv, m2)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(keys.tolist(), type=pa.string()),
+                "num": pa.array(num, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum(on="num", alias_name="num"), Sum(on="n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        num = batch.column("num").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n": pa.array(n, type=pa.int64()),
+                "ranksum": pa.array(num / 2.0, type=pa.float64()),
+                "u_stat": pa.array((num - n * (n + 1)) / 2.0, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_RANKSUM = """
+WITH h AS (
+  SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+h2 AS (
+  SELECT n_chars, c,
+         CAST(SUM(c) OVER (ORDER BY n_chars) - c AS BIGINT) AS cl
+  FROM h),
+g AS (
+  SELECT d.lang, COUNT(*) AS n,
+         CAST(SUM(2 * h2.cl + h2.c + 1) AS BIGINT) AS num
+  FROM documents d JOIN h2 USING (n_chars)
+  GROUP BY d.lang)
+SELECT lang, n, num / 2.0 AS ranksum,
+       (num - n * (n + 1)) / 2.0 AS u_stat
+FROM g
+"""

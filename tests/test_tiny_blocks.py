@@ -136,6 +136,9 @@ QUERIES = [
     # round-5 TPC-H completion: Q11 / Q20 shapes
     "important_parts",
     "dominant_supplier",
+    # round-5 nonparametric test + link-prediction primitives
+    "ranksum",
+    "node_jaccard",
 ]
 
 
