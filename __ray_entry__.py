@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
         "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
         "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
+        "audio_resample": oq.q_audio_resample,      # 2:1 decimation, two codec roundtrips + rate rewrite
+        "image_blend": oq.q_image_blend,            # integer mixup augmentation, three codec passes
         "dense_rank": ol.q_dense_rank,              # DENSE_RANK via the sort-free histogram broadcast
         "image_pipeline": oq.q_image_pipeline,      # composed multimodal chain: decode -> luma filter -> resize
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
@@ -442,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
         "ranksum": sq.SQL_RANKSUM,
         "bearing_sectors": ga.SQL_BEARING_SECTORS,
         "audio_windows": oq.SQL_AUDIO_WINDOWS,
+        "audio_resample": oq.SQL_AUDIO_RESAMPLE,
+        "image_blend": oq.SQL_IMAGE_BLEND,
         "dense_rank": ol.SQL_DENSE_RANK,
         "image_pipeline": oq.SQL_IMAGE_PIPELINE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

@@ -2714,3 +2714,161 @@ GROUP BY lum.event_id
 
 
 SQL_IMAGE_PIPELINE = _sql_image_pipeline()
+
+
+# ---------------------------------------------------------------------------
+# audio resample (decimation) through the REAL codec, both directions
+# ---------------------------------------------------------------------------
+#
+# The sample-rate-conversion stage under every audio-training pipeline:
+# decode the RIFF/PCM payload (real container parse), decimate 2:1
+# (every other sample — the exact-integer half of a polyphase
+# resampler), re-encode at the halved rate, decode AGAIN, and emit
+# count / sum / energy / peak of the decimated stream — so the gate
+# covers two full codec roundtrips plus the rate-field rewrite.  The
+# oracle is the closed form of the surviving (even-index) samples.
+
+class _AudioResample:
+    def __init__(self):
+        from ..sources.wav import decode_wav, encode_wav
+
+        self.encode = encode_wav
+        self.decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_out = np.zeros(len(eid), dtype=np.int64)
+        sum_s = np.zeros(len(eid), dtype=np.int64)
+        sum_sq = np.zeros(len(eid), dtype=np.int64)
+        peak = np.zeros(len(eid), dtype=np.int64)
+        rate_ok = np.zeros(len(eid), dtype=bool)
+        for i, e in enumerate(eid):
+            k = 1 + (e % 32)
+            nn = 1024 + (e % 7) * 128
+            n = np.arange(nn, dtype=np.int64)
+            s16 = (((n * k + e * 7919) % 65536) - 32768).astype(np.int16)
+            _, dec = self.decode(self.encode(s16, rate=16000))
+            half = np.asarray(dec).ravel()[::2]  # 2:1 decimation
+            rate2, dec2 = self.decode(self.encode(half.astype(np.int16), rate=8000))
+            s = np.asarray(dec2).ravel().astype(np.int64)
+            rate_ok[i] = rate2 == 8000
+            n_out[i] = len(s)
+            sum_s[i] = s.sum()
+            sum_sq[i] = (s * s).sum()
+            peak[i] = np.abs(s).max() if len(s) else 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "rate_ok": pa.array(rate_ok, type=pa.bool_()),
+                "n_out": pa.array(n_out, type=pa.int64()),
+                "sum_s": pa.array(sum_s, type=pa.int64()),
+                "sum_sq": pa.array(sum_sq, type=pa.int64()),
+                "peak_abs": pa.array(peak, type=pa.int64()),
+            }
+        )
+
+
+def q_audio_resample(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _AudioResample, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_AUDIO_RESAMPLE = """
+WITH params AS (
+  SELECT event_id,
+         1 + (event_id % 32) AS k,
+         1024 + (event_id % 7) * 128 AS nn
+  FROM events),
+samples AS (
+  SELECT p.event_id,
+         ((g.n * p.k + p.event_id * 7919) % 65536) - 32768 AS s
+  FROM params p, generate_series(0, 1791) AS g(n)
+  WHERE g.n < p.nn AND g.n % 2 = 0)
+SELECT event_id, TRUE AS rate_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs
+FROM samples GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# image alpha blend (integer mixup augmentation) through the REAL codec
+# ---------------------------------------------------------------------------
+#
+# The mixup/composite augmentation: decode TWO deterministic source
+# images through the real TIFF codec, alpha-blend them in exact
+# integer arithmetic  b = (a*p1 + (255-a)*p2) // 255  with a per-image
+# alpha a = event_id % 256, roundtrip the BLENDED image through the
+# codec once more, and emit the per-channel position-weighted sums.
+# Three codec passes per row; the oracle is the grid closed form of
+# the same integer blend.
+
+class _ImageBlend:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        self.w = ((r.reshape(8, 1) + 1) * (c.reshape(1, 8) + 1)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        out = np.zeros((n, 3), dtype=np.int64)
+        for i, e in enumerate(eid):
+            p1 = ((e + self.grid) % 256).astype(np.uint8)
+            p2 = ((3 * e + self.grid + 97) % 256).astype(np.uint8)
+            d1 = self.tiff.parse_pixels(self.tiff.encode_tiff(p1, 0, 0)).astype(np.int64)
+            d2 = self.tiff.parse_pixels(self.tiff.encode_tiff(p2, 0, 0)).astype(np.int64)
+            a = int(e % 256)
+            blend = ((a * d1 + (255 - a) * d2) // 255).astype(np.uint8)
+            d3 = self.tiff.parse_pixels(self.tiff.encode_tiff(blend, 0, 0)).astype(np.int64)
+            out[i] = (d3 * self.w[:, :, None]).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_r": pa.array(out[:, 0], type=pa.int64()),
+                "w_g": pa.array(out[:, 1], type=pa.int64()),
+                "w_b": pa.array(out[:, 2], type=pa.int64()),
+            }
+        )
+
+
+def q_image_blend(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageBlend, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+def _sql_image_blend() -> str:
+    cols = []
+    for name, k in (("w_r", "0"), ("w_g", "1"), ("w_b", "2")):
+        p1 = f"((event_id + 16 * g.r + 2 * g.c + {k}) % 256)"
+        p2 = f"((3 * event_id + 16 * g.r + 2 * g.c + {k} + 97) % 256)"
+        blend = f"(((event_id % 256) * {p1} + (255 - event_id % 256) * {p2}) // 255)"
+        cols.append(
+            f"CAST(SUM({blend} * (g.r + 1) * (g.c + 1)) AS BIGINT) AS {name}"
+        )
+    col_block = ",\n       ".join(cols)
+    return f"""
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 8) c)
+SELECT event_id, {col_block}
+FROM events, g
+GROUP BY event_id
+"""
+
+
+SQL_IMAGE_BLEND = _sql_image_blend()

@@ -139,6 +139,9 @@ QUERIES = [
     # round-5 nonparametric test + link-prediction primitives
     "ranksum",
     "node_jaccard",
+    # round-5 multimodal augmentation / rate conversion
+    "audio_resample",
+    "image_blend",
 ]
 
 
