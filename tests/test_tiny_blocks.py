@@ -142,6 +142,9 @@ QUERIES = [
     # round-5 multimodal augmentation / rate conversion
     "audio_resample",
     "image_blend",
+    # round-5 spatial statistics + corpus mix audit
+    "morans_i",
+    "lang_impurity",
 ]
 
 
