@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_class_hist": sq.q_char_class_hist,    # corpus audit: per-lang char-class counts, RE2 zero-copy
         "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
         "lang_impurity": sq.q_lang_impurity,        # per-source Gini impurity (rational split criterion)
+        "vocab_overlap": sq.q_vocab_overlap,        # pairwise source-vocabulary Jaccard audit
+        "geary_c": ga.q_geary_c,                    # local-contrast autocorrelation, same lattice fold
         "morans_i": ga.q_morans_i,                  # global spatial autocorrelation, object-int fold
         "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
         "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
@@ -445,6 +447,8 @@ def oracle_sql() -> dict[str, str]:
         "char_class_hist": sq.SQL_CHAR_CLASS_HIST,
         "ranksum": sq.SQL_RANKSUM,
         "lang_impurity": sq.SQL_LANG_IMPURITY,
+        "vocab_overlap": sq.SQL_VOCAB_OVERLAP,
+        "geary_c": ga.SQL_GEARY_C,
         "morans_i": ga.SQL_MORANS_I,
         "bearing_sectors": ga.SQL_BEARING_SECTORS,
         "audio_windows": oq.SQL_AUDIO_WINDOWS,

@@ -1575,3 +1575,96 @@ SELECT CAST(nc AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_sum,
        CAST(nc * num AS DOUBLE) / CAST(w * den AS DOUBLE) AS morans_i
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Geary's C (local-contrast sibling of Moran's I, same lattice)
+# ---------------------------------------------------------------------------
+#
+# Geary's contiguity ratio C = ((N-1) * sum_w (x_i - x_j)^2) /
+# (2W * sum (x_i - xbar)^2): more sensitive to LOCAL contrast than
+# Moran's global cross-product (C < 1 clustered, > 1 dispersed).  Same
+# grid-bounded shuffle + driver object-int fold as q_morans_i; the
+# numerator (x_i - x_j)^2 needs no mean-centering at all, and the
+# denominator uses the scale-free identity
+# N * sum(x^2) - S^2 = N * sum((x - xbar)^2), so every carried term is
+# an exact integer and the single float op is the final division.
+
+def q_geary_c(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+        .map_batches(_hotspot_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum(on="n", alias_name="n"))
+        .take_all()  # grid-bounded: <= 4096 rows
+    )
+    lat = [[0] * _N for _ in range(_N)]
+    for r in counts:
+        lat[int(r["x"])][int(r["y"])] = int(r["n"])
+    nc = _N * _N
+    s = sum(map(sum, lat))
+    den = nc * sum(v * v for row in lat for v in row) - s * s  # N*sum((x-xbar)^2)*N
+    num = 0
+    w = 0
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    for x in range(_N):
+        for y in range(_N):
+            xi = lat[x][y]
+            for dx, dy in offs:
+                ny = y + dy
+                if 0 <= ny < _N:
+                    w += 1
+                    dxy = xi - lat[(x + dx) % _N][ny]
+                    num += dxy * dxy
+    # C = ((N-1) * num) / (2W * den/N)  ->  ((N-1) * num * N) / (2W * den)
+    geary = float((nc - 1) * num * nc) / float(2 * w * den) if den else 0.0
+    out = pa.table(
+        {
+            "n_cells": pa.array([nc], type=pa.int64()),
+            "w_sum": pa.array([w], type=pa.int64()),
+            "num": pa.array([float(num)], type=pa.float64()),
+            "den": pa.array([float(den)], type=pa.float64()),
+            "geary_c": pa.array([geary], type=pa.float64()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+SQL_GEARY_C = f"""
+WITH pts AS (
+  SELECT ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+xy AS (
+  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * {_N}) AS BIGINT), 0), {_N - 1}) AS x,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {_N}) AS BIGINT), 0), {_N - 1}) AS y
+  FROM pts),
+occ AS (SELECT x, y, COUNT(*) AS n FROM xy GROUP BY x, y),
+lattice AS (
+  SELECT a.range AS x, b.range AS y FROM range(0, {_N}) a, range(0, {_N}) b),
+cells AS (
+  SELECT l.x, l.y, COALESCE(o.n, 0) AS n FROM lattice l LEFT JOIN occ o USING (x, y)),
+st AS (SELECT SUM(n) AS s, COUNT(*) AS nc, SUM(n * n) AS n2 FROM cells),
+offs AS (
+  SELECT dx, dy
+  FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+  WHERE NOT (dx = 0 AND dy = 0)),
+pairs AS (
+  SELECT c1.n AS ni, c2.n AS nj
+  FROM cells c1
+  JOIN offs o ON TRUE
+  JOIN cells c2 ON c2.x = (c1.x + o.dx + {_N}) % {_N} AND c2.y = c1.y + o.dy),
+agg AS (
+  SELECT (SELECT nc FROM st) AS nc,
+         COUNT(*) AS w,
+         SUM((ni - nj) * (ni - nj)) AS num,
+         (SELECT nc * n2 - s * s FROM st) AS den
+  FROM pairs)
+SELECT CAST(nc AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_sum,
+       CAST(num AS DOUBLE) AS num, CAST(den AS DOUBLE) AS den,
+       CAST((nc - 1) * num * nc AS DOUBLE) / CAST(2 * w * den AS DOUBLE) AS geary_c
+FROM agg
+"""

@@ -3000,3 +3000,115 @@ SELECT source,
            / CAST(SUM(c) AS DOUBLE) AS impurity
 FROM cl GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source vocabulary overlap (pairwise corpus-slice Jaccard)
+# ---------------------------------------------------------------------------
+#
+# For every unordered pair of sources: the Jaccard similarity of their
+# DISTINCT token vocabularies — the "are these two crawls the same
+# register of text" audit that decides whether slices can share a
+# tokenizer/vocab budget.  Physics: the house tokenizer's per-batch
+# distinct partials (``_term_partials`` with the group column renamed
+# to reuse the exact same Arrow kernel path) -> one (source, term)
+# distinct shuffle -> per-TERM map_groups emits the term's canonical
+# source pairs (fan-out bounded by sources^2 per term, sources ~ 20)
+# -> pair-keyed Count.  Vocab sizes and the intersection mart are both
+# pair/source-bounded, so the final assembly (including zero-overlap
+# pairs, which a join would drop) is a driver fold over <= S^2 rows.
+
+def q_vocab_overlap(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def rename_in(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch.column("source"), "text": batch.column("text")})
+
+    mart = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(rename_in, batch_format="pyarrow")
+        .map_batches(_term_partials, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .count()
+        .map_batches(
+            lambda t: pa.table({"source": t.column("lang"), "term": t.column("term")}),
+            batch_format="pyarrow",
+        )
+        .materialize()  # distinct (source, term): vocab-bounded, consumed twice
+    )
+    sizes = {
+        r["source"]: r["count()"]
+        for r in mart.groupby("source").count().take_all()  # source-bounded
+    }
+
+    def pairs(group: pa.Table) -> pa.Table:
+        src = sorted(set(group.column("source").to_pylist()))
+        sa, sb = [], []
+        for i in range(len(src)):
+            for j in range(i + 1, len(src)):
+                sa.append(src[i])
+                sb.append(src[j])
+        return pa.table(
+            {
+                "sa": pa.array(sa, type=pa.string()),
+                "sb": pa.array(sb, type=pa.string()),
+            }
+        )
+
+    inter = {
+        (r["sa"], r["sb"]): r["n_inter"]
+        for r in mart.groupby("term")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["sa", "sb"])
+        .aggregate(Count(alias_name="n_inter"))
+        .take_all()  # pair-bounded: <= sources^2 rows
+    }
+    srcs = sorted(sizes)
+    rows = {"sa": [], "sb": [], "n_inter": [], "v_a": [], "v_b": [], "jaccard": []}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            ni = int(inter.get((a, b), 0))
+            va, vb = int(sizes[a]), int(sizes[b])
+            rows["sa"].append(a)
+            rows["sb"].append(b)
+            rows["n_inter"].append(ni)
+            rows["v_a"].append(va)
+            rows["v_b"].append(vb)
+            rows["jaccard"].append(ni / (va + vb - ni))
+    out = pa.table(
+        {
+            "sa": pa.array(rows["sa"], type=pa.string()),
+            "sb": pa.array(rows["sb"], type=pa.string()),
+            "n_inter": pa.array(rows["n_inter"], type=pa.int64()),
+            "v_a": pa.array(rows["v_a"], type=pa.int64()),
+            "v_b": pa.array(rows["v_b"], type=pa.int64()),
+            "jaccard": pa.array(rows["jaccard"], type=pa.float64()),
+        }
+    )
+    import ray.data as rd2
+
+    return rd2.from_arrow(out)
+
+
+SQL_VOCAB_OVERLAP = """
+WITH terms AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM documents),
+t AS (SELECT source, term FROM terms WHERE term <> ''),
+v AS (SELECT source, COUNT(*) AS nv FROM t GROUP BY 1),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+  FROM t a JOIN t b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT va.source AS sa, vb.source AS sb,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(va.nv AS BIGINT) AS v_a, CAST(vb.nv AS BIGINT) AS v_b,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / (va.nv + vb.nv - COALESCE(i.n_inter, 0)) AS jaccard
+FROM v va
+JOIN v vb ON va.source < vb.source
+LEFT JOIN inter i ON i.sa = va.source AND i.sb = vb.source
+"""

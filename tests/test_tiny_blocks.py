@@ -145,6 +145,8 @@ QUERIES = [
     # round-5 spatial statistics + corpus mix audit
     "morans_i",
     "lang_impurity",
+    "geary_c",
+    "vocab_overlap",
 ]
 
 
