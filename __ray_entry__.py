@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
         "lang_impurity": sq.q_lang_impurity,        # per-source Gini impurity (rational split criterion)
         "vocab_overlap": sq.q_vocab_overlap,        # pairwise source-vocabulary Jaccard audit
+        "embed_quant": tq.q_embed_quant,            # exact fixed-point quantization-error audit
+        "label_scatter": tq.q_label_scatter,        # per-label per-dim moment mart (LDA/k-means stats)
         "geary_c": ga.q_geary_c,                    # local-contrast autocorrelation, same lattice fold
         "morans_i": ga.q_morans_i,                  # global spatial autocorrelation, object-int fold
         "bearing_sectors": ga.q_bearing_sectors,    # heading rose: exact integer octant classification
@@ -448,6 +450,8 @@ def oracle_sql() -> dict[str, str]:
         "ranksum": sq.SQL_RANKSUM,
         "lang_impurity": sq.SQL_LANG_IMPURITY,
         "vocab_overlap": sq.SQL_VOCAB_OVERLAP,
+        "embed_quant": tq.SQL_EMBED_QUANT,
+        "label_scatter": tq.SQL_LABEL_SCATTER,
         "geary_c": ga.SQL_GEARY_C,
         "morans_i": ga.SQL_MORANS_I,
         "bearing_sectors": ga.SQL_BEARING_SECTORS,

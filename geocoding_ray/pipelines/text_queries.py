@@ -2052,3 +2052,127 @@ SELECT user_id,
        CAST(MAX(dur) AS BIGINT) AS longest_us
 FROM sess GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization-error audit (exact fixed-point, zero FP hazard)
+# ---------------------------------------------------------------------------
+#
+# The vector-compression audit run before shipping an int-quantized ANN
+# index: quantize each float32 coordinate to a 6-fractional-bit grid
+# (floor(x * 64) — the integer half of an int8 affine quantizer) and
+# measure the per-vector information loss against the 20-bit grid in
+# EXACT integer units of 2^-20:
+#     err = floor(x * 2^20) - 2^14 * floor(x * 2^6)   in [0, 16383].
+# Every scaling is a power of two, so the float multiplies never round
+# (float32 -> float64 is exact, 2^k scaling is exact) — the whole gate
+# is integer arithmetic end to end, on both engines.  One pruned
+# columnar scan, per-vector reduceat over the flattened list buffer,
+# no shuffle at all.
+
+def q_embed_quant(sf_dir: str):
+    import ray.data as rd
+
+    def audit(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        x = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        e20 = np.floor(x * 1048576.0).astype(np.int64)
+        e6 = np.floor(x * 64.0).astype(np.int64)
+        err = e20 - 16384 * e6
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = off[:-1]
+        n = np.diff(off)
+        sum_err = np.add.reduceat(err, starts) if len(x) else err[:0]
+        max_err = np.maximum.reduceat(err, starts) if len(x) else err[:0]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "n_dims": pa.array(n, type=pa.int64()),
+                "sum_err": pa.array(sum_err, type=pa.int64()),
+                "max_err": pa.array(max_err, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(audit, batch_format="pyarrow")
+
+
+SQL_EMBED_QUANT = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(floor(CAST(x AS DOUBLE) * 1048576.0)
+                - 16384 * floor(CAST(x AS DOUBLE) * 64.0)) AS BIGINT) AS sum_err,
+       CAST(MAX(floor(CAST(x AS DOUBLE) * 1048576.0)
+                - 16384 * floor(CAST(x AS DOUBLE) * 64.0)) AS BIGINT) AS max_err
+FROM e GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-label per-dimension scatter (the k-means / LDA moment mart)
+# ---------------------------------------------------------------------------
+#
+# Exact first and second moments of every embedding coordinate per
+# class label on the 2^-20 fixed-point grid — the sufficient statistics
+# under within-class scatter, LDA, and diagonal-covariance Gaussians.
+# Per-batch partials fold (label, dim) locally (labels x 64 dims is
+# vocabulary-bounded), then ONE slim Sum shuffle.  Domain assert keeps
+# the e20^2 partial sums inside int64 (holds to ~1e5 rows per batch at
+# |x| <= 8; the merged sums are per-(label,dim) row counts x 9e12,
+# safe past 1e6 rows per label — asserted, not assumed).
+
+def q_label_scatter(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        x = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        e20 = np.floor(x * 1048576.0).astype(np.int64)
+        assert e20.size == 0 or int(np.abs(e20).max()) < 3_000_000  # |x| < ~2.9
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndim = int(np.diff(off).max()) if len(off) > 1 else 0
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_rep = np.repeat(lab, np.diff(off))
+        dim = np.concatenate([np.arange(e, dtype=np.int64) for e in np.diff(off)]) if ndim else np.array([], dtype=np.int64)
+        key = lab_rep * 64 + dim
+        keys, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        s1 = np.zeros(len(keys), dtype=np.int64)
+        s2 = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(s1, inv, e20)
+        np.add.at(s2, inv, e20 * e20)
+        return pa.table(
+            {
+                "label": pa.array(keys // 64, type=pa.int64()),
+                "dim": pa.array(keys % 64, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "sum_e20": pa.array(s1, type=pa.int64()),
+                "sum_sq": pa.array(s2, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum(on="n", alias_name="n"),
+            Sum(on="sum_e20", alias_name="sum_e20"),
+            Sum(on="sum_sq", alias_name="sum_sq"),
+        )
+    )
+
+
+SQL_LABEL_SCATTER = """
+WITH d AS (SELECT i.range AS dim FROM range(0, 64) i),
+e AS (
+  SELECT CAST(label AS BIGINT) AS label, d.dim,
+         floor(CAST(embedding[CAST(d.dim AS INTEGER) + 1] AS DOUBLE) * 1048576.0) AS e20
+  FROM embeddings, d)
+SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e20) AS BIGINT) AS sum_e20,
+       CAST(SUM(e20 * e20) AS BIGINT) AS sum_sq
+FROM e GROUP BY 1, 2
+"""

@@ -147,6 +147,9 @@ QUERIES = [
     "lang_impurity",
     "geary_c",
     "vocab_overlap",
+    # round-5 vector-compression audit + class moment mart
+    "embed_quant",
+    "label_scatter",
 ]
 
 
