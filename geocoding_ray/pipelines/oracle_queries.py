@@ -2872,3 +2872,91 @@ GROUP BY event_id
 
 
 SQL_IMAGE_BLEND = _sql_image_blend()
+
+
+# ---------------------------------------------------------------------------
+# region revenue rollup (reverse geocode composed with exact money OLAP)
+# ---------------------------------------------------------------------------
+#
+# The engine's two halves in ONE gate: every event's synthesized point
+# is reverse-geocoded against the broadcast admin index (the flagship
+# PIP join, same winner rule as reverse_pip), and event value rolls up
+# to exact integer cents PER REGION — "revenue by country/region" on
+# geo-tagged points, the composition a geo-analytics user actually
+# ships.  100-TB shape: the PIP lookup AND the money fold happen in
+# the same per-batch pass (one actor-pool stage holding the immutable
+# index), so the only shuffle is the admin-cardinality Sum merge —
+# point rows never leave their read task.  Misses roll up under
+# admin_id 0, so the gate also pins the miss mass.
+
+class _RegionValuePartials:
+    def __init__(self, index_ref):
+        import ray
+
+        from ..stages.reverse import AdminIndex  # noqa: F401 (type context)
+
+        self.index = ray.get(index_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        lon, lat = _pip_lonlat(eid)
+        win = self.index.locate(lon, lat)
+        admin = np.where(win >= 0, self.index.admin_id[np.maximum(win, 0)].astype(np.int64), 0)
+        keys, inv = np.unique(admin, return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table(
+            {
+                "admin_id": pa.array(keys, type=pa.int64()),
+                "n_events": pa.array(n, type=pa.int64()),
+                "cents": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+
+def q_region_value(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.reverse import AdminIndex
+
+    index_ref = ray.put(AdminIndex(_rect_admin_table(), None))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return (
+        ds.map_batches(
+            _RegionValuePartials,
+            fn_constructor_args=(index_ref,),
+            batch_format="pyarrow",
+            concurrency=auto_pool(),
+            num_cpus=1,
+        )
+        .groupby("admin_id")
+        .aggregate(Sum(on="n_events", alias_name="n_events"), Sum(on="cents", alias_name="cents"))
+    )
+
+
+SQL_REGION_VALUE = f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+{_rect_world_values_sql()},
+hits AS (
+  SELECT p.event_id, a.admin_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY a.level_rank DESC, a.area ASC, a.admin_id ASC) AS rn
+  FROM pts p JOIN admin a
+    ON p.lon > a.minx AND p.lon < a.maxx AND p.lat > a.miny AND p.lat < a.maxy)
+SELECT COALESCE(h.admin_id, 0) AS admin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(p.cents) AS BIGINT) AS cents
+FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
+GROUP BY 1
+"""

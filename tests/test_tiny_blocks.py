@@ -150,6 +150,8 @@ QUERIES = [
     # round-5 vector-compression audit + class moment mart
     "embed_quant",
     "label_scatter",
+    # round-5 geo x OLAP composition
+    "region_value",
 ]
 
 
