@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": oq.q_audio_resample,      # 2:1 decimation, two codec roundtrips + rate rewrite
         "image_blend": oq.q_image_blend,            # integer mixup augmentation, three codec passes
         "region_value": oq.q_region_value,          # reverse geocode composed with exact money rollup
+        "place_popularity": oq.q_place_popularity,  # forward geocode composed with fact-side revenue
         "dense_rank": ol.q_dense_rank,              # DENSE_RANK via the sort-free histogram broadcast
         "image_pipeline": oq.q_image_pipeline,      # composed multimodal chain: decode -> luma filter -> resize
         "reverse_annotations_num": oq.q_reverse_annotations_num,  # gated numeric annotation slice
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": oq.SQL_AUDIO_RESAMPLE,
         "image_blend": oq.SQL_IMAGE_BLEND,
         "region_value": oq.SQL_REGION_VALUE,
+        "place_popularity": oq.SQL_PLACE_POPULARITY,
         "dense_rank": ol.SQL_DENSE_RANK,
         "image_pipeline": oq.SQL_IMAGE_PIPELINE,
         # minhash_pairs / simhash / *_ivf / dedup_clusters(LSH) /

@@ -2960,3 +2960,122 @@ SELECT COALESCE(h.admin_id, 0) AS admin_id,
 FROM pts p LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (event_id)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# place popularity (forward geocode composed with fact-side revenue)
+# ---------------------------------------------------------------------------
+#
+# The forward-side sibling of region_value: every customer's caption is
+# forward-geocoded through the real ForwardJoiner (broadcast gazetteer
+# index), customer ORDER revenue is pre-aggregated on the fact side
+# BEFORE any join (the Q5 discipline — the orders table is never
+# shuffled at full width), and both slim marts meet in one
+# customer-keyed join; the final rollup is place-cardinality tiny.
+# Customers with no orders stay in the report via the left join
+# (cents 0), so the gate pins the zero-revenue mass too.
+
+def q_place_popularity(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.forward import ForwardJoiner, GazetteerIndex
+    from .olap_queries import _scrub_empties
+
+    index_ref = ray.put(GazetteerIndex(_nation_gazetteer(sf_dir)))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    key2name = {
+        int(k): n
+        for k, n in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+
+    def mk_query(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "query_id": batch.column("c_custkey").cast(pa.int64()),
+                "caption": pa.array(
+                    [f"photo near {key2name[int(x)]}" for x in nk], type=pa.string()
+                ),
+            }
+        )
+
+    cust = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .map_batches(mk_query, batch_format="pyarrow")
+        .map_batches(
+            ForwardJoiner,
+            fn_constructor_args=(index_ref, ForwardConfig(ignore_oov=True)),
+            fn_constructor_kwargs={"query_col": "caption", "id_col": "query_id"},
+            batch_format="pyarrow",
+            concurrency=auto_pool(),
+            num_cpus=1,
+        )
+        .select_columns(["query_id", "top_name"])
+    )
+
+    def rev_partials(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keys, inv = np.unique(ck, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table(
+            {
+                "query_id": pa.array(keys, type=pa.int64()),
+                "cents": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    rev = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(rev_partials, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum(on="cents", alias_name="cents"))
+    )
+
+    j = _scrub_empties(cust, 8).join(
+        _scrub_empties(rev, 8), join_type="left_outer", on=("query_id",), num_partitions=8
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        name = np.asarray(batch.column("top_name").to_pylist(), dtype=object)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(cents.astype(np.float64)), 0, cents).astype(np.int64)
+        keys, inv = np.unique(name.astype(str), return_inverse=True)
+        n = np.bincount(inv, minlength=len(keys)).astype(np.int64)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table(
+            {
+                "top_name": pa.array(keys.tolist(), type=pa.string()),
+                "n_customers": pa.array(n, type=pa.int64()),
+                "cents": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(partials, batch_format="pyarrow")
+        .groupby("top_name")
+        .aggregate(
+            Sum(on="n_customers", alias_name="n_customers"),
+            Sum(on="cents", alias_name="cents"),
+        )
+    )
+
+
+SQL_PLACE_POPULARITY = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1)
+SELECT n.n_name AS top_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(COALESCE(r.cents, 0)) AS BIGINT) AS cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+GROUP BY 1
+"""

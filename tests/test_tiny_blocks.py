@@ -152,6 +152,7 @@ QUERIES = [
     "label_scatter",
     # round-5 geo x OLAP composition
     "region_value",
+    "place_popularity",
 ]
 
 
