@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_class_hist": sq.q_char_class_hist,    # corpus audit: per-lang char-class counts, RE2 zero-copy
         "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
         "lang_impurity": sq.q_lang_impurity,        # per-source Gini impurity (rational split criterion)
+        "k_anon_audit": sq.q_k_anon_audit,          # quasi-identifier group-size privacy report
+        "open_orders_daily": ol.q_open_orders_daily,  # interval stabbing via sweep-line deltas
         "vocab_overlap": sq.q_vocab_overlap,        # pairwise source-vocabulary Jaccard audit
         "embed_quant": tq.q_embed_quant,            # exact fixed-point quantization-error audit
         "label_scatter": tq.q_label_scatter,        # per-label per-dim moment mart (LDA/k-means stats)
@@ -451,6 +453,8 @@ def oracle_sql() -> dict[str, str]:
         "char_class_hist": sq.SQL_CHAR_CLASS_HIST,
         "ranksum": sq.SQL_RANKSUM,
         "lang_impurity": sq.SQL_LANG_IMPURITY,
+        "k_anon_audit": sq.SQL_K_ANON_AUDIT,
+        "open_orders_daily": ol.SQL_OPEN_ORDERS_DAILY,
         "vocab_overlap": sq.SQL_VOCAB_OVERLAP,
         "embed_quant": tq.SQL_EMBED_QUANT,
         "label_scatter": tq.SQL_LABEL_SCATTER,

@@ -2848,3 +2848,117 @@ SELECT doc_id, n_chars,
        CAST(DENSE_RANK() OVER (ORDER BY n_chars) AS BIGINT) AS drnk
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# open orders per day (interval stabbing via the sweep-line identity)
+# ---------------------------------------------------------------------------
+#
+# "How many orders were open on each day" — the backlog/occupancy
+# query (hotel nights, active sessions, WIP inventory) that naive
+# engines answer with a days x orders range join.  Sweep-line instead:
+# each order's lifetime [orderdate, max(l_shipdate)] emits TWO delta
+# rows (+1 at start, -1 past end), one day-domain-bounded Sum shuffle
+# merges them, and a calendar-bounded driver prefix turns deltas into
+# occupancy — the O(N) identity replacing the O(N x D) join.  Orders
+# with no lineitems have no close date and are excluded by the inner
+# join (27 such rows at sf0.001; the oracle excludes them identically);
+# the ~20% of synthetic orders whose last shipment PRECEDES the order
+# date are normalized to the [least, greatest] span on both sides.
+
+def q_open_orders_daily(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def ship_partials(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        keys, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(keys), -(2**62), dtype=np.int64)
+        np.maximum.at(mx, inv, day)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, type=pa.int64()),
+                "end_day": pa.array(mx, type=pa.int64()),
+            }
+        )
+
+    ends = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+        .map_batches(ship_partials, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Max(on="end_day", alias_name="end_day"))
+    )
+    starts = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    iv = _scrub_empties(ends, 8).join(
+        _scrub_empties(starts, 8), join_type="inner", on=("o_orderkey",), num_partitions=8
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s0 = (
+            batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        e0 = batch.column("end_day").to_numpy(zero_copy_only=False).astype(np.int64)
+        # the synthetic tables ship ~20% of orders BEFORE their order
+        # date; the lifetime is the span between the two endpoints
+        s = np.minimum(s0, e0)
+        e = np.maximum(s0, e0)
+        day = np.concatenate([s, e + 1])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)])
+        keys, inv = np.unique(day, return_inverse=True)
+        acc = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(acc, inv, d)
+        return pa.table(
+            {
+                "day": pa.array(keys, type=pa.int64()),
+                "delta": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    merged = (
+        iv.map_batches(deltas, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum(on="delta", alias_name="delta"))
+        .take_all()  # calendar-bounded: one row per distinct boundary day
+    )
+    import ray.data as rd2
+
+    if not merged:
+        return rd2.from_arrow(
+            pa.table({"day": pa.array([], type=pa.int64()), "n_open": pa.array([], type=pa.int64())})
+        )
+    days = np.array([r["day"] for r in merged], dtype=np.int64)
+    dl = np.array([r["delta"] for r in merged], dtype=np.int64)
+    o = np.argsort(days)
+    days, dl = days[o], dl[o]
+    full = np.arange(days[0], days[-1])  # last boundary is end+1: occupancy 0 after
+    occ = np.cumsum(dl)[np.searchsorted(days, full, side="right") - 1]
+    return rd2.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(full, type=pa.int64()),
+                "n_open": pa.array(occ, type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_OPEN_ORDERS_DAILY = """
+WITH iv0 AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS s0,
+         MAX(epoch_us(l.l_shipdate) // 86400000000) AS e0
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+iv AS (
+  SELECT o_orderkey, LEAST(s0, e0) AS s, GREATEST(s0, e0) AS e FROM iv0),
+days AS (
+  SELECT unnest(generate_series((SELECT MIN(s) FROM iv), (SELECT MAX(e) FROM iv))) AS day)
+SELECT d.day, CAST(COUNT(i.o_orderkey) AS BIGINT) AS n_open
+FROM days d LEFT JOIN iv i ON d.day BETWEEN i.s AND i.e
+GROUP BY 1
+"""

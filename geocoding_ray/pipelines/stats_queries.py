@@ -3112,3 +3112,77 @@ FROM v va
 JOIN v vb ON va.source < vb.source
 LEFT JOIN inter i ON i.sa = va.source AND i.sb = vb.source
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (quasi-identifier group-size privacy report)
+# ---------------------------------------------------------------------------
+#
+# The privacy gate run before releasing a training corpus: bucket every
+# document by its quasi-identifier tuple (lang, source, n_chars//100)
+# and report, per (lang, source) slice, how many buckets fall below
+# k = 5 and how many rows sit in those re-identifiable buckets.  The
+# aggregate-report shape stays non-degenerate at every scale (the raw
+# list of risky groups shrinks as data grows).  Physics: per-batch
+# 3-key counts -> one vocab-bounded Sum shuffle -> per-slice map_groups
+# fold; nothing leaves the bounded quasi-identifier lattice.
+
+K_ANON = 5
+
+
+def q_k_anon_audit(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        b = (batch.column("n_chars").to_numpy(zero_copy_only=False) // 100).astype(np.int64)
+        key = np.char.add(
+            np.char.add(np.char.add(lang.astype(str), "\x1f"), src.astype(str)),
+            np.char.add("\x1f", b.astype(str)),
+        )
+        keys, cnt = np.unique(key, return_counts=True)
+        parts = [k.split("\x1f") for k in keys.tolist()]
+        return pa.table(
+            {
+                "lang": pa.array([p[0] for p in parts], type=pa.string()),
+                "source": pa.array([p[1] for p in parts], type=pa.string()),
+                "bucket": pa.array([int(p[2]) for p in parts], type=pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    mart = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "source", "bucket"])
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        small = c < K_ANON
+        return pa.table(
+            {
+                "lang": group.column("lang").slice(0, 1),
+                "source": group.column("source").slice(0, 1),
+                "n_groups": pa.array([len(c)], type=pa.int64()),
+                "n_small": pa.array([int(small.sum())], type=pa.int64()),
+                "rows_at_risk": pa.array([int(c[small].sum())], type=pa.int64()),
+            }
+        )
+
+    return mart.groupby(["lang", "source"]).map_groups(fold, batch_format="pyarrow")
+
+
+SQL_K_ANON_AUDIT = f"""
+WITH g AS (
+  SELECT lang, source, n_chars // 100 AS bucket, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (c < {K_ANON}) AS BIGINT) AS n_small,
+       CAST(COALESCE(SUM(c) FILTER (c < {K_ANON}), 0) AS BIGINT) AS rows_at_risk
+FROM g GROUP BY 1, 2
+"""

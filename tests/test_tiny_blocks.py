@@ -153,6 +153,9 @@ QUERIES = [
     # round-5 geo x OLAP composition
     "region_value",
     "place_popularity",
+    # round-5 privacy audit + sweep-line occupancy
+    "k_anon_audit",
+    "open_orders_daily",
 ]
 
 
