@@ -2254,22 +2254,24 @@ GROUP BY 1, 2
 #
 # Q11's `HAVING SUM(value) > (SELECT SUM(value) * fraction FROM ...)`
 # re-expressed over the lineitem fact (this dataset has no partsupp
-# mart): keep every part whose exact-integer revenue exceeds 1/10000 of
-# global revenue.  ONE scan of two pruned money columns: per-batch
-# per-part partials -> one slim Sum shuffle -> the reduced per-part
-# mart is materialized (part-dimension-bounded, the share_of_total
-# precedent) and consumed twice — once by a scalar tree-aggregate for
-# the global denominator, once by the vectorized threshold filter.
-# The compare is kept exact WITHOUT the int64-overflowing
-# rev * 10000 > total product:  with q = total // 10000 and
-# r = total % 10000 (0 <= r < 10000),
-#   rev >= q + 1  ->  rev*10000 >= 10000q + 10000 > 10000q + r = total
-#   rev <= q      ->  rev*10000 <= 10000q     <= total
-# so `rev*10000 > total  <=>  rev > total // 10000`, and the broadcast
-# threshold is a single Python int immune to the 1e18-micros global
-# total of the 100-TB tier.
+# mart): keep every part whose exact-integer revenue exceeds 5/4 of the
+# AVERAGE part's revenue (Q11's absolute fraction scales with 1/SF and
+# goes degenerate as the part dimension grows — round-5 sf0.1 parity
+# caught exactly that; the avg-relative form keeps a stable ~11%
+# selectivity at every SF).  ONE scan of two pruned money columns:
+# per-batch per-part partials -> one slim Sum shuffle -> the reduced
+# per-part mart is materialized (part-dimension-bounded, the
+# share_of_total precedent) and consumed three times: a scalar
+# tree-aggregate (global total), a count (n_parts), and the vectorized
+# threshold filter.  The compare  rev * 4 * n_parts > 5 * total  is
+# evaluated WITHOUT the int64-overflowing product: for positive ints
+# rev*K > M  <=>  rev > M // K  (if rev >= M//K + 1 then
+# rev*K >= K*(M//K) + K > M because M % K < K; if rev <= M//K then
+# rev*K <= K*(M//K) <= M), so the broadcast threshold is one Python
+# int computed with arbitrary precision on the driver — immune to the
+# 1e22 cross-product of the 100-TB tier.
 
-Q11_FRACTION_DEN = 10_000
+Q11_NUM, Q11_DEN = 5, 4  # keep parts with rev > (5/4) * avg part rev
 
 
 def _q11_partials(batch: pa.Table) -> pa.Table:
@@ -2302,10 +2304,12 @@ def q_important_parts(sf_dir: str):
         .map_batches(_q11_partials, batch_format="pyarrow")
         .groupby("l_partkey")
         .aggregate(Sum(on="rev_micros", alias_name="rev_micros"))
-        .materialize()  # part-dimension-bounded; consumed twice
+        .materialize()  # part-dimension-bounded; consumed three times
     )
     total = int(mart.aggregate(Sum(on="rev_micros", alias_name="t"))["t"])
-    thresh = total // Q11_FRACTION_DEN
+    n_parts = mart.count()
+    # rev * (Q11_DEN * n_parts) > Q11_NUM * total  <=>  rev > M // K
+    thresh = (Q11_NUM * total) // (Q11_DEN * n_parts) if n_parts else 0
     return mart.filter(expr=f"rev_micros > {thresh}")
 
 
@@ -2317,7 +2321,8 @@ WITH pr AS (
   FROM lineitem GROUP BY 1)
 SELECT l_partkey, CAST(rev_micros AS BIGINT) AS rev_micros
 FROM pr
-WHERE rev_micros > (SELECT SUM(rev_micros) FROM pr) // {Q11_FRACTION_DEN}
+WHERE rev_micros > ({Q11_NUM} * (SELECT SUM(rev_micros) FROM pr))
+                   // ({Q11_DEN} * (SELECT COUNT(*) FROM pr))
 """
 
 
