@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranksum": sq.q_ranksum,                    # grouped Mann-Whitney rank-sum w/ midrank ties
         "lang_impurity": sq.q_lang_impurity,        # per-source Gini impurity (rational split criterion)
         "k_anon_audit": sq.q_k_anon_audit,          # quasi-identifier group-size privacy report
+        "token_len_hist": sq.q_token_len_hist,      # tokenizer-design corpus audit, zero-copy Arrow
+        "tile_revenue": ga.q_tile_revenue,          # revenue heat-tiles at every zoom, halving rollup
         "open_orders_daily": ol.q_open_orders_daily,  # interval stabbing via sweep-line deltas
         "vocab_overlap": sq.q_vocab_overlap,        # pairwise source-vocabulary Jaccard audit
         "embed_quant": tq.q_embed_quant,            # exact fixed-point quantization-error audit
@@ -454,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "ranksum": sq.SQL_RANKSUM,
         "lang_impurity": sq.SQL_LANG_IMPURITY,
         "k_anon_audit": sq.SQL_K_ANON_AUDIT,
+        "token_len_hist": sq.SQL_TOKEN_LEN_HIST,
+        "tile_revenue": ga.SQL_TILE_REVENUE,
         "open_orders_daily": ol.SQL_OPEN_ORDERS_DAILY,
         "vocab_overlap": sq.SQL_VOCAB_OVERLAP,
         "embed_quant": tq.SQL_EMBED_QUANT,

@@ -1668,3 +1668,108 @@ SELECT CAST(nc AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_sum,
        CAST((nc - 1) * num * nc AS DOUBLE) / CAST(2 * w * den AS DOUBLE) AS geary_c
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# tile revenue pyramid (raster rollup of money — region_value's sibling)
+# ---------------------------------------------------------------------------
+#
+# Revenue heat-tiles at every zoom level 0..PYR_Z: each event's point
+# lands in its finest-level tile WITH its exact integer cents, and
+# coarser levels roll up by the (x >> 1, y >> 1) halving identity
+# (floor(v * 2^z) == floor(v * 2^Z) >> (Z - z) for v >= 0, so halving
+# the finest grid IS the direct computation at every z — the oracle
+# spells the same shift).  After the first grid-bounded groupby
+# nothing is proportional to the input: PYR_Z more shuffles of
+# <= 4^z rows each, finest level materialized once.
+
+def q_tile_revenue(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        lon, lat = _pip_lonlat(eid)
+        m = 1 << PYR_Z
+        x = np.clip(np.floor((lon + 180.0) / 360.0 * m).astype(np.int64), 0, m - 1)
+        y = np.clip(np.floor((lat + 90.0) / 180.0 * m).astype(np.int64), 0, m - 1)
+        key, inv = np.unique(x * m + y, return_inverse=True)
+        n = np.bincount(inv, minlength=len(key)).astype(np.int64)
+        acc = np.zeros(len(key), dtype=np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table(
+            {
+                "x": pa.array(key // m, type=pa.int64()),
+                "y": pa.array(key % m, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "cents": pa.array(acc, type=pa.int64()),
+            }
+        )
+
+    finest = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum(on="n", alias_name="n"), Sum(on="cents", alias_name="cents"))
+        .materialize()  # <= 4^PYR_Z rows: the pyramid working set
+    )
+
+    def stamp(z: int):
+        shift = PYR_Z - z
+
+        def f(batch: pa.Table) -> pa.Table:
+            x = batch.column("x").to_numpy(zero_copy_only=False) >> shift
+            y = batch.column("y").to_numpy(zero_copy_only=False) >> shift
+            return pa.table(
+                {
+                    "z": pa.array(np.full(batch.num_rows, z), type=pa.int64()),
+                    "x": pa.array(x, type=pa.int64()),
+                    "y": pa.array(y, type=pa.int64()),
+                    "n": batch.column("n"),
+                    "cents": batch.column("cents"),
+                }
+            )
+
+        return f
+
+    levels = []
+    for z in range(PYR_Z + 1):
+        levels.append(
+            finest.map_batches(stamp(z), batch_format="pyarrow")
+            .groupby(["z", "x", "y"])
+            .aggregate(Sum(on="n", alias_name="n"), Sum(on="cents", alias_name="cents"))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _sql_tile_revenue() -> str:
+    m = 1 << PYR_Z
+    lvls = ",\n    ".join(f"({z})" for z in range(PYR_Z + 1))
+    return f"""
+WITH pts AS (
+  SELECT CAST(floor(value * 100.0) AS BIGINT) AS cents,
+         ((event_id * 48271) % 36000) / 100.0 - 180.0 + 0.005 AS lon,
+         ((event_id * 16807) % 18000) / 100.0 - 90.0 + 0.005 AS lat
+  FROM events),
+xy AS (
+  SELECT cents,
+         least(greatest(CAST(floor((lon + 180.0) / 360.0 * {m}) AS BIGINT), 0), {m - 1}) AS x,
+         least(greatest(CAST(floor((lat + 90.0) / 180.0 * {m}) AS BIGINT), 0), {m - 1}) AS y
+  FROM pts),
+lv(z) AS (VALUES
+    {lvls})
+SELECT lv.z, xy.x >> ({PYR_Z} - lv.z) AS x, xy.y >> ({PYR_Z} - lv.z) AS y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM xy, lv
+GROUP BY 1, 2, 3
+"""
+
+
+SQL_TILE_REVENUE = _sql_tile_revenue()

@@ -3186,3 +3186,59 @@ SELECT lang, source,
        CAST(COALESCE(SUM(c) FILTER (c < {K_ANON}), 0) AS BIGINT) AS rows_at_risk
 FROM g GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# token-length histogram (tokenizer-design corpus audit)
+# ---------------------------------------------------------------------------
+#
+# Per-language distribution of token lengths over ALL occurrences (not
+# the per-doc distinct of term_df) — the audit that sizes subword
+# vocabularies and catches concatenation corruption (a spike of
+# 50-char "words" means the cleaner broke).  Zero-copy Arrow path:
+# utf8_lower -> split_pattern_regex -> list_flatten -> utf8_length;
+# the (lang, len) lattice is vocabulary-bounded, so the Sum shuffle
+# carries langs x max_len rows per block.
+
+def q_token_len_hist(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        lang = batch.column("lang").combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), _TERM_RE.pattern)
+        flat = pc.list_flatten(toks)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+        keep = ln > 0
+        ln, doc_of = ln[keep], doc_of[keep]
+        lenc = pc.dictionary_encode(lang)
+        lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[doc_of]
+        key = lcodes * 4096 + ln  # token length < 4096 by construction
+        keys, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": lenc.dictionary.take(pa.array(keys // 4096, type=pa.int64())),
+                "len": pa.array(keys % 4096, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "len"])
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+
+SQL_TOKEN_LEN_HIST = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+  FROM documents)
+SELECT lang, CAST(length(t) AS BIGINT) AS len, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE t <> '' GROUP BY 1, 2
+"""

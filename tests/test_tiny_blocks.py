@@ -156,6 +156,9 @@ QUERIES = [
     # round-5 privacy audit + sweep-line occupancy
     "k_anon_audit",
     "open_orders_daily",
+    # round-5 corpus audit + raster money rollup
+    "token_len_hist",
+    "tile_revenue",
 ]
 
 
