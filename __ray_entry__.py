@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": tpch.q_revenue_by_nation,  # Q5 shape: fact pre-agg + broadcast dim chain
         "dedup_clusters_exact": tq.q_dedup_clusters_exact,  # components of the SQL-gated text_dup graph
         "decontaminate": cq.q_decontaminate,      # benchmark decontamination: train/val 5-gram overlap join
+        "dup_rate": cq.q_dup_rate,                # per-source duplicate-rate slice-health audit
         "substring_dup": cq.q_substring_dup,      # Lee-et-al. exact substring-window dedup stats (6-gram)
         "pii_redact": cq.q_pii_redact,            # vectorized RE2 scrub (PII-redaction shape) + match counts
         "rep_ratio": cq.q_rep_ratio,              # duplicate-word-fraction quality signal, exact micros
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": gq.q_pagerank,                # iterative edge-rank join-aggregate, exact scaled-int damping
         "triangle_count": gq.q_triangle_count,    # degree-oriented wedge-closure triangle counts per node
         "node_jaccard": gq.q_node_jaccard,        # per-edge neighborhood Jaccard (link-prediction primitive)
+        "assortativity": gq.q_assortativity,      # Newman degree assortativity, exact int64 moments
         "bfs_hops": gq.q_bfs_hops,                # single-source BFS: iterative frontier relax to fixpoint
         "kcore": gq.q_kcore,                      # k-core peel: fixed unrolled filter rounds, cascade-complete
         "sssp_dist": gq.q_sssp_dist,              # weighted Bellman-Ford: improved-frontier-only relaxation
@@ -327,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "reverse_annotations_num": oq.SQL_REVERSE_ANNOTATIONS_NUM,
         "reverse_annotations_geo": oq.SQL_REVERSE_ANNOTATIONS_GEO,
         "decontaminate": cq.SQL_DECONTAMINATE,
+        "dup_rate": cq.SQL_DUP_RATE,
         "substring_dup": cq.SQL_SUBSTRING_DUP,
         "pii_redact": cq.SQL_PII_REDACT,
         "rep_ratio": cq.SQL_REP_RATIO,
@@ -377,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": gq.SQL_PAGERANK,
         "triangle_count": gq.SQL_TRIANGLE_COUNT,
         "node_jaccard": gq.SQL_NODE_JACCARD,
+        "assortativity": gq.SQL_ASSORTATIVITY,
         "bfs_hops": gq.SQL_BFS_HOPS,
         "kcore": gq.SQL_KCORE,
         "sssp_dist": gq.SQL_SSSP,

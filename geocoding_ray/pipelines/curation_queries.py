@@ -1584,3 +1584,94 @@ w AS (
 SELECT norm_md5, keep_id, CAST(n_dups AS BIGINT) AS n_dups
 FROM w WHERE rn = 1 AND n_dups >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source duplicate rate (slice-health dedup audit)
+# ---------------------------------------------------------------------------
+#
+# Which crawl is poisoning the corpus: for every source, the number of
+# docs whose EXACT text (md5 content key, the q_dedup_exact rule)
+# appears 2+ times ANYWHERE in the corpus, and the dup rate — the
+# audit that decides which upstream feed gets renegotiated.  Physics:
+# per-batch (md5, source) count partials -> one hash-keyed shuffle ->
+# per-HASH map_groups sees the global multiplicity and re-emits
+# per-source (docs, dup_docs) partials -> source-bounded Sum + one
+# division.  The text column is dropped at the scan boundary; only
+# 32-char keys shuffle.
+
+def q_dup_rate(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from geocoding_ray.stages.dedup import add_md5
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = add_md5(batch)
+        key = np.char.add(
+            np.char.add(np.asarray(b.column("text_md5").to_pylist(), dtype=str), "\x1f"),
+            np.asarray(b.column("source").to_pylist(), dtype=str),
+        )
+        keys, cnt = np.unique(key, return_counts=True)
+        parts = [k.split("\x1f") for k in keys.tolist()]
+        return pa.table(
+            {
+                "text_md5": pa.array([p[0] for p in parts], type=pa.string()),
+                "source": pa.array([p[1] for p in parts], type=pa.string()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    mart = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["text_md5", "source"])
+        .aggregate(Sum(on="c", alias_name="c"))
+    )
+
+    def per_hash(group: pa.Table) -> pa.Table:
+        c = group.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(c.sum())
+        dup = c if total >= 2 else np.zeros(len(c), dtype=np.int64)
+        return pa.table(
+            {
+                "source": group.column("source"),
+                "docs": pa.array(c, type=pa.int64()),
+                "dup_docs": pa.array(dup, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        mart.groupby("text_md5")
+        .map_groups(per_hash, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum(on="docs", alias_name="docs"), Sum(on="dup_docs", alias_name="dup_docs"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = batch.column("dup_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "docs": pa.array(d, type=pa.int64()),
+                "dup_docs": pa.array(dd, type=pa.int64()),
+                "dup_rate": pa.array(dd / d, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DUP_RATE = """
+WITH h AS (
+  SELECT source, md5(text) AS k FROM documents),
+m AS (
+  SELECT k, COUNT(*) AS total FROM h GROUP BY 1)
+SELECT h.source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(*) FILTER (m.total >= 2) AS BIGINT) AS dup_docs,
+       CAST(COUNT(*) FILTER (m.total >= 2) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM h JOIN m USING (k)
+GROUP BY 1
+"""

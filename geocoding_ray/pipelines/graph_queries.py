@@ -1261,3 +1261,123 @@ LEFT JOIN inter USING (a, b)
 JOIN deg dda ON dda.node = ed.a
 JOIN deg ddb ON ddb.node = ed.b
 """
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Newman's r — do hubs attach to hubs?)
+# ---------------------------------------------------------------------------
+#
+# Pearson correlation of endpoint degrees over all DIRECTED edge slots
+# (each undirected edge counted both ways, the standard convention):
+#     r = (2m * Sxy - Sx^2) / (2m * Sx2 - Sx^2)
+# where by symmetry the x- and y-marginals coincide (Sx = Sy,
+# Sx2 = Sy2).  All four moments are exact int64 partial sums folded
+# per batch and merged by ONE global Sum (domain assert keeps
+# deg^2-sums inside int64); the single float op is the final division
+# of two int64-exact carries, IEEE-identical to DuckDB's
+# hugeint->double cast.  Distributed shape: distinct-edge groupby ->
+# degree groupby -> two slim degree joins -> moment partials.
+
+def q_assortativity(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .olap_queries import _scrub_empties
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    edges = (
+        ds.map_batches(_tri_edges_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    )
+    edges = _scrub_empties(edges, 8).materialize()
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), type=pa.int64())})
+
+    deg = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    deg = _scrub_empties(deg, 4).materialize()
+
+    e1 = edges.join(
+        deg.map_batches(lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"),
+        join_type="inner",
+        on=("a",),
+        num_partitions=8,
+    )
+    e2 = e1.join(
+        deg.map_batches(lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"),
+        join_type="inner",
+        on=("b",),
+        num_partitions=8,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        da = batch.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        # both directed slots of each undirected edge
+        assert da.size == 0 or int(max(da.max(), db.max())) < 1_000_000  # deg^2 sums fit int64
+        return pa.table(
+            {
+                "m2": pa.array([2 * len(da)], type=pa.int64()),
+                "sxy": pa.array([int(2 * (da * db).sum())], type=pa.int64()),
+                "sx": pa.array([int((da + db).sum())], type=pa.int64()),
+                "sx2": pa.array([int((da * da + db * db).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = e2.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum(on="m2", alias_name="m2"),
+        Sum(on="sxy", alias_name="sxy"),
+        Sum(on="sx", alias_name="sx"),
+        Sum(on="sx2", alias_name="sx2"),
+    )
+    m2, sxy, sx, sx2 = (int(agg[k]) for k in ("m2", "sxy", "sx", "sx2"))
+    num = m2 * sxy - sx * sx
+    den = m2 * sx2 - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    import ray.data as rd2
+
+    return rd2.from_arrow(
+        pa.table(
+            {
+                "m2": pa.array([m2], type=pa.int64()),
+                "sxy": pa.array([sxy], type=pa.int64()),
+                "sx": pa.array([sx], type=pa.int64()),
+                "sx2": pa.array([sx2], type=pa.int64()),
+                "assortativity": pa.array([r], type=pa.float64()),
+            }
+        )
+    )
+
+
+SQL_ASSORTATIVITY = f"""
+WITH {SQL_TRI_EDGES_RAW},
+ed AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v),
+und AS (
+  SELECT a AS node FROM ed UNION ALL SELECT b FROM ed),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM und GROUP BY 1),
+slots AS (
+  SELECT dda.deg AS x, ddb.deg AS y
+  FROM ed JOIN deg dda ON dda.node = ed.a JOIN deg ddb ON ddb.node = ed.b
+  UNION ALL
+  SELECT ddb.deg, dda.deg
+  FROM ed JOIN deg dda ON dda.node = ed.a JOIN deg ddb ON ddb.node = ed.b),
+agg AS (
+  SELECT COUNT(*) AS m2, SUM(x * y) AS sxy, SUM(x) AS sx, SUM(x * x) AS sx2
+  FROM slots)
+SELECT CAST(m2 AS BIGINT) AS m2, CAST(sxy AS BIGINT) AS sxy,
+       CAST(sx AS BIGINT) AS sx, CAST(sx2 AS BIGINT) AS sx2,
+       CAST(m2 * sxy - sx * sx AS DOUBLE)
+         / CAST(m2 * sx2 - sx * sx AS DOUBLE) AS assortativity
+FROM agg
+"""

@@ -159,6 +159,9 @@ QUERIES = [
     # round-5 corpus audit + raster money rollup
     "token_len_hist",
     "tile_revenue",
+    # round-5 graph moments + dedup slice health
+    "assortativity",
+    "dup_rate",
 ]
 
 
