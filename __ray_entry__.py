@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_impurity": sq.q_lang_impurity,        # per-source Gini impurity (rational split criterion)
         "k_anon_audit": sq.q_k_anon_audit,          # quasi-identifier group-size privacy report
         "token_len_hist": sq.q_token_len_hist,      # tokenizer-design corpus audit, zero-copy Arrow
+        "tukey_outliers": tq.q_tukey_outliers,      # 1.5-IQR box-plot outlier audit on exact quartiles
         "tile_revenue": ga.q_tile_revenue,          # revenue heat-tiles at every zoom, halving rollup
         "open_orders_daily": ol.q_open_orders_daily,  # interval stabbing via sweep-line deltas
         "vocab_overlap": sq.q_vocab_overlap,        # pairwise source-vocabulary Jaccard audit
@@ -461,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_impurity": sq.SQL_LANG_IMPURITY,
         "k_anon_audit": sq.SQL_K_ANON_AUDIT,
         "token_len_hist": sq.SQL_TOKEN_LEN_HIST,
+        "tukey_outliers": tq.SQL_TUKEY_OUTLIERS,
         "tile_revenue": ga.SQL_TILE_REVENUE,
         "open_orders_daily": ol.SQL_OPEN_ORDERS_DAILY,
         "vocab_overlap": sq.SQL_VOCAB_OVERLAP,

@@ -2176,3 +2176,95 @@ SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(e20 * e20) AS BIGINT) AS sum_sq
 FROM e GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence outlier audit (the box-plot data-quality gate)
+# ---------------------------------------------------------------------------
+#
+# Per event_type: exact discrete quartiles (the scale-safe
+# grouped_quantile histogram plan, twice), the 1.5-IQR Tukey fences,
+# and how many rows fall outside them — the standard "is this feed
+# spewing garbage values" audit.  The quartile marts are
+# type-cardinality tiny (driver-broadcast as plain floats); the
+# counting pass is one vectorized scan with the fence expression
+# spelled IDENTICALLY here and in SQL (q1 - 1.5*(q3-q1), same op
+# order), so the float compares agree bit-for-bit.  NaN/null values
+# compare false on both engines and are counted in n but never in
+# n_out.
+
+def q_tukey_outliers(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    q1m = {r["event_type"]: r["q1"] for r in grouped_quantile(sf_dir, 0.25, "q1").take_all()}
+    q3m = {r["event_type"]: r["q3"] for r in grouped_quantile(sf_dir, 0.75, "q3").take_all()}
+    fences = {}
+    for t in q1m:
+        q1, q3 = q1m[t], q3m[t]
+        if q1 is None or q3 is None:
+            fences[t] = (q1, q3, float("nan"), float("nan"))
+        else:
+            fences[t] = (q1, q3, q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+    ref = ray.put(fences)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fmap = ray.get(ref)
+        enc = pc.dictionary_encode(batch.column("event_type").combine_chunks())
+        cats = enc.dictionary.to_pylist()
+        lo = np.array([fmap.get(c, (None, None, np.nan, np.nan))[2] for c in cats])
+        hi = np.array([fmap.get(c, (None, None, np.nan, np.nan))[3] for c in cats])
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            out = (v < lo[idx]) | (v > hi[idx])
+        n = np.bincount(idx, minlength=len(cats)).astype(np.int64)
+        no = np.zeros(len(cats), dtype=np.int64)
+        np.add.at(no, idx, out.astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(cats, type=pa.string()),
+                "n": pa.array(n, type=pa.int64()),
+                "n_out": pa.array(no, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum(on="n", alias_name="n"), Sum(on="n_out", alias_name="n_out"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fmap = ray.get(ref)
+        cats = batch.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "q1": pa.array([fmap[c][0] for c in cats], type=pa.float64()),
+                "q3": pa.array([fmap[c][1] for c in cats], type=pa.float64()),
+                "n": batch.column("n"),
+                "n_out": batch.column("n_out"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TUKEY_OUTLIERS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY 1)
+SELECT e.event_type, q.q1, q.q3,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_out
+FROM events e JOIN q USING (event_type)
+GROUP BY 1, 2, 3
+"""

@@ -162,6 +162,8 @@ QUERIES = [
     # round-5 graph moments + dedup slice health
     "assortativity",
     "dup_rate",
+    # round-5 box-plot data-quality gate
+    "tukey_outliers",
 ]
 
 
