@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_windows": oq.q_audio_windows,        # frame-level audio energy through the real PCM decode
         "audio_resample": oq.q_audio_resample,      # 2:1 decimation, two codec roundtrips + rate rewrite
         "image_blend": oq.q_image_blend,            # integer mixup augmentation, three codec passes
+        "image_equalize": oq.q_image_equalize,      # integer histogram equalization, two codec passes
         "region_value": oq.q_region_value,          # reverse geocode composed with exact money rollup
         "place_popularity": oq.q_place_popularity,  # forward geocode composed with fact-side revenue
         "dense_rank": ol.q_dense_rank,              # DENSE_RANK via the sort-free histogram broadcast
@@ -474,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_windows": oq.SQL_AUDIO_WINDOWS,
         "audio_resample": oq.SQL_AUDIO_RESAMPLE,
         "image_blend": oq.SQL_IMAGE_BLEND,
+        "image_equalize": oq.SQL_IMAGE_EQUALIZE,
         "region_value": oq.SQL_REGION_VALUE,
         "place_popularity": oq.SQL_PLACE_POPULARITY,
         "dense_rank": ol.SQL_DENSE_RANK,

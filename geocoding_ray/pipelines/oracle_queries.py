@@ -3079,3 +3079,93 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 LEFT JOIN rev r ON r.o_custkey = c.c_custkey
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# image histogram equalization (contrast normalization) via the real codec
+# ---------------------------------------------------------------------------
+#
+# The classic preprocessing step before feature extraction: decode the
+# deterministic 8x8 RGB image through the real TIFF codec, build its
+# integer-luma histogram, remap every pixel's luma through the
+# cumulative distribution  m = (cdf(l) * 255) // npix  (the pure-
+# integer equalization rule), roundtrip the remapped single-channel
+# image through the codec (replicated to RGB), and emit the position-
+# weighted sum plus the min/max of the equalized lumas (the gate that
+# the stretch actually happened).  The oracle rebuilds the same CDF
+# with a window count — integer end to end.
+
+class _ImageEqualize:
+    def __init__(self):
+        from ..sources import tiff
+
+        self.tiff = tiff
+        r = np.arange(8).reshape(8, 1, 1)
+        c = np.arange(8).reshape(1, 8, 1)
+        k = np.arange(3).reshape(1, 1, 3)
+        self.grid = (16 * r + 2 * c + k).astype(np.int64)
+        self.w = ((np.arange(8).reshape(8, 1) + 1) * (np.arange(8).reshape(1, 8) + 1)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(eid)
+        wsum = np.zeros(n, dtype=np.int64)
+        lmin = np.zeros(n, dtype=np.int64)
+        lmax = np.zeros(n, dtype=np.int64)
+        for i, e in enumerate(eid):
+            pix = ((e + self.grid) % 256).astype(np.uint8)
+            dec = self.tiff.parse_pixels(self.tiff.encode_tiff(pix, 0, 0)).astype(np.int64)
+            luma = (77 * dec[:, :, 0] + 150 * dec[:, :, 1] + 29 * dec[:, :, 2]) >> 8
+            # integer equalization: m = (cdf(l) * 255) // 64
+            hist = np.bincount(luma.ravel(), minlength=256)
+            cdf = np.cumsum(hist)
+            m = (cdf[luma] * 255) // luma.size
+            rgb = np.repeat(m.astype(np.uint8)[:, :, None], 3, axis=2)
+            dec2 = self.tiff.parse_pixels(
+                self.tiff.encode_tiff(np.ascontiguousarray(rgb), 0, 0)
+            ).astype(np.int64)
+            eq = dec2[:, :, 0]
+            wsum[i] = (eq * self.w).sum()
+            lmin[i] = eq.min()
+            lmax[i] = eq.max()
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "w_sum": pa.array(wsum, type=pa.int64()),
+                "eq_min": pa.array(lmin, type=pa.int64()),
+                "eq_max": pa.array(lmax, type=pa.int64()),
+            }
+        )
+
+
+def q_image_equalize(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(
+        _ImageEqualize, batch_format="pyarrow", concurrency=auto_pool(), num_cpus=1
+    )
+
+
+SQL_IMAGE_EQUALIZE = """
+WITH g AS (
+  SELECT r.range AS r, c.range AS c FROM range(0, 8) r, range(0, 8) c),
+pix AS (
+  SELECT event_id, g.r, g.c,
+         (77 * ((event_id + 16 * g.r + 2 * g.c + 0) % 256)
+          + 150 * ((event_id + 16 * g.r + 2 * g.c + 1) % 256)
+          + 29 * ((event_id + 16 * g.r + 2 * g.c + 2) % 256)) // 256 AS l
+  FROM events, g),
+cdf AS (
+  SELECT event_id, r, c,
+         COUNT(*) OVER (PARTITION BY event_id ORDER BY l
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+  FROM pix),
+eq AS (
+  SELECT event_id, r, c, (cl * 255) // 64 AS m FROM cdf)
+SELECT event_id,
+       CAST(SUM(m * (r + 1) * (c + 1)) AS BIGINT) AS w_sum,
+       CAST(MIN(m) AS BIGINT) AS eq_min,
+       CAST(MAX(m) AS BIGINT) AS eq_max
+FROM eq GROUP BY event_id
+"""

@@ -164,6 +164,8 @@ QUERIES = [
     "dup_rate",
     # round-5 box-plot data-quality gate
     "tukey_outliers",
+    # round-5 contrast normalization through the real codec
+    "image_equalize",
 ]
 
 
