@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tukey_outliers": tq.q_tukey_outliers,      # 1.5-IQR box-plot outlier audit on exact quartiles
         "tile_revenue": ga.q_tile_revenue,          # revenue heat-tiles at every zoom, halving rollup
         "open_orders_daily": ol.q_open_orders_daily,  # interval stabbing via sweep-line deltas
+        "gap_hist": ol.q_gap_hist,                  # inter-event gap histogram (arrival-process audit)
         "vocab_overlap": sq.q_vocab_overlap,        # pairwise source-vocabulary Jaccard audit
         "embed_quant": tq.q_embed_quant,            # exact fixed-point quantization-error audit
         "label_scatter": tq.q_label_scatter,        # per-label per-dim moment mart (LDA/k-means stats)
@@ -466,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "tukey_outliers": tq.SQL_TUKEY_OUTLIERS,
         "tile_revenue": ga.SQL_TILE_REVENUE,
         "open_orders_daily": ol.SQL_OPEN_ORDERS_DAILY,
+        "gap_hist": ol.SQL_GAP_HIST,
         "vocab_overlap": sq.SQL_VOCAB_OVERLAP,
         "embed_quant": tq.SQL_EMBED_QUANT,
         "label_scatter": tq.SQL_LABEL_SCATTER,

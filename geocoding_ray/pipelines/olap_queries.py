@@ -2962,3 +2962,67 @@ SELECT d.day, CAST(COUNT(i.o_orderkey) AS BIGINT) AS n_open
 FROM days d LEFT JOIN iv i ON d.day BETWEEN i.s AND i.e
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap histogram (arrival-process audit)
+# ---------------------------------------------------------------------------
+#
+# Distribution of the time between consecutive events per user, rolled
+# up globally into minute buckets (capped at 60) — the arrival-process
+# audit under rate-limiter sizing and bot detection.  Same per-user
+# groupby + vectorized lexsort/diff physics as q_transitions, then a
+# bucket-bounded (<= 61 rows) Sum shuffle.  Gaps are exact integer
+# microsecond differences; ties in ts are ordered by event_id on both
+# sides so the diff sequence is deterministic.
+
+GAP_BUCKET_US = 60_000_000  # one minute
+GAP_BUCKET_CAP = 60
+
+
+def q_gap_hist(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        t = ts[order]
+        if len(t) < 2:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        gap = np.diff(t)
+        b = np.minimum(gap // GAP_BUCKET_US, GAP_BUCKET_CAP)
+        uk, n = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uk, type=pa.int64()),
+                "n": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum(on="n", alias_name="n"))
+    )
+
+
+SQL_GAP_HIST = f"""
+WITH s AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT LEAST((epoch_us(ts) - epoch_us(prev)) // {GAP_BUCKET_US}, {GAP_BUCKET_CAP}) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1
+"""

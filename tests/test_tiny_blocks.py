@@ -166,6 +166,8 @@ QUERIES = [
     "tukey_outliers",
     # round-5 contrast normalization through the real codec
     "image_equalize",
+    # round-5 arrival-process audit
+    "gap_hist",
 ]
 
 
